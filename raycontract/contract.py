@@ -1,0 +1,316 @@
+"""Data-contract specification model + YAML resolver.
+
+Faithful subset of the reference contract model
+(``datacontract/model/data_contract_specification.py:52-320`` in
+datacontract-cli): ``DataContractSpecification`` → ``models: {name: Model}`` →
+``fields: {name: Field}`` with the constraint surface the checks consume
+(type, required, unique, references, pattern, min/maxLength, minimum/maximum,
+exclusiveMinimum/exclusiveMaximum, enum, format, precision/scale, nested
+fields/items, per-field quality, config), plus ``servers``, ``servicelevels``
+(freshness/retention) and the deprecated root ``quality``. Resolution mirrors
+``lint/resolve.py:21-44`` (YAML → dict → model) and ``resolve.py:75-191``
+(local ``#/definitions`` ``$ref`` inlining).
+
+Plain dataclasses; parsed once on the driver. The contract never ships to
+workers — only compiled check plans do.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Optional
+
+import yaml
+
+# Logical types accepted by the contract (reference
+# data_contract_specification.py:7-31 DATACONTRACT_TYPES, + time/map accepted
+# by its converters, export/sql_type_converter.py:277,293-299).
+DATACONTRACT_TYPES = [
+    "string", "text", "varchar",
+    "number", "decimal", "numeric",
+    "int", "integer",
+    "long", "bigint",
+    "float", "double",
+    "boolean",
+    "timestamp", "timestamp_tz", "timestamp_ntz",
+    "date", "time",
+    "array", "map", "bytes",
+    "object", "record", "struct",
+    "null",
+]
+
+
+@dataclass
+class Quality:
+    """Reference data_contract_specification.py:124-143."""
+
+    type: Optional[str] = None  # only "sql" is executed (ref data_contract_checks.py:455)
+    description: Optional[str] = None
+    query: Optional[str] = None
+    mustBe: Any = None
+    mustNotBe: Any = None
+    mustBeGreaterThan: Optional[float] = None
+    mustBeGreaterThanOrEqualTo: Optional[float] = None
+    mustBeLessThan: Optional[float] = None
+    mustBeLessThanOrEqualTo: Optional[float] = None
+    mustBeBetween: Optional[list[float]] = None
+    mustNotBeBetween: Optional[list[float]] = None
+
+    @staticmethod
+    def from_dict(d: dict) -> "Quality":
+        return Quality(**{k: d.get(k) for k in Quality.__dataclass_fields__ if k in d})
+
+
+@dataclass
+class Field:
+    """Reference data_contract_specification.py:145-187."""
+
+    type: Optional[str] = None
+    title: Optional[str] = None
+    description: Optional[str] = None
+    required: Optional[bool] = None
+    unique: Optional[bool] = None
+    references: Optional[str] = None  # "model.field"
+    format: Optional[str] = None  # uuid | email | uri
+    pattern: Optional[str] = None
+    minLength: Optional[int] = None
+    maxLength: Optional[int] = None
+    minimum: Optional[float] = None
+    maximum: Optional[float] = None
+    exclusiveMinimum: Optional[float] = None
+    exclusiveMaximum: Optional[float] = None
+    enum: Optional[list] = None
+    precision: Optional[int] = None
+    scale: Optional[int] = None
+    primaryKey: Optional[bool] = None
+    fields: dict[str, "Field"] = dc_field(default_factory=dict)  # struct children
+    items: Optional["Field"] = None  # array element
+    keys: Optional["Field"] = None  # map key
+    values: Optional["Field"] = None  # map value
+    quality: list[Quality] = dc_field(default_factory=list)
+    config: dict[str, Any] = dc_field(default_factory=dict)
+
+    @staticmethod
+    def from_dict(d: dict) -> "Field":
+        f = Field()
+        for k, v in d.items():
+            if k == "fields" and isinstance(v, dict):
+                f.fields = {n: Field.from_dict(fd or {}) for n, fd in v.items()}
+            elif k == "items" and isinstance(v, dict):
+                f.items = Field.from_dict(v)
+            elif k == "keys" and isinstance(v, dict):
+                f.keys = Field.from_dict(v)
+            elif k == "values" and isinstance(v, dict):
+                f.values = Field.from_dict(v)
+            elif k == "quality" and isinstance(v, list):
+                f.quality = [Quality.from_dict(q) for q in v]
+            elif k in Field.__dataclass_fields__:
+                setattr(f, k, v)
+            # unknown keys ignored (forward compat, like pydantic's default)
+        return f
+
+
+@dataclass
+class Model:
+    """Reference data_contract_specification.py:190-204."""
+
+    type: Optional[str] = "table"
+    title: Optional[str] = None
+    description: Optional[str] = None
+    fields: dict[str, Field] = dc_field(default_factory=dict)
+    primaryKey: list[str] = dc_field(default_factory=list)
+    quality: list[Quality] = dc_field(default_factory=list)
+    config: dict[str, Any] = dc_field(default_factory=dict)
+
+    @staticmethod
+    def from_dict(d: dict) -> "Model":
+        m = Model()
+        for k, v in d.items():
+            if k == "fields" and isinstance(v, dict):
+                m.fields = {n: Field.from_dict(fd or {}) for n, fd in v.items()}
+            elif k == "quality" and isinstance(v, list):
+                m.quality = [Quality.from_dict(q) for q in v]
+            elif k in Model.__dataclass_fields__:
+                setattr(m, k, v)
+        return m
+
+
+@dataclass
+class Server:
+    """Reference data_contract_specification.py:52-80."""
+
+    type: Optional[str] = None  # local | s3 | ... | dataframe
+    format: Optional[str] = None  # parquet | json | csv | delta | lance
+    path: Optional[str] = None
+    location: Optional[str] = None
+    delimiter: Optional[str] = None  # for json: new_line | array
+    dataProductId: Optional[str] = None
+    config: dict[str, Any] = dc_field(default_factory=dict)
+
+    @staticmethod
+    def from_dict(d: dict) -> "Server":
+        s = Server()
+        for k, v in d.items():
+            if k in Server.__dataclass_fields__:
+                setattr(s, k, v)
+            else:
+                s.config[k] = v
+        return s
+
+
+@dataclass
+class Freshness:
+    """Reference data_contract_specification.py:252-255."""
+
+    threshold: Optional[str] = None  # e.g. "24h", "PT24H"
+    timestampField: Optional[str] = None
+
+
+@dataclass
+class Retention:
+    """Reference data_contract_specification.py:238-242."""
+
+    period: Optional[str] = None  # e.g. "P1Y", "30d"
+    timestampField: Optional[str] = None
+    unlimited: Optional[bool] = None
+
+
+@dataclass
+class ServiceLevel:
+    """Reference data_contract_specification.py:279-287 (checked subset)."""
+
+    freshness: Optional[Freshness] = None
+    retention: Optional[Retention] = None
+
+    @staticmethod
+    def from_dict(d: dict) -> "ServiceLevel":
+        sl = ServiceLevel()
+        if isinstance(d.get("freshness"), dict):
+            fd = d["freshness"]
+            sl.freshness = Freshness(fd.get("threshold"), fd.get("timestampField"))
+        if isinstance(d.get("retention"), dict):
+            rd = d["retention"]
+            sl.retention = Retention(rd.get("period"), rd.get("timestampField"), rd.get("unlimited"))
+        return sl
+
+
+@dataclass
+class Info:
+    title: Optional[str] = None
+    version: Optional[str] = None
+    description: Optional[str] = None
+
+
+@dataclass
+class DataContractSpecification:
+    """Reference data_contract_specification.py:289-307."""
+
+    dataContractSpecification: Optional[str] = None
+    id: Optional[str] = None
+    info: Info = dc_field(default_factory=Info)
+    servers: dict[str, Server] = dc_field(default_factory=dict)
+    models: dict[str, Model] = dc_field(default_factory=dict)
+    definitions: dict[str, Field] = dc_field(default_factory=dict)
+    servicelevels: Optional[ServiceLevel] = None
+    quality: Optional[dict] = None  # deprecated root quality (SodaCL passthrough subset)
+
+    @staticmethod
+    def from_dict(d: dict) -> "DataContractSpecification":
+        d = _inline_refs(d)
+        spec = DataContractSpecification()
+        spec.dataContractSpecification = d.get("dataContractSpecification")
+        spec.id = d.get("id")
+        info = d.get("info") or {}
+        spec.info = Info(info.get("title"), info.get("version"), info.get("description"))
+        spec.servers = {n: Server.from_dict(s or {}) for n, s in (d.get("servers") or {}).items()}
+        spec.models = {n: Model.from_dict(m or {}) for n, m in (d.get("models") or {}).items()}
+        spec.definitions = {n: Field.from_dict(f or {}) for n, f in (d.get("definitions") or {}).items()}
+        if isinstance(d.get("servicelevels"), dict):
+            spec.servicelevels = ServiceLevel.from_dict(d["servicelevels"])
+        q = d.get("quality")
+        if isinstance(q, dict):
+            spec.quality = q.get("specification") if "specification" in q else q
+        return spec
+
+    @staticmethod
+    def from_string(text: str) -> "DataContractSpecification":
+        return DataContractSpecification.from_dict(yaml.safe_load(text))
+
+    @staticmethod
+    def from_file(path: str) -> "DataContractSpecification":
+        with open(path) as fh:
+            return DataContractSpecification.from_string(fh.read())
+
+
+def _inline_refs(d: dict) -> dict:
+    """Inline local ``$ref: '#/definitions/...'`` (reference resolve.py:75-191,
+    restricted to local refs — file/http refs are out of scope offline)."""
+    defs = d.get("definitions") or {}
+
+    def resolve(node, depth=0):
+        if depth > 32:
+            raise ValueError("$ref nesting too deep (cycle?)")
+        if isinstance(node, dict):
+            if "$ref" in node:
+                ref = node["$ref"]
+                if not ref.startswith("#/definitions/"):
+                    raise ValueError(f"unsupported $ref (only local #/definitions): {ref}")
+                target = defs
+                for part in ref[len("#/definitions/"):].split("/"):
+                    if part not in target:
+                        raise ValueError(f"unresolved $ref: {ref}")
+                    target = target[part]
+                merged = dict(resolve(target, depth + 1))
+                merged.update({k: v for k, v in node.items() if k != "$ref"})
+                return merged
+            return {k: resolve(v, depth + 1) for k, v in node.items()}
+        if isinstance(node, list):
+            return [resolve(v, depth + 1) for v in node]
+        return node
+
+    return resolve(d)
+
+
+class DataContract:
+    """Facade ≅ reference ``datacontract/data_contract.py`` (test/lint entry).
+
+    ``test()`` lives in :mod:`raycontract.engine`; this class carries the
+    resolved spec + server selection.
+    """
+
+    def __init__(
+        self,
+        data_contract_file: Optional[str] = None,
+        data_contract_str: Optional[str] = None,
+        data_contract: Optional[DataContractSpecification] = None,
+        server: Optional[str] = None,
+    ):
+        if data_contract is not None:
+            self.spec = data_contract
+        elif data_contract_str is not None:
+            self.spec = DataContractSpecification.from_string(data_contract_str)
+        elif data_contract_file is not None:
+            self.spec = DataContractSpecification.from_file(data_contract_file)
+        else:
+            raise ValueError("one of data_contract_file/str/spec required")
+        self.server_name = server
+
+    def get_server(self) -> Optional[Server]:
+        """First server or the named one (ref engines/data_contract_test.py:35-47)."""
+        if not self.spec.servers:
+            return None
+        if self.server_name:
+            if self.server_name not in self.spec.servers:
+                raise ValueError(f"server {self.server_name!r} not in contract")
+            return self.spec.servers[self.server_name]
+        return next(iter(self.spec.servers.values()))
+
+    def test(self, **kwargs):
+        from raycontract.engine import validate
+
+        return validate(self, **kwargs)
+
+    def lint(self):
+        from raycontract.lint import lint_spec
+
+        return lint_spec(self.spec)

