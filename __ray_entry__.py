@@ -1,44 +1,97 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(nor in the raycontract library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data-pipeline extensions); ``oracle_sql()``
+pairs every SQL-expressible one with an equivalent DuckDB query over the same
+parquet tables. Column names/types match exactly (counts → BIGINT/int64,
+money → integer cents) so the driver's order-insensitive value-hash agrees.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from raycontract import entry_queries as q  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full contract validation
+    (single-pass stats + uniqueness shuffle + referential anti-join) over the
+    TPC-H-ish star schema; returns the per-check verdict table."""
+    return q.flagship_contract_orders("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # contract validation (SURVEY §2a)
+        "flagship_contract_orders": q.flagship_contract_orders,
+        "contract_images_validation": q.contract_images_validation,
+        # counter / stats checks
+        "null_counts_lineitem": q.null_counts_lineitem,
+        "range_violations_lineitem": q.range_violations_lineitem,
+        "regex_violations_customer": q.regex_violations_customer,
+        "status_distribution_orders": q.status_distribution_orders,
+        "freshness_retention_events": q.freshness_retention_events,
+        "row_counts": q.row_counts,
+        # uniqueness / distinct (shuffle + sketch paths)
+        "distinct_counts": q.distinct_counts,
+        "duplicate_user_events": q.duplicate_user_events_q,
+        "approx_distinct_hll": q.approx_distinct_hll,
+        "quantiles_totalprice": q.quantiles_totalprice,
+        # relational (pre-aggregated groupbys, broadcast join, top-k, windows)
+        "pricing_summary": q.pricing_summary_q,
+        "top_customers_by_revenue": q.top_customers_q,
+        "events_hourly": q.events_hourly_q,
+        # dedup family
+        "dedup_exact_documents": q.dedup_exact_documents,
+        "dedup_prefix_documents": q.dedup_prefix_documents,
+        "neardup_cosine_embeddings": q.neardup_cosine_embeddings,
+        "minhash_pairs_documents": q.minhash_pairs_documents,
+        "simhash_pairs_documents": q.simhash_pairs_documents,
+        "ngram_jaccard_documents": q.ngram_jaccard_documents,
+        # similarity search
+        "knn_cosine_embeddings": q.knn_cosine_embeddings,
+        "lsh_knn_embeddings": q.lsh_knn_embeddings,
+        # text analysis
+        "text_stats_documents": q.text_stats_documents,
+        "langid_documents": q.langid_documents,
+        "quality_scores_documents": q.quality_scores_documents,
+        "fingerprints_documents": q.fingerprints_documents,
+        # drift + multimodal
+        "drift_documents": q.drift_documents,
+        "image_features_sample": q.image_features_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_contract_orders": q.flagship_oracle_sql(),
+        "null_counts_lineitem": q.null_counts_lineitem_sql(),
+        "range_violations_lineitem": q.range_violations_lineitem_sql(),
+        "regex_violations_customer": q.regex_violations_customer_sql(),
+        "status_distribution_orders": q.status_distribution_orders_sql(),
+        "freshness_retention_events": q.freshness_retention_events_sql(),
+        "row_counts": q.row_counts_sql(),
+        "distinct_counts": q.distinct_counts_sql(),
+        "duplicate_user_events": q.duplicate_user_events_sql(),
+        "pricing_summary": q.pricing_summary_sql(),
+        "top_customers_by_revenue": q.top_customers_sql(),
+        "events_hourly": q.events_hourly_sql(),
+        "dedup_exact_documents": q.dedup_exact_documents_sql(),
+        "dedup_prefix_documents": q.dedup_prefix_documents_sql(),
+        "neardup_cosine_embeddings": q.neardup_cosine_embeddings_sql(),
+        "knn_cosine_embeddings": q.knn_cosine_embeddings_sql(),
+        "text_stats_documents": q.text_stats_documents_sql(),
+        # no oracle (non-SQL-expressible / approximate / self-synthesized input):
+        # contract_images_validation, approx_distinct_hll, quantiles_totalprice,
+        # minhash/simhash/ngram pairs, lsh_knn, langid, quality_scores,
+        # fingerprints, drift_documents, image_features_sample
+    }

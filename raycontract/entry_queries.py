@@ -1,0 +1,584 @@
+"""Driver-harness query surface: one callable per operator/pipeline from
+SURVEY.md §2, each paired (where SQL-expressible) with a DuckDB oracle in
+``__ray_entry__.oracle_sql``.
+
+Column names and integer/float conventions here are deliberately identical to
+the oracle SQL (counts as int64, money as integer cents) so the driver's
+order-insensitive value-hash comparison is exact — see SURVEY.md §5.
+
+None of these callables initialises Ray (driver owns the session).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+          "events", "documents", "embeddings"]
+
+CUSTOMER_NAME_RE = "^Customer#[0-9]{9}$"
+
+FLAGSHIP_CONTRACT = """
+dataContractSpecification: 1.1.0
+id: tpch-flagship
+info: {title: TPC-H-ish star schema, version: 1.0.0}
+servers:
+  local: {type: local, format: parquet, path: "__SF_DIR__/{model}.parquet"}
+models:
+  orders:
+    primaryKey: [o_orderkey]
+    fields:
+      o_orderkey: {type: long, required: true, unique: true}
+      o_custkey: {type: long, required: true, references: customer.c_custkey}
+      o_orderstatus: {type: string, enum: [O, F, P]}
+      o_totalprice: {type: double, minimum: 0}
+      o_orderdate: {type: timestamp_ntz, required: true}
+  lineitem:
+    fields:
+      l_orderkey: {type: long, required: true, references: orders.o_orderkey}
+      l_discount: {type: double, minimum: 0, maximum: 0.1}
+      l_quantity: {type: double, minimum: 1, maximum: 50}
+  customer:
+    primaryKey: [c_custkey]
+    fields:
+      c_custkey: {type: long, required: true, unique: true}
+      c_name: {type: string, pattern: "^Customer#[0-9]{9}$"}
+      c_acctbal: {type: double, minimum: -1000}
+"""
+
+_DATA_CHECK_TYPES = {"field_required", "field_unique", "field_references", "field_enum",
+                     "field_minimum", "field_maximum", "field_regex"}
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# --------------------------------------------------------------- flagship
+
+
+def flagship_contract_orders(sf_dir: str) -> pa.Table:
+    """Full contract validation; returns the data-dependent check verdicts
+    (schema checks are metadata-only and excluded so the oracle is honest)."""
+    from raycontract import DataContract
+
+    contract = FLAGSHIP_CONTRACT.replace("__SF_DIR__", sf_dir)
+    run = DataContract(data_contract_str=contract).test()
+    keys, results, invalids = [], [], []
+    for c in sorted(run.checks, key=lambda c: c.key):
+        if c.type not in _DATA_CHECK_TYPES:
+            continue
+        d = c.diagnostics or {}
+        if c.type == "field_unique":
+            inv = d.get("duplicate_values", 0)
+        elif c.type == "field_required":
+            inv = d.get("missing_count", 0)
+        else:
+            inv = d.get("invalid_count", 0)
+        keys.append(c.key)
+        results.append(c.result.value)
+        invalids.append(int(inv or 0))
+    return pa.table({"check_key": pa.array(keys), "result": pa.array(results),
+                     "invalid_count": pa.array(invalids, type=pa.int64())})
+
+
+def flagship_oracle_sql() -> str:
+    def count_check(key, cnt_sql):
+        return (f"SELECT '{key}' AS check_key, "
+                f"CASE WHEN ({cnt_sql}) = 0 THEN 'passed' ELSE 'failed' END AS result, "
+                f"CAST(({cnt_sql}) AS BIGINT) AS invalid_count")
+
+    checks = [
+        ("customer__c_acctbal__field_minimum",
+         "SELECT count(*) FROM customer WHERE c_acctbal < -1000"),
+        ("customer__c_custkey__field_required",
+         "SELECT count(*) FROM customer WHERE c_custkey IS NULL"),
+        ("customer__c_custkey__field_unique",
+         "SELECT count(*) FROM (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL "
+         "GROUP BY c_custkey HAVING count(*) > 1)"),
+        ("customer__c_name__field_regex",
+         f"SELECT count(*) FROM customer WHERE c_name IS NOT NULL AND "
+         f"NOT regexp_matches(c_name, '{CUSTOMER_NAME_RE}')"),
+        ("lineitem__l_discount__field_maximum",
+         "SELECT count(*) FROM lineitem WHERE l_discount > 0.1"),
+        ("lineitem__l_discount__field_minimum",
+         "SELECT count(*) FROM lineitem WHERE l_discount < 0"),
+        ("lineitem__l_orderkey__field_references",
+         "SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND "
+         "l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)"),
+        ("lineitem__l_orderkey__field_required",
+         "SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL"),
+        ("lineitem__l_quantity__field_maximum",
+         "SELECT count(*) FROM lineitem WHERE l_quantity > 50"),
+        ("lineitem__l_quantity__field_minimum",
+         "SELECT count(*) FROM lineitem WHERE l_quantity < 1"),
+        ("orders__o_custkey__field_references",
+         "SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL AND "
+         "o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)"),
+        ("orders__o_custkey__field_required",
+         "SELECT count(*) FROM orders WHERE o_custkey IS NULL"),
+        ("orders__o_orderdate__field_required",
+         "SELECT count(*) FROM orders WHERE o_orderdate IS NULL"),
+        ("orders__o_orderkey__field_required",
+         "SELECT count(*) FROM orders WHERE o_orderkey IS NULL"),
+        ("orders__o_orderkey__field_unique",
+         "SELECT count(*) FROM (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL "
+         "GROUP BY o_orderkey HAVING count(*) > 1)"),
+        ("orders__o_orderstatus__field_enum",
+         "SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL AND "
+         "o_orderstatus NOT IN ('O','F','P')"),
+        ("orders__o_totalprice__field_minimum",
+         "SELECT count(*) FROM orders WHERE o_totalprice < 0"),
+    ]
+    return " UNION ALL ".join(count_check(k, s) for k, s in checks)
+
+
+# ------------------------------------------------------------ stats queries
+
+
+def null_counts_lineitem(sf_dir: str):
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+            "l_shipdate"]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "column_name": pa.array(cols),
+            "null_count": pa.array([batch[c].null_count for c in cols], type=pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("column_name").aggregate(
+        Sum("null_count", alias_name="null_count"))
+
+
+def null_counts_lineitem_sql() -> str:
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+            "l_shipdate"]
+    parts = [f"SELECT '{c}' AS column_name, CAST(count(*) FILTER (WHERE {c} IS NULL) AS BIGINT) "
+             f"AS null_count FROM lineitem" for c in cols]
+    return " UNION ALL ".join(parts)
+
+
+def distinct_counts(sf_dir: str) -> pa.Table:
+    from raycontract.stages.uniqueness import exact_distinct_count
+
+    targets = [("orders", "o_custkey"), ("events", "user_id"),
+               ("lineitem", "l_partkey"), ("documents", "lang")]
+    names, counts = [], []
+    for table, col in targets:
+        names.append(f"{table}.{col}")
+        counts.append(exact_distinct_count(_read(sf_dir, table, [col]), col))
+    return pa.table({"column_name": pa.array(names),
+                     "distinct_n": pa.array(counts, type=pa.int64())})
+
+
+def distinct_counts_sql() -> str:
+    targets = [("orders", "o_custkey"), ("events", "user_id"),
+               ("lineitem", "l_partkey"), ("documents", "lang")]
+    return " UNION ALL ".join(
+        f"SELECT '{t}.{c}' AS column_name, CAST(count(DISTINCT {c}) AS BIGINT) AS distinct_n "
+        f"FROM {t}" for t, c in targets)
+
+
+def row_counts(sf_dir: str) -> pa.Table:
+    return pa.table({
+        "table_name": pa.array(TABLES),
+        "n": pa.array([_read(sf_dir, t).count() for t in TABLES], type=pa.int64()),
+    })
+
+
+def row_counts_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n FROM {t}" for t in TABLES)
+
+
+def status_distribution_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["o_orderstatus"].drop_null())
+        return pa.table({"o_orderstatus": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("o_orderstatus").aggregate(
+        Sum("n", alias_name="n"))
+
+
+def status_distribution_orders_sql() -> str:
+    return ("SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n FROM orders "
+            "GROUP BY o_orderstatus")
+
+
+def range_violations_lineitem(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "lineitem", ["l_discount", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        def cnt(mask):
+            s = pc.sum(mask)
+            return int(s.as_py() or 0)
+        return pa.table({
+            "disc_below": pa.array([cnt(pc.less(batch["l_discount"], 0.0))], type=pa.int64()),
+            "disc_above": pa.array([cnt(pc.greater(batch["l_discount"], 0.1))], type=pa.int64()),
+            "qty_below": pa.array([cnt(pc.less(batch["l_quantity"], 1.0))], type=pa.int64()),
+            "qty_above": pa.array([cnt(pc.greater(batch["l_quantity"], 50.0))], type=pa.int64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg = {k: sum(r[k] for r in rows) for k in ("disc_below", "disc_above", "qty_below", "qty_above")}
+    return pa.table({k: pa.array([v], type=pa.int64()) for k, v in agg.items()})
+
+
+def range_violations_lineitem_sql() -> str:
+    return ("SELECT CAST(count(*) FILTER (WHERE l_discount < 0) AS BIGINT) AS disc_below, "
+            "CAST(count(*) FILTER (WHERE l_discount > 0.1) AS BIGINT) AS disc_above, "
+            "CAST(count(*) FILTER (WHERE l_quantity < 1) AS BIGINT) AS qty_below, "
+            "CAST(count(*) FILTER (WHERE l_quantity > 50) AS BIGINT) AS qty_above "
+            "FROM lineitem")
+
+
+def regex_violations_customer(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "customer", ["c_name"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bad = pc.sum(pc.invert(pc.match_substring_regex(batch["c_name"], CUSTOMER_NAME_RE)))
+        return pa.table({"violations": pa.array([int(bad.as_py() or 0)], type=pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table({"violations": pa.array([sum(r["violations"] for r in rows)], type=pa.int64())})
+
+
+def regex_violations_customer_sql() -> str:
+    return (f"SELECT CAST(count(*) FILTER (WHERE c_name IS NOT NULL AND NOT "
+            f"regexp_matches(c_name, '{CUSTOMER_NAME_RE}')) AS BIGINT) AS violations FROM customer")
+
+
+def freshness_retention_events(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events", ["ts"])
+    res = ds.aggregate(Max("ts", alias_name="max_ts"), Min("ts", alias_name="min_ts"),
+                       Count(alias_name="n"))
+    return pa.table({
+        "max_ts": pa.array([res["max_ts"]], type=pa.timestamp("us")),
+        "min_ts": pa.array([res["min_ts"]], type=pa.timestamp("us")),
+        "n": pa.array([int(res["n"])], type=pa.int64()),
+    })
+
+
+def freshness_retention_events_sql() -> str:
+    return ("SELECT max(ts) AS max_ts, min(ts) AS min_ts, CAST(count(*) AS BIGINT) AS n "
+            "FROM events")
+
+
+# ------------------------------------------------------------- relational
+
+
+def pricing_summary_q(sf_dir: str):
+    from raycontract.pipelines.relational import pricing_summary
+
+    return pricing_summary(_read(sf_dir, "lineitem"))
+
+
+def pricing_summary_sql() -> str:
+    return ("SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents, "
+            "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
+            "CAST(sum(CAST(round(l_discount*10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp, "
+            "CAST(count(*) AS BIGINT) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus")
+
+
+def top_customers_q(sf_dir: str):
+    from raycontract.pipelines.relational import top_customers_by_revenue
+
+    return top_customers_by_revenue(_read(sf_dir, "orders"), _read(sf_dir, "customer"), k=10)
+
+
+def top_customers_sql() -> str:
+    return ("SELECT c.c_custkey, c.c_name, "
+            "CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_custkey, c.c_name "
+            "ORDER BY revenue_cents DESC, c.c_custkey LIMIT 10")
+
+
+def events_hourly_q(sf_dir: str):
+    from raycontract.pipelines.relational import events_hourly
+
+    return events_hourly(_read(sf_dir, "events"))
+
+
+def events_hourly_sql() -> str:
+    return ("SELECT event_type, date_trunc('hour', ts) AS hour, "
+            "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts)")
+
+
+def duplicate_user_events_q(sf_dir: str):
+    from raycontract.pipelines.relational import duplicate_user_events
+
+    return duplicate_user_events(_read(sf_dir, "events"))
+
+
+def duplicate_user_events_sql() -> str:
+    return ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events "
+            "GROUP BY user_id HAVING count(*) > 1")
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def dedup_exact_documents(sf_dir: str):
+    from raycontract.pipelines.dedup import exact_dedup_keep_first
+
+    return exact_dedup_keep_first(_read(sf_dir, "documents", ["doc_id", "text"]),
+                                  ["text"], "doc_id")
+
+
+def dedup_exact_documents_sql() -> str:
+    return "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text"
+
+
+def dedup_prefix_documents(sf_dir: str):
+    from raycontract.pipelines.dedup import duplicate_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_prefix(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "prefix": pc.utf8_slice_codeunits(batch["text"], 0, 40),
+        })
+
+    with_prefix = ds.map_batches(add_prefix, batch_format="pyarrow")
+    groups = duplicate_groups(with_prefix, ["prefix"], "doc_id")
+    return groups.select_columns(["first_id", "n_rows"])
+
+
+def dedup_prefix_documents_sql() -> str:
+    return ("SELECT CAST(min(doc_id) AS BIGINT) AS first_id, CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM documents GROUP BY substr(text, 1, 40) HAVING count(*) > 1")
+
+
+def neardup_cosine_embeddings(sf_dir: str):
+    from raycontract.pipelines.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                                   "embedding", "vec_id", threshold=0.4).select_columns(
+        ["id_a", "id_b"])
+
+
+def neardup_cosine_embeddings_sql() -> str:
+    return ("SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b "
+            "WHERE a.vec_id < b.vec_id AND "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4")
+
+
+# -------------------------------------------------------------- similarity
+
+
+def _query_matrix(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id").slice(0, n)
+    ids = t["vec_id"].to_pylist()
+    Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, Q
+
+
+def knn_cosine_embeddings(sf_dir: str):
+    from raycontract.pipelines.similarity import knn_brute_force
+
+    ids, Q = _query_matrix(sf_dir)
+    res = knn_brute_force(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                          ids, Q, k=10)
+    return res.select_columns(["query_id", "rank", "vec_id"])
+
+
+def knn_cosine_embeddings_sql() -> str:
+    return (
+        "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
+        "WHERE vec_id < 5), "
+        "s AS (SELECT q.qid, e.vec_id, "
+        "list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim "
+        "FROM q CROSS JOIN embeddings e) "
+        "SELECT CAST(qid AS BIGINT) AS query_id, "
+        "CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, "
+        "vec_id FROM s QUALIFY rank <= 10"
+    )
+
+
+def lsh_knn_embeddings(sf_dir: str):
+    from raycontract.pipelines.similarity import lsh_knn
+
+    ids, Q = _query_matrix(sf_dir)
+    return lsh_knn(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), ids, Q, k=10)
+
+
+# ------------------------------------------------------------------- text
+
+
+def text_stats_documents(sf_dir: str):
+    from raycontract.pipelines.textpipe import text_stats
+
+    return text_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def text_stats_documents_sql() -> str:
+    return ("SELECT doc_id, CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) "
+            "AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents")
+
+
+def langid_documents(sf_dir: str):
+    from raycontract.pipelines.textpipe import lang_id
+
+    return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def quality_scores_documents(sf_dir: str):
+    from raycontract.pipelines.textpipe import quality_scores
+
+    return quality_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def fingerprints_documents(sf_dir: str):
+    from raycontract.pipelines.textpipe import fingerprints
+
+    return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def minhash_pairs_documents(sf_dir: str):
+    from raycontract.pipelines.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             "text", "doc_id", threshold=0.5)
+
+
+def simhash_pairs_documents(sf_dir: str):
+    from raycontract.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+
+
+def ngram_jaccard_documents(sf_dir: str):
+    from raycontract.pipelines.dedup import ngram_jaccard_pairs_within_groups
+
+    return ngram_jaccard_pairs_within_groups(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        "text", "doc_id", "source", n=3, threshold=0.35)
+
+
+# ----------------------------------------------------------- sketch queries
+
+
+def approx_distinct_hll(sf_dir: str) -> pa.Table:
+    from raycontract.stages.uniqueness import approx_distinct_count
+
+    targets = [("orders", "o_custkey"), ("events", "user_id"), ("lineitem", "l_partkey")]
+    names, counts = [], []
+    for t, c in targets:
+        names.append(f"{t}.{c}")
+        counts.append(float(approx_distinct_count(_read(sf_dir, t, [c]), c)))
+    return pa.table({"column_name": pa.array(names),
+                     "approx_distinct": pa.array(counts, type=pa.float64())})
+
+
+def quantiles_totalprice(sf_dir: str) -> pa.Table:
+    from raycontract.engine import _tdigest_quantile
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    qs = [0.5, 0.95, 0.99]
+    vals = [_tdigest_quantile(ds, "o_totalprice", q) for q in qs]
+    return pa.table({"q": pa.array(qs, type=pa.float64()),
+                     "value": pa.array(vals, type=pa.float64())})
+
+
+def drift_documents(sf_dir: str) -> pa.Table:
+    """Drift demo: baseline = docs with doc_id < half, current = full table.
+    Same distribution → expected to pass; the shifted-negative case is
+    covered in tests."""
+    import tempfile
+
+    from raycontract.plans import DriftSpec
+    from raycontract.stages.drift import drift_stats, profile_dataset, save_profile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "lang"])
+    half = ds.filter(expr="doc_id < 250")
+    prof = profile_dataset(half, ["n_chars", "lang"])
+    path = os.path.join(tempfile.gettempdir(), "raycontract_drift_baseline.parquet")
+    save_profile(prof, path)
+    rows = {"column": [], "metric": [], "distance": [], "passed": []}
+    for col in ("n_chars", "lang"):
+        spec = DriftSpec(check_key=f"documents__{col}__drift", column=col, baseline_path=path)
+        st = drift_stats(_read(sf_dir, "documents", [col]), spec)
+        rows["column"].append(col)
+        rows["metric"].append(st["metric"])
+        rows["distance"].append(float(st["distance"]))
+        rows["passed"].append(bool(st["passed"]))
+    return pa.table({"column": pa.array(rows["column"]), "metric": pa.array(rows["metric"]),
+                     "distance": pa.array(rows["distance"], type=pa.float64()),
+                     "passed": pa.array(rows["passed"], type=pa.bool_())})
+
+
+# ------------------------------------------------------------------ images
+
+
+def _images_fixture_dir(n: int = 1500) -> str:
+    """Deterministic cached image table (clean rows + known violations)."""
+    import pyarrow.parquet as pq
+    import tempfile
+
+    from raycontract.fixtures import apply_violations, make_images_table
+
+    d = os.path.join(tempfile.gettempdir(), f"raycontract_images_{n}_v1")
+    path = os.path.join(d, "images.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        t = make_images_table(n)
+        bad, _ = apply_violations(t, dict(dup_id=3, null_id=4, bad_id_format=5,
+                                          null_caption=6, bad_caption=7, wrong_dims=8,
+                                          corrupt_bytes=9, bad_fmt=10, wrong_phash=11))
+        pq.write_table(bad, path)
+    return d
+
+
+def contract_images_validation(sf_dir: str) -> pa.Table:
+    """North-star image contract over the deterministic fixture (sf_dir sets
+    scale only; image fixture is self-synthesized — no external data)."""
+    from raycontract import DataContract
+    from raycontract.fixtures import IMAGES_CONTRACT_YAML
+
+    d = _images_fixture_dir()
+    contract = IMAGES_CONTRACT_YAML + f"""
+servers:
+  local: {{type: local, format: parquet, path: "{d}/{{model}}.parquet"}}
+"""
+    run = DataContract(data_contract_str=contract).test()
+    keys, results, invalids = [], [], []
+    for c in sorted(run.checks, key=lambda c: c.key):
+        d_ = c.diagnostics or {}
+        inv = d_.get("invalid_count", d_.get("missing_count", 0))
+        keys.append(c.key)
+        results.append(c.result.value if c.result else "unknown")
+        invalids.append(int(inv or 0))
+    return pa.table({"check_key": pa.array(keys), "result": pa.array(results),
+                     "invalid_count": pa.array(invalids, type=pa.int64())})
+
+
+def image_features_sample(sf_dir: str):
+    from raycontract.pipelines.multimodal import image_features
+
+    d = _images_fixture_dir()
+    ds = rd.read_parquet(os.path.join(d, "images.parquet"))
+    feats = image_features(ds)
+    return feats.select_columns(["image_id", "phash_calc", "decoded_ok"])

@@ -1,0 +1,137 @@
+"""Relational showcase pipelines (grouped aggregates, broadcast join, top-k,
+windowed/time-bucketed aggregates) — the generic data-processing surface,
+expressed with the scale patterns from SURVEY.md §4:
+
+- grouped aggregates PRE-AGGREGATE inside ``map_batches`` (pyarrow
+  ``Table.group_by`` per batch) before the global ``groupby`` — the shuffle
+  moves one row per (key, block), not per input row;
+- money/quantity sums use integer cents (`round(x*100) → int64`) so results
+  are exact and order-independent — bit-identical to the DuckDB oracle
+  regardless of summation order;
+- small dimension tables broadcast via ``ray.put`` (no shuffle join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _cents(col) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def pricing_summary(lineitem_ds):
+    """TPC-H Q1-shaped summary by (l_returnflag, l_linestatus): exact integer
+    sums (cents / basis points) + row counts."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_c": _cents(batch["l_quantity"]),
+            "price_c": _cents(batch["l_extendedprice"]),
+            "disc_bp": pc.cast(pc.round(pc.multiply(batch["l_discount"], 10000.0)), pa.int64()),
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("disc_bp", "sum"), ("n", "sum")]
+        ).rename_columns(["l_returnflag", "l_linestatus", "sum_qty_cents",
+                          "sum_price_cents", "sum_disc_bp", "count_order"])
+
+    partials = lineitem_ds.select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+        Sum("sum_disc_bp", alias_name="sum_disc_bp"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+def top_customers_by_revenue(orders_ds, customer_ds, k: int = 10):
+    """Broadcast join orders→customer + grouped sum + top-k.
+
+    customer is the small side: collected once, ``ray.put``, looked up per
+    batch in the aggregation stage. Output: (c_custkey, c_name,
+    revenue_cents) ordered by revenue desc, key asc (deterministic)."""
+    cust = customer_ds.select_columns(["c_custkey", "c_name"]).take_all()
+    name_of = {r["c_custkey"]: r["c_name"] for r in cust}
+    ref = ray.put(name_of)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": batch["o_custkey"],
+            "rev_c": _cents(batch["o_totalprice"]),
+        })
+        return t.group_by(["o_custkey"]).aggregate([("rev_c", "sum")]).rename_columns(
+            ["o_custkey", "revenue_cents"])
+
+    partials = orders_ds.select_columns(["o_custkey", "o_totalprice"]).map_batches(
+        partial, batch_format="pyarrow")
+    agg = partials.groupby("o_custkey").aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    top = agg.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(k)
+
+    class AttachName:
+        def __init__(self, ref):
+            self.name_of = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["o_custkey"].to_pylist()
+            return pa.table({
+                "c_custkey": batch["o_custkey"],
+                "c_name": pa.array([self.name_of.get(k_) for k_ in keys]),
+                "revenue_cents": batch["revenue_cents"],
+            })
+
+    return top.map_batches(AttachName, fn_constructor_args=(ref,), batch_format="pyarrow",
+                           concurrency=1)
+
+
+def events_hourly(events_ds):
+    """Time-bucketed aggregate: (event_type, hour, n_events, sum_value_cents).
+
+    The tumbling-window shape from SURVEY §2e 'streaming-shaped workloads':
+    event-time bucketing via vectorized floor_temporal, pre-aggregated per
+    batch, merged in one small groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "hour": hour,
+            "value_c": _cents(batch["value"]),
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [("value_c", "sum"), ("n", "sum")]
+        ).rename_columns(["event_type", "hour", "sum_value_cents", "n_events"])
+
+    partials = events_ds.select_columns(["event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow")
+    return partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("sum_value_cents", alias_name="sum_value_cents"),
+        Sum("n_events", alias_name="n_events"),
+    )
+
+
+def duplicate_user_events(events_ds):
+    """user_ids with more than one event + their counts (pre-aggregated)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["user_id"].drop_null())
+        return pa.table({"user_id": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = events_ds.select_columns(["user_id"]).map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("user_id").aggregate(Sum("n", alias_name="n_events"))
+
+    def keep_dups(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["n_events"], 1))
+
+    return agg.map_batches(keep_dups, batch_format="pyarrow")

@@ -1,0 +1,151 @@
+"""Text-analysis operators over a documents table (training-data pipeline
+extensions; SURVEY.md §2 add-ons).
+
+All stages are vectorized ``map_batches`` (Arrow / numpy / polars kernels) or
+actor pools with per-actor setup (stopword tables, compiled regexes) —
+never per-row Python in the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# tiny built-in stopword profiles for the n-gram/stopword language heuristic
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+    "fr": {"le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"},
+    "es": {"el", "la", "y", "de", "un", "una", "es", "que", "por", "con"},
+}
+
+
+def token_count_expr(batch: pa.Table, text_col: str) -> pa.Array:
+    """Whitespace token count = single-space count + 1 (deterministic, matches
+    the SQL ``length(t) - length(replace(t,' ','')) + 1`` oracle exactly)."""
+    t = batch[text_col]
+    return pc.add(pc.count_substring(t, " "), 1)
+
+
+def text_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_tokens, n_chars_calc) — vectorized Arrow kernels only."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pc.cast(token_count_expr(batch, text_col), pa.int64()),
+            "n_chars_calc": pc.cast(pc.utf8_length(batch[text_col]), pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(fn, batch_format="pyarrow")
+
+
+class LangId:
+    """Stopword-profile language ID (+ CJK codepoint check for zh).
+
+    Heuristic, not a model — per-actor state is the stopword tables; scoring
+    is a per-batch loop over token sets (cheap; tokens via one vectorized
+    lowercase+split)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self.profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(batch[self.text_col]).to_pylist()
+        preds = []
+        for t in texts:
+            if t is None:
+                preds.append(None)
+                continue
+            if any("一" <= ch <= "鿿" for ch in t[:200]):
+                preds.append("zh")
+                continue
+            toks = set(t.split())
+            scores = {lang: len(toks & sw) for lang, sw in self.profiles.items()}
+            best = max(scores, key=lambda k: (scores[k], k))
+            preds.append(best if scores[best] > 0 else "en")
+        return pa.table({self.id_col: batch[self.id_col], "pred_lang": pa.array(preds)})
+
+
+def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.select_columns([id_col, text_col]).map_batches(
+        LangId, fn_constructor_args=(text_col, id_col), batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+class QualityScorer:
+    """Document quality scoring: length / punctuation / stopword-ratio
+    heuristics (the standard web-corpus filters), vectorized where Arrow has
+    kernels."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self.stop = frozenset(w for sw in _STOPWORDS.values() for w in sw)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch[self.text_col]
+        n_chars = pc.utf8_length(t)
+        n_tokens = pc.add(pc.count_substring(t, " "), 1)
+        n_punct = pc.add(
+            pc.add(pc.count_substring(t, "."), pc.count_substring(t, ",")),
+            pc.add(pc.count_substring(t, "!"), pc.count_substring(t, "?")),
+        )
+        texts = pc.utf8_lower(t).to_pylist()
+        stop_ratio = []
+        for s in texts:
+            if not s:
+                stop_ratio.append(0.0)
+                continue
+            toks = s.split()
+            stop_ratio.append(sum(1 for w in toks if w in self.stop) / max(len(toks), 1))
+        nc = np.asarray(pc.cast(n_chars, pa.float64()))
+        length_score = np.clip(nc / 500.0, 0, 1)
+        punct_ratio = np.asarray(pc.cast(n_punct, pa.float64())) / np.maximum(nc, 1)
+        sr = np.array(stop_ratio)
+        quality = 0.5 * length_score + 0.3 * np.clip(sr * 4, 0, 1) + 0.2 * (1 - np.clip(punct_ratio * 10, 0, 1))
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_chars_calc": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "stop_ratio": pa.array(sr, type=pa.float64()),
+            "quality_score": pa.array(quality, type=pa.float64()),
+        })
+
+
+def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.select_columns([id_col, text_col]).map_batches(
+        QualityScorer, fn_constructor_args=(text_col, id_col), batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id", window: int = 16):
+    """Winnowing-style document fingerprint: min rolling-hash over each
+    window → 64-bit doc fingerprint = xor of window minima (rolling hash per
+    Rabin-Karp; Schleimer et al. winnowing)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from raycontract.pipelines.dedup import _shingle_hashes
+
+        outs = []
+        for t in batch[text_col].to_pylist():
+            sh = _shingle_hashes(t, 8)
+            if sh.size == 0:
+                outs.append(0)
+                continue
+            if sh.size <= window:
+                outs.append(int(sh.min().astype(np.int64)))
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(sh, window)
+            minima = win.min(axis=1)
+            fp = np.uint64(0)
+            for m in np.unique(minima):
+                fp ^= m
+            outs.append(int(fp.astype(np.int64)))
+        return pa.table({id_col: batch[id_col],
+                         "fingerprint": pa.array(outs, type=pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(fn, batch_format="pyarrow")

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -37,9 +38,10 @@ def _partial_counts_fn(column: str, by_content_hash: bool):
 
             col = batch[column].drop_null()
             if len(col) == 0:
-                return pa.table({"_k": pa.array([], type=pa.uint64()),
+                return pa.table({"_k": pa.array([], type=pa.int64()),
                                  "_cnt": pa.array([], type=pa.int64())})
-            keys = pa.array(hash64(col))
+            # int64 view — Ray groupby boundaries don't survive uint64 > 2^63
+            keys = pa.array(hash64(col).view(np.int64))
             vc = pc.value_counts(keys)
             return pa.table({"_k": vc.field("values"), "_cnt": vc.field("counts")})
         return partial
