@@ -59,12 +59,15 @@ def referential_stats(
     # cheap upper bound on distinct keys (no extra pass over raw parent rows)
     approx_parent = parent_keys_ds.count()
 
+    child_schema = child_ds.schema()
+    fk_type = dict(zip(child_schema.names, child_schema.types))[fk]
+
     if approx_parent <= broadcast_limit:
-        return _broadcast_anti(child_ds, fk, parent_keys_ds, pk, max_samples)
+        return _broadcast_anti(child_ds, fk, parent_keys_ds, pk, max_samples, fk_type)
     return _bucketed_anti(child_ds, fk, parent_keys_ds, pk, max_samples, num_buckets)
 
 
-def _broadcast_anti(child_ds, fk, parent_keys_ds, pk, max_samples) -> dict[str, Any]:
+def _broadcast_anti(child_ds, fk, parent_keys_ds, pk, max_samples, fk_type) -> dict[str, Any]:
     chunks = [
         batch[pk].combine_chunks()
         for batch in parent_keys_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
@@ -73,7 +76,9 @@ def _broadcast_anti(child_ds, fk, parent_keys_ds, pk, max_samples) -> dict[str, 
     if chunks:
         keys = pc.unique(pa.chunked_array(chunks))
     else:
-        keys = pa.array([], type=parent_keys_ds.schema().field(pk).type)
+        # empty parent: schema() of a fully-empty dataset can be None — use
+        # the child's FK type so is_in still works (everything dangles)
+        keys = pa.array([], type=fk_type)
     keys_ref = ray.put(keys)  # broadcast once; every task reads from plasma
 
     class AntiJoin:

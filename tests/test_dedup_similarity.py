@@ -1,0 +1,124 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raycontract.pipelines.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_dataset,
+    exact_dedup_keep_first,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs_within_groups,
+    simhash_pairs,
+)
+from raycontract.pipelines.similarity import knn_brute_force, lsh_knn
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away into the woods "
+        "while the hunter watches carefully from a distance waiting for the right moment")
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    texts, ids = [], []
+    for i in range(40):
+        ids.append(i)
+        if i < 3:  # exact duplicates of doc 0
+            texts.append(BASE)
+        elif i == 3:  # near-duplicate: one word changed
+            texts.append(BASE.replace("lazy", "sleepy"))
+        else:
+            rng = np.random.default_rng(i)
+            words = [f"tok{rng.integers(0, 5000)}" for _ in range(30)]
+            texts.append(" ".join(words))
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                                   "text": pa.array(texts),
+                                   "grp": pa.array(["g"] * 40)}))
+
+
+def test_exact_dedup_keep_first(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup_keep_first(docs, ["text"], "doc_id").take_all())
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert len(kept) == 38  # 40 - 2 exact dup copies
+
+
+def test_exact_dedup_dataset(docs):
+    dd = exact_dedup_dataset(docs, ["text"])
+    assert dd.count() == 38
+    assert set(dd.schema().names) == {"doc_id", "text", "grp"}
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).take_all()}
+    # exact dups pairwise + the near-dup against each copy
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert pairs[(0, 1)] == 1.0
+    assert any((a, b) in pairs for a, b in [(0, 3), (1, 3), (2, 3)])
+    # unrelated docs don't pair
+    assert all(a <= 3 and b <= 3 for a, b in pairs)
+
+
+def test_simhash_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_pairs(docs, "text", "doc_id", max_hamming=3).take_all()}
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0
+    assert (0, 3) in pairs  # one-word change → tiny hamming distance
+    assert all(a <= 3 and b <= 3 for a, b in pairs)
+
+
+def test_ngram_jaccard_within_groups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs_within_groups(docs, "text", "doc_id", "grp",
+                                               threshold=0.8).take_all()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and pairs[(0, 3)] > 0.8
+
+
+@pytest.fixture(scope="module")
+def vectors(ray_session):
+    rng = np.random.default_rng(3)
+    E = rng.standard_normal((200, 16))
+    E[5] = E[0] * 2.0       # same direction as 0 → cosine 1
+    E[6] = E[0] + 0.05 * rng.standard_normal(16)  # near
+    return E, rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(200), type=pa.int64()),
+        "embedding": pa.array([list(map(float, row)) for row in E],
+                              type=pa.list_(pa.float32())),
+    }))
+
+
+def test_knn_brute_force_matches_numpy(vectors):
+    E, ds = vectors
+    Ef = E.astype(np.float32).astype(np.float64)  # match list<float> storage
+    En = Ef / np.linalg.norm(Ef, axis=1, keepdims=True)
+    res = knn_brute_force(ds, [0], Ef[:1], k=5).take_all()
+    got = [r["vec_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    sims = En @ En[0]
+    expect = sorted(range(200), key=lambda i: (-sims[i], i))[:5]
+    assert got == expect
+    assert got[0] == 0 and set(got[:3]) >= {0, 5}
+
+
+def test_knn_ranks_are_dense(vectors):
+    _, ds = vectors
+    E, _ds = vectors
+    res = knn_brute_force(ds, [0, 1], E[:2], k=4).take_all()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert sorted(by_q[0]) == [1, 2, 3, 4] and sorted(by_q[1]) == [1, 2, 3, 4]
+
+
+def test_lsh_knn_finds_identical_vector(vectors):
+    E, ds = vectors
+    res = lsh_knn(ds, [0], E[:1], k=5, bits=6, num_tables=6).take_all()
+    got = [r["vec_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert got and got[0] in (0, 5)  # cosine-identical pair hashes together
+
+
+def test_embedding_neardup_pairs(vectors):
+    E, ds = vectors
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.95).take_all()}
+    assert (0, 5) in pairs

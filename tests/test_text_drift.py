@@ -1,0 +1,126 @@
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raycontract.pipelines.textpipe import fingerprints, lang_id, quality_scores, text_stats
+from raycontract.plans import DriftSpec
+from raycontract.stages.drift import drift_stats, load_profile, profile_dataset, save_profile
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["the cat and the dog", "le chat et le chien est dans la maison",
+                          "der hund und die katze ist hier", "one two three"]),
+    }))
+
+
+def test_text_stats(docs, duck):
+    rows = {r["doc_id"]: r for r in text_stats(docs).take_all()}
+    assert rows[0]["n_tokens"] == 5
+    assert rows[0]["n_chars_calc"] == len("the cat and the dog")
+    assert rows[3]["n_tokens"] == 3
+
+
+def test_lang_id(docs):
+    preds = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).take_all()}
+    assert preds[0] == "en" and preds[1] == "fr" and preds[2] == "de"
+
+
+def test_lang_id_zh(ray_session):
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                                 "text": pa.array(["这是一个测试文档"])}))
+    assert lang_id(ds).take_all()[0]["pred_lang"] == "zh"
+
+
+def test_quality_scores(docs):
+    rows = {r["doc_id"]: r for r in quality_scores(docs).take_all()}
+    assert 0 <= rows[0]["quality_score"] <= 1
+    assert rows[0]["stop_ratio"] == pytest.approx(3 / 5)  # the, and, the
+
+
+def test_fingerprints_deterministic(docs):
+    a = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).take_all()}
+    b = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs).take_all()}
+    assert a == b
+    assert len(set(a.values())) == 4  # distinct docs → distinct fingerprints
+
+
+# ------------------------------------------------------------------- drift
+
+
+def _num_ds(vals):
+    return rd.from_arrow(pa.table({"x": pa.array(vals, type=pa.float64())}))
+
+
+def test_profile_save_load_roundtrip(ray_session):
+    rng = np.random.default_rng(0)
+    ds = _num_ds(rng.normal(0, 1, 5000))
+    prof = profile_dataset(ds, ["x"])
+    assert prof["x"]["count"] == 5000
+    assert abs(prof["x"]["approx_distinct"] - 5000) / 5000 < 0.1
+    path = os.path.join(tempfile.mkdtemp(), "p.parquet")
+    save_profile(prof, path)
+    loaded = load_profile(path)
+    assert loaded["x"]["count"] == 5000
+    assert isinstance(loaded["x"]["tdigest"], bytes)
+
+
+def test_drift_numeric_pass_and_fail(ray_session):
+    rng = np.random.default_rng(1)
+    base = _num_ds(rng.normal(0, 1, 8000))
+    path = os.path.join(tempfile.mkdtemp(), "base.parquet")
+    save_profile(profile_dataset(base, ["x"]), path)
+    spec = DriftSpec("k", "x", path, max_ks=0.1)
+
+    same = _num_ds(rng.normal(0, 1, 8000))
+    st = drift_stats(same, spec)
+    assert st["metric"] == "ks" and st["passed"], st
+
+    shifted = _num_ds(rng.normal(1.5, 1, 8000))
+    st2 = drift_stats(shifted, spec)
+    assert not st2["passed"] and st2["distance"] > 0.3
+
+
+def test_drift_categorical(ray_session):
+    def cat_ds(weights):
+        rng = np.random.default_rng(2)
+        vals = rng.choice(["a", "b", "c"], p=weights, size=5000)
+        return rd.from_arrow(pa.table({"c": pa.array(vals)}))
+
+    path = os.path.join(tempfile.mkdtemp(), "base.parquet")
+    save_profile(profile_dataset(cat_ds([0.5, 0.3, 0.2]), ["c"]), path)
+    spec = DriftSpec("k", "c", path, max_l1=0.1)
+    assert drift_stats(cat_ds([0.5, 0.3, 0.2]), spec)["passed"]
+    st = drift_stats(cat_ds([0.1, 0.2, 0.7]), spec)
+    assert st["metric"] == "l1" and not st["passed"]
+
+
+def test_drift_via_contract(ray_session):
+    """distribution_drift as a first-class contract check (model.config.drift)."""
+    from raycontract import DataContract, ResultEnum
+
+    rng = np.random.default_rng(3)
+    base = rd.from_arrow(pa.table({"v": pa.array(rng.normal(0, 1, 4000))}))
+    path = os.path.join(tempfile.mkdtemp(), "baseline.parquet")
+    save_profile(profile_dataset(base, ["v"]), path)
+    contract = f"""
+id: driftc
+models:
+  m:
+    config:
+      drift: {{baseline: "{path}", columns: [v], maxKs: 0.1}}
+    fields:
+      v: {{type: double}}
+"""
+    cur = pa.table({"v": pa.array(rng.normal(2.0, 1, 4000))})
+    run = DataContract(data_contract_str=contract).test(datasets={"m": cur})
+    c = [c for c in run.checks if c.type == "distribution_drift"][0]
+    assert c.result == ResultEnum.failed
+    assert c.diagnostics["distance"] > 0.3
