@@ -69,32 +69,59 @@ def validate(
         by_key.setdefault(c.key, []).append(c)
     run.checks = plan.checks
 
+    import threading
+
     model_datasets: dict[str, Any] = {}
+    ds_lock = threading.Lock()
 
     def get_ds(model_name: str, columns: Optional[list[str]] = None):
-        if model_name in model_datasets:
+        with ds_lock:  # thunks run concurrently; build each base Dataset once
+            if model_name not in model_datasets:
+                if datasets and model_name in datasets:
+                    model_datasets[model_name] = _to_dataset(datasets[model_name])
+                else:
+                    srv = dc.get_server()
+                    if srv is None:
+                        raise ValueError(f"no server and no dataset for model {model_name}")
+                    model_datasets[model_name] = read_model(
+                        srv, model_name, dc.spec.models.get(model_name),
+                        override_num_blocks=override_num_blocks)
             ds = model_datasets[model_name]
-            return ds.select_columns(columns) if columns else ds
-        if datasets and model_name in datasets:
-            ds = _to_dataset(datasets[model_name])
-        else:
-            srv = dc.get_server()
-            if srv is None:
-                raise ValueError(f"no server and no dataset for model {model_name}")
-            ds = read_model(srv, model_name, dc.spec.models.get(model_name),
-                            override_num_blocks=override_num_blocks)
-        model_datasets[model_name] = ds
         return ds.select_columns(columns) if columns else ds
 
+    # Collect independent execution units across ALL models and run them
+    # concurrently: each unit is its own Ray Dataset execution, and the fixed
+    # per-execution overhead (task submit, shuffle setup) otherwise serializes
+    # — threads share the one Ray cluster, the streaming executors interleave.
+    thunks: list[tuple[str, list[Check], Any]] = []
     for model_name, mp in plan.models.items():
         try:
-            _validate_model(plan, mp, by_key, get_ds, now, max_samples, batch_size)
+            thunks.extend(_model_thunks(plan, mp, by_key, get_ds, now, max_samples, batch_size))
         except Exception as e:  # a broken model errors its checks, not the run
             for c in plan.checks:
                 if c.model == model_name and c.result is None:
                     c.result = ResultEnum.error
                     c.reason = f"execution error: {e}"
             run.log_error(f"model {model_name}: {e}")
+
+    if thunks:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def guarded(label, checks, fn):
+            try:
+                fn()
+            except Exception as e:
+                for c in checks:
+                    if c.result is None:
+                        c.result = ResultEnum.error
+                        c.reason = f"execution error: {e}"
+                run.log_error(f"{label}: {e}")
+
+        max_workers = min(len(thunks), int(kwargs_max_workers()))
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            futures = [pool.submit(guarded, label, checks, fn) for label, checks, fn in thunks]
+            for f in futures:
+                f.result()
 
     for c in run.checks:
         if c.result is None:
@@ -141,8 +168,17 @@ def _set_error(checks: list[Check], reason: str):
         c.reason = reason
 
 
-def _validate_model(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, max_samples,
-                    batch_size) -> None:
+def kwargs_max_workers() -> int:
+    import os
+
+    return int(os.environ.get("RAYCONTRACT_CHECK_PARALLELISM", "6"))
+
+
+def _model_thunks(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, max_samples,
+                  batch_size) -> list:
+    """Run schema checks (metadata-only) synchronously, prune to present
+    columns, and return one (label, checks, thunk) per independent Ray
+    execution so validate() can run them concurrently."""
     import pyarrow as pa
 
     ds_full = get_ds(mp.model_name)
@@ -188,12 +224,61 @@ def _validate_model(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, ma
         constraints=live_constraints, agg_thresholds=live_aggs,
     )
     scan_cols = pruned.scan_columns()
-    need_stats = bool(scan_cols) or mp.row_count_threshold is not None or mp.qualities
+    live_uniques = []
+    for u in mp.uniques:
+        if u.column in actual:
+            live_uniques.append(u)
+        else:
+            _set_error(by_key.get(u.check_key, []), f"column {u.column} not present")
 
-    stats = None
-    if need_stats:
+    image_spec = None
+    image_checks: list[Check] = []
+    if mp.image is not None:
+        image_checks = by_key.get(mp.image.check_key, [])
+        needed = [c for c in (mp.image.bytes_column, mp.image.width_column,
+                              mp.image.height_column, mp.image.fmt_column,
+                              mp.image.phash_column, mp.image.id_column) if c]
+        miss = [c for c in needed if c not in actual]
+        if miss:
+            _set_error(image_checks, f"image columns missing: {miss}")
+        else:
+            image_spec = mp.image
+            scan_cols = scan_cols + [c for c in needed if c not in scan_cols]
+    for u in live_uniques:
+        if u.column not in scan_cols:
+            scan_cols = scan_cols + [u.column]
+
+    need_stats = bool(pruned.scan_columns()) or mp.row_count_threshold is not None or mp.qualities
+    need_fused = need_stats or live_uniques or image_spec is not None
+
+    thunks: list = []
+
+    def fused_thunk():
+        from raycontract.stages.fused import run_fused_pass
+
         ds = get_ds(mp.model_name, scan_cols or None)
-        stats = run_stats_pass(ds, pruned, max_samples=max_samples, batch_size=batch_size)
+        stats, image_agg, dups = run_fused_pass(
+            ds, pruned, image_spec, live_uniques,
+            max_samples=max_samples, batch_size=batch_size)
+
+        # --- uniqueness verdicts (two-stage groupby over fused partials) ---
+        for u in live_uniques:
+            dstats = dups[u.column]
+            dup = dstats["duplicate_values"]
+            _set_result(by_key.get(u.check_key, []), dup == 0,
+                        f"duplicate_count is {dup}, expected 0",
+                        {"duplicate_values": dup, "duplicate_rows": dstats["duplicate_rows"],
+                         "distinct_count": dstats["distinct_count"],
+                         "invalid_count": dstats["duplicate_rows"],
+                         "samples": dstats["samples"],
+                         "by_content_hash": dstats["by_content_hash"]})
+
+        # --- image conformance verdict (north-star extension) ---
+        if image_spec is not None and image_agg is not None:
+            bad = image_agg["invalid_count"]
+            _set_result(image_checks, bad == 0,
+                        f"{bad} images fail decode/dimension/phash/psnr conformance",
+                        image_agg)
 
         # --- counter-check verdicts from the single pass ---
         for spec in live_constraints:
@@ -236,38 +321,27 @@ def _validate_model(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, ma
                     c.reason = None if ok else f"row_count is {n}, must be {op} {val}"
                     c.diagnostics = {"row_count": n}
 
-    # --- quality SQL checks (SURVEY §2a #12) ---
-    for q in mp.qualities:
-        checks = by_key.get(q.check_key, [])
-        try:
-            value = _eval_quality(q.query, mp.model_name, stats, get_ds)
-        except Exception as e:
-            _set_error(checks, f"quality query failed: {e}")
-            continue
-        if value is None:
-            _set_error(checks, "quality query returned no value")
-            continue
-        ok = evaluate_threshold(value, q.threshold)
-        op, ref = q.threshold
-        _set_result(checks, ok, f"value {value} violates threshold {op} {ref}",
-                    {"value": value, "threshold": f"{op} {ref}"})
+        # --- quality SQL checks (SURVEY §2a #12): the aggregate fast path
+        # reads the merged stats, so these run inside the stats thunk ---
+        for q in mp.qualities:
+            checks = by_key.get(q.check_key, [])
+            try:
+                value = _eval_quality(q.query, mp.model_name, stats, get_ds)
+            except Exception as e:
+                _set_error(checks, f"quality query failed: {e}")
+                continue
+            if value is None:
+                _set_error(checks, "quality query returned no value")
+                continue
+            ok = evaluate_threshold(value, q.threshold)
+            op, ref = q.threshold
+            _set_result(checks, ok, f"value {value} violates threshold {op} {ref}",
+                        {"value": value, "threshold": f"{op} {ref}"})
 
-    # --- uniqueness: two-stage groupby shuffle (SURVEY §2a #4) ---
-    from raycontract.stages.uniqueness import duplicate_stats
-
-    for u in mp.uniques:
-        checks = by_key.get(u.check_key, [])
-        if u.column not in actual:
-            _set_error(checks, f"column {u.column} not present")
-            continue
-        dstats = duplicate_stats(get_ds(mp.model_name, [u.column]), u.column,
-                                 by_content_hash=u.by_content_hash, max_samples=max_samples)
-        dup = dstats["duplicate_values"]
-        _set_result(checks, dup == 0, f"duplicate_count is {dup}, expected 0",
-                    {"duplicate_values": dup, "duplicate_rows": dstats["duplicate_rows"],
-                     "distinct_count": dstats["distinct_count"],
-                     "invalid_count": dstats["duplicate_rows"],
-                     "samples": dstats["samples"], "by_content_hash": u.by_content_hash})
+    if need_fused:
+        fused_checks = [c for spec in live_constraints + live_aggs + mp.qualities + live_uniques
+                        for c in by_key.get(spec.check_key, [])] + image_checks
+        thunks.append((f"{mp.model_name}:fused-scan", fused_checks, fused_thunk))
 
     # --- referential integrity (SURVEY §2a #16) ---
     from raycontract.stages.referential import referential_stats
@@ -277,37 +351,22 @@ def _validate_model(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, ma
         if r.column not in actual:
             _set_error(checks, f"column {r.column} not present")
             continue
-        try:
-            parent_ds = get_ds(r.parent_model, [r.parent_column])
-        except Exception as e:
-            _set_error(checks, f"cannot read parent model {r.parent_model}: {e}")
-            continue
-        rstats = referential_stats(get_ds(mp.model_name, [r.column]), r.column,
-                                   parent_ds, r.parent_column, max_samples=max_samples)
-        bad = rstats["violation_rows"]
-        _set_result(checks, bad == 0,
-                    f"{bad} rows reference missing {r.parent_model}.{r.parent_column}",
-                    {"invalid_count": bad, "violation_keys": rstats["violation_keys"],
-                     "samples": rstats["samples"], "strategy": rstats["strategy"]})
 
-    # --- image conformance: actor-pool decode (north-star extension) ---
-    if mp.image is not None:
-        from raycontract.stages.image import image_conformance_stats
-
-        checks = by_key.get(mp.image.check_key, [])
-        needed = [c for c in (mp.image.bytes_column, mp.image.width_column,
-                              mp.image.height_column, mp.image.fmt_column,
-                              mp.image.phash_column, mp.image.id_column) if c]
-        miss = [c for c in needed if c not in actual]
-        if miss:
-            _set_error(checks, f"image columns missing: {miss}")
-        else:
-            istats = image_conformance_stats(get_ds(mp.model_name, needed), mp.image,
-                                             max_samples=max_samples)
-            bad = istats["invalid_count"]
+        def ref_thunk(r=r, checks=checks):
+            try:
+                parent_ds = get_ds(r.parent_model, [r.parent_column])
+            except Exception as e:
+                _set_error(checks, f"cannot read parent model {r.parent_model}: {e}")
+                return
+            rstats = referential_stats(get_ds(mp.model_name, [r.column]), r.column,
+                                       parent_ds, r.parent_column, max_samples=max_samples)
+            bad = rstats["violation_rows"]
             _set_result(checks, bad == 0,
-                        f"{bad} images fail decode/dimension/phash/psnr conformance",
-                        istats)
+                        f"{bad} rows reference missing {r.parent_model}.{r.parent_column}",
+                        {"invalid_count": bad, "violation_keys": rstats["violation_keys"],
+                         "samples": rstats["samples"], "strategy": rstats["strategy"]})
+
+        thunks.append((f"{mp.model_name}:references:{r.column}", checks, ref_thunk))
 
     # --- distribution drift vs baseline profile (north-star extension) ---
     if mp.drifts:
@@ -318,15 +377,21 @@ def _validate_model(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, ma
             if d.column not in actual:
                 _set_error(checks, f"column {d.column} not present")
                 continue
-            try:
-                dstat = drift_stats(get_ds(mp.model_name, [d.column]), d)
-            except Exception as e:
-                _set_error(checks, f"drift check failed: {e}")
-                continue
-            _set_result(checks, dstat["passed"],
-                        f"{dstat['metric']} distance {dstat['distance']:.4f} exceeds "
-                        f"threshold {dstat['threshold']}",
-                        dstat)
+
+            def drift_thunk(d=d, checks=checks):
+                try:
+                    dstat = drift_stats(get_ds(mp.model_name, [d.column]), d)
+                except Exception as e:
+                    _set_error(checks, f"drift check failed: {e}")
+                    return
+                _set_result(checks, dstat["passed"],
+                            f"{dstat['metric']} distance {dstat['distance']:.4f} exceeds "
+                            f"threshold {dstat['threshold']}",
+                            dstat)
+
+            thunks.append((f"{mp.model_name}:drift:{d.column}", checks, drift_thunk))
+
+    return thunks
 
 
 def _age_seconds(now: datetime, bound) -> float:

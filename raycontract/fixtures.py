@@ -189,7 +189,7 @@ models:
       image: {bytes: bytes, width: w, height: h, fmt: fmt, phash: phash, id: image_id, minPsnr: 40}
     fields:
       image_id: {type: string, required: true, unique: true, pattern: "^img-[0-9]{12}$"}
-      bytes: {type: bytes, required: true}
+      bytes: {type: bytes, required: true, unique: true}
       w: {type: int, minimum: 1, maximum: 65536}
       h: {type: int, minimum: 1, maximum: 65536}
       fmt: {type: string, enum: [png, bmp, ppm]}

@@ -97,9 +97,16 @@ def image_conformance_stats(
     ds,
     spec: ImageSpec,
     max_samples: int = 20,
-    batch_size: int = 256,
-    concurrency=(1, 8),
+    batch_size: int = 512,
+    concurrency=None,
 ) -> dict[str, Any]:
+    if concurrency is None:
+        # decode is the CPU-heavy stage: size the pool to most of the cluster
+        # (fixed size — autoscaling from 1 ramps too slowly for a batch job)
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, cpus - 2)
     out_ds = ds.map_batches(
         ImageConformance,
         fn_constructor_args=(spec, max_samples),

@@ -56,8 +56,9 @@ def referential_stats(
     parent_keys_ds = parent_ds.select_columns([pk]).map_batches(
         _distinct_per_batch(pk), batch_format="pyarrow"
     )
-    # cheap upper bound on distinct keys (no extra pass over raw parent rows)
-    approx_parent = parent_keys_ds.count()
+    # upper bound on distinct keys = raw parent row count — for a plain
+    # parquet read this is metadata-only (no scan, no extra execution)
+    approx_parent = parent_ds.count()
 
     child_schema = child_ds.schema()
     fk_type = dict(zip(child_schema.names, child_schema.types))[fk]

@@ -58,7 +58,10 @@ def test_image_conformance_counts(run):
 def test_clean_table_all_passes(ray_session, images):
     run = DataContract(data_contract_str=IMAGES_CONTRACT_YAML).test(datasets={"images": images})
     assert run.result == ResultEnum.passed
-    assert len(run.checks) == 27  # full inventory for this contract
+    assert len(run.checks) == 28  # full inventory for this contract
+    # bytes uniqueness ran on the phash-bucketed content-hash path
+    u = [c for c in run.checks if c.key == "images__bytes__field_unique"][0]
+    assert u.diagnostics["by_content_hash"] is True
 
 
 def test_referential_image_refs(ray_session, images):
