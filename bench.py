@@ -28,7 +28,7 @@ import subprocess
 import sys
 import time
 
-N_IMAGES = int(os.environ.get("RAY_GRAFT_BENCH_N", "300000"))
+N_IMAGES = int(os.environ.get("RAY_GRAFT_BENCH_N", "1000000"))
 IMG_DIR = f"/tmp/raycontract_bench/images_{N_IMAGES}"
 
 

@@ -1,0 +1,119 @@
+"""CLI ≅ the reference's ``datacontract`` commands (``cli.py:85-233``):
+``test`` (here: validate), ``lint``, plus our ``profile`` and a resumable
+``validate-shards`` entry for ``ray job submit`` usage.
+
+Exit code 1 on failed/error runs (≅ test_results_writer.py:44-46).
+
+Usage:
+    python -m raycontract.cli validate contract.yaml [--server s] [--junit out.xml]
+        [--results results.parquet] [--num-cpus N]
+    python -m raycontract.cli lint contract.yaml
+    python -m raycontract.cli profile table.parquet --columns a b c --out profile.parquet
+    python -m raycontract.cli validate-shards contract.yaml --model m --table DIR
+        --results-dir RESULTS --run-id r1 [--num-shards 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _init_ray(num_cpus):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="raycontract")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pv = sub.add_parser("validate", help="run all contract checks against the data")
+    pv.add_argument("contract")
+    pv.add_argument("--server", default=None)
+    pv.add_argument("--junit", default=None)
+    pv.add_argument("--results", default=None, help="write verdicts parquet here")
+    pv.add_argument("--num-cpus", type=int, default=None)
+
+    pl = sub.add_parser("lint", help="static checks on the contract itself")
+    pl.add_argument("contract")
+
+    pp = sub.add_parser("profile", help="build a baseline profile (drift reference)")
+    pp.add_argument("table")
+    pp.add_argument("--columns", nargs="*", default=None)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--num-cpus", type=int, default=None)
+
+    ps = sub.add_parser("validate-shards", help="resumable shard-checkpointed validation")
+    ps.add_argument("contract")
+    ps.add_argument("--model", required=True)
+    ps.add_argument("--table", required=True)
+    ps.add_argument("--results-dir", required=True)
+    ps.add_argument("--run-id", required=True)
+    ps.add_argument("--num-shards", type=int, default=8)
+    ps.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    from raycontract.contract import DataContract
+    from raycontract.output import console_table, junit_xml, write_results_parquet
+
+    if args.cmd == "lint":
+        run = DataContract(data_contract_file=args.contract).lint()
+        print(console_table(run))
+        return 0 if run.result.value in ("passed", "warning") else 1
+
+    _init_ray(getattr(args, "num_cpus", None))
+    import ray
+
+    try:
+        if args.cmd == "validate":
+            run = DataContract(data_contract_file=args.contract, server=args.server).test()
+            print(console_table(run))
+            if args.junit:
+                with open(args.junit, "w") as fh:
+                    fh.write(junit_xml(run))
+            if args.results:
+                write_results_parquet(run, args.results)
+            return 0 if run.result.value == "passed" else 1
+
+        if args.cmd == "profile":
+            import ray.data as rd
+
+            from raycontract.stages.drift import profile_dataset, save_profile
+
+            ds = rd.read_parquet(args.table, columns=args.columns or None)
+            prof = profile_dataset(ds, args.columns)
+            save_profile(prof, args.out)
+            for col, e in prof.items():
+                print(f"{col}: n={e['count']} nulls={e['null_count']} "
+                      f"distinct≈{e.get('approx_distinct', float('nan')):.0f} "
+                      f"min={e['min']!r} max={e['max']!r}")
+            return 0
+
+        if args.cmd == "validate-shards":
+            from raycontract.state.lineage import validate_resumable
+
+            run, metrics = validate_resumable(
+                args.contract, args.table, args.model, args.results_dir,
+                args.run_id, num_shards=args.num_shards)
+            print(console_table(run))
+            print(f"shards: {metrics['shards']} computed: {metrics['computed']} "
+                  f"resumed: {metrics['resumed']}")
+            return 0 if run.result.value == "passed" else 1
+    finally:
+        ray.shutdown()
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

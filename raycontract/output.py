@@ -1,0 +1,86 @@
+"""Result sinks: console table, JUnit XML, Parquet.
+
+≅ the reference's output layer: rich-table console report + exit code
+(``output/test_results_writer.py:13-57``) and JUnit XML
+(``output/junit_test_results.py:10-84``), re-implemented plainly (no rich in
+this environment), plus a Parquet sink for verdicts so downstream pipelines
+can consume check results as data.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from datetime import timezone
+
+from raycontract.result import ResultEnum, Run
+
+
+def console_table(run: Run) -> str:
+    rows = run.to_table_rows()
+    cols = ["result", "key", "field", "violations", "reason"]
+    widths = {c: len(c) for c in cols}
+    printable = []
+    for r in rows:
+        line = {
+            "result": r["result"] or "unknown",
+            "key": r["key"] or "",
+            "field": r["field"] or "",
+            "violations": str(r["violations"]),
+            "reason": (r["reason"] or "")[:60],
+        }
+        printable.append(line)
+        for c in cols:
+            widths[c] = max(widths[c], len(line[c]))
+    sep = "  "
+    out = [sep.join(c.ljust(widths[c]) for c in cols),
+           sep.join("-" * widths[c] for c in cols)]
+    out.extend(sep.join(line[c].ljust(widths[c]) for c in cols) for line in printable)
+    dur = ""
+    if run.timestampStart and run.timestampEnd:
+        dur = f" in {(run.timestampEnd - run.timestampStart).total_seconds():.2f}s"
+    out.append(f"\nResult: {run.result.value}{dur} ({len(rows)} checks)")
+    return "\n".join(out)
+
+
+def junit_xml(run: Run) -> str:
+    """JUnit XML: one testcase per check (shape mirrors junit_test_results.py)."""
+    checks = run.checks
+    failures = sum(1 for c in checks if c.result == ResultEnum.failed)
+    errors = sum(1 for c in checks if c.result == ResultEnum.error)
+    suite = ET.Element("testsuite", {
+        "name": f"datacontract {run.dataContractId or ''}".strip(),
+        "tests": str(len(checks)),
+        "failures": str(failures),
+        "errors": str(errors),
+        "timestamp": (run.timestampStart.astimezone(timezone.utc).isoformat()
+                      if run.timestampStart else ""),
+    })
+    for c in checks:
+        tc = ET.SubElement(suite, "testcase", {
+            "name": c.key or c.type,
+            "classname": f"{c.model or ''}.{c.field or ''}".strip("."),
+        })
+        if c.result == ResultEnum.failed:
+            f = ET.SubElement(tc, "failure", {"message": c.reason or "failed"})
+            f.text = str(c.diagnostics or "")
+        elif c.result == ResultEnum.error:
+            e = ET.SubElement(tc, "error", {"message": c.reason or "error"})
+            e.text = str(c.diagnostics or "")
+        elif c.result not in (ResultEnum.passed, None):
+            ET.SubElement(tc, "skipped", {"message": c.result.value if c.result else "unknown"})
+    return ET.tostring(suite, encoding="unicode", xml_declaration=True)
+
+
+def write_results_parquet(run: Run, path: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = run.to_table_rows()
+    cols = {k: [r[k] for r in rows] for k in
+            ("key", "category", "type", "name", "model", "field", "result", "reason",
+             "violations")}
+    t = pa.table({
+        **{k: pa.array(v, type=pa.string()) for k, v in cols.items() if k != "violations"},
+        "violations": pa.array(cols["violations"], type=pa.int64()),
+    })
+    pq.write_table(t, path)

@@ -94,6 +94,86 @@ class FusedKernel:
         })
 
 
+def _polars_dup_fold(tables: list[pa.Table], max_samples: int) -> dict[str, dict[str, Any]]:
+    """Fold (kind,key,cnt) partial tables into per-column duplicate stats."""
+    import polars as pl
+
+    if not tables:
+        return {}
+    df = pl.from_arrow(pa.concat_tables([t.select(["kind", "key", "cnt"]) for t in tables]))
+    df = df.filter(pl.col("kind") != "p")
+    if df.height == 0:
+        return {}
+    agg = df.group_by(["kind", "key"]).agg(pl.col("cnt").sum().alias("n"))
+    out: dict[str, dict[str, Any]] = {}
+    for (kind,), sub in agg.group_by(["kind"]):
+        dups = sub.filter(pl.col("n") > 1)
+        col = str(kind)[2:]
+        out[col] = {
+            "distinct_count": sub.height,
+            "duplicate_values": dups.height,
+            "duplicate_rows": int(dups["n"].sum() or 0) - dups.height,
+            "samples": dups["key"].head(max_samples).to_list(),
+            "by_content_hash": True,
+        }
+    return out
+
+
+def _merge_dup_folds(parts: list[dict], max_samples: int) -> dict[str, dict[str, Any]]:
+    out: dict[str, dict[str, Any]] = {}
+    for p in parts:
+        for col, d in p.items():
+            m = out.setdefault(col, {"distinct_count": 0, "duplicate_values": 0,
+                                     "duplicate_rows": 0, "samples": [],
+                                     "by_content_hash": True})
+            m["distinct_count"] += d["distinct_count"]
+            m["duplicate_values"] += d["duplicate_values"]
+            m["duplicate_rows"] += d["duplicate_rows"]
+            if len(m["samples"]) < max_samples:
+                m["samples"].extend(d["samples"][: max_samples - len(m["samples"])])
+    return out
+
+
+def _distributed_dup_fold(fused, max_samples: int, num_buckets: int = 16) -> dict:
+    """Manual hash shuffle: one split task per materialized block → one
+    reduce task per key-hash bucket (polars groupby inside). Raw Ray tasks
+    are justified here: the reduce is all-to-all on tiny rows, where the
+    Dataset groupby's sort machinery costs 10-100× the data (measured in
+    BASELINE.md); keys are uniform 64-bit hashes so buckets are balanced."""
+    import ray as _ray
+
+    @_ray.remote(num_returns=num_buckets)
+    def split(tbl: pa.Table, B: int):
+        import numpy as np
+        import polars as pl
+
+        t = tbl.filter(pc.invert(pc.equal(tbl["kind"], "p"))).select(["kind", "key", "cnt"])
+        if t.num_rows == 0:
+            empty = t
+            return tuple(empty for _ in range(B)) if B > 1 else empty
+        pre = pl.from_arrow(t).group_by(["kind", "key"]).agg(pl.col("cnt").sum().alias("cnt"))
+        keys = pre["key"].to_numpy().view(np.uint64)
+        bucket = (keys & np.uint64(B - 1)).astype(np.int64)
+        pre = pre.with_columns(pl.Series("_b", bucket))
+        outs = tuple(pre.filter(pl.col("_b") == i).drop("_b").to_arrow() for i in range(B))
+        return outs if B > 1 else outs[0]
+
+    @_ray.remote
+    def reduce(max_samples: int, *tables):
+        return _polars_dup_fold([pa.table(t) for t in tables if t.num_rows], max_samples)
+
+    block_refs = fused.to_arrow_refs()
+    per_bucket: list[list] = [[] for _ in range(num_buckets)]
+    for r in block_refs:
+        outs = split.options(num_returns=num_buckets).remote(r, num_buckets)
+        if num_buckets == 1:
+            outs = [outs]
+        for b, o in enumerate(outs):
+            per_bucket[b].append(o)
+    results = _ray.get([reduce.remote(max_samples, *refs) for refs in per_bucket])
+    return _merge_dup_folds(results, max_samples)
+
+
 def run_fused_pass(
     ds,
     plan: ModelPlan,
@@ -102,6 +182,7 @@ def run_fused_pass(
     max_samples: int = 20,
     batch_size: Optional[int] = None,
     concurrency=None,
+    driver_fold_limit: int = 2_000_000,
 ) -> tuple[dict[str, Any], Optional[dict[str, Any]], dict[str, dict[str, Any]]]:
     """Returns (merged_stats, merged_image_or_None, {column: dup_stats}).
 
@@ -132,10 +213,28 @@ def run_fused_pass(
             batch_size=batch_size,
             concurrency=concurrency,
         )
+    import os
+    import time
+
+    timing = os.environ.get("RAYCONTRACT_TIMING")
+    t0 = time.time()
     if unique_specs:
-        # tiny vs the input; pin it so the payload fold and the groupby don't
-        # re-execute the scan
+        # The fused output is tiny relative to the input but inherits the
+        # input's block count — coalesce it so the downstream consumers
+        # (payload fold, duplicate groupby) run a handful of tasks instead of
+        # one per input block, then pin it so they don't re-execute the scan.
+        nparts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        # materialize FIRST (scan runs once at full parallelism), then
+        # coalesce the already-tiny result — repartition inside the scan
+        # pipeline would throttle the scan itself
         fused = fused.materialize()
+        if timing:
+            print(f"[fused] scan+materialize: {time.time()-t0:.1f}s", flush=True)
+            t0 = time.time()
+        fused = fused.repartition(nparts).materialize()
+        if timing:
+            print(f"[fused] coalesce({nparts}): {time.time()-t0:.1f}s", flush=True)
+            t0 = time.time()
 
     stats: dict[str, Any] = {}
     image_agg_box: list = [None]
@@ -167,44 +266,23 @@ def run_fused_pass(
     def fold_uniques():
         if not unique_specs:
             return
-        # ONE shuffle for all unique columns: group on (kind, key)
-        part = fused.filter(expr="kind != 'p'").select_columns(["kind", "key", "cnt"])
-        agg = part.groupby(["kind", "key"]).aggregate(Sum("cnt", alias_name="n"))
-
-        def summarize(b: pa.Table) -> pa.Table:
-            outs = []
-            for kind in pc.unique(b["kind"]).to_pylist():
-                sel = b.filter(pc.equal(b["kind"], kind))
-                n = sel["n"]
-                dup_mask = pc.greater(n, 1)
-                excess = pc.sum(pc.filter(n, dup_mask))
-                ndup = pc.sum(pc.cast(dup_mask, pa.int64()))
-                samp = sel["key"].filter(dup_mask)[:max_samples].to_pylist()
-                outs.append(pickle.dumps({
-                    "kind": kind,
-                    "distinct": sel.num_rows,
-                    "dup_values": int(ndup.as_py() or 0),
-                    "dup_rows": int(excess.as_py() or 0) - int(ndup.as_py() or 0),
-                    "samples": samp,
-                }))
-            return pa.table({"payload": pa.array(outs, type=pa.binary())})
-
-        rows = agg.map_batches(summarize, batch_format="pyarrow").take_all()
+        # Ray's sort-based groupby costs seconds of fixed overhead per million
+        # tiny rows — far more than the data itself. The duplicate reduce is a
+        # pure (kind,key)→sum(cnt) over pre-deduped-per-block partials, so:
+        #  - small partial sets fold on the driver with one polars groupby;
+        #  - beyond the cutover, a manual hash shuffle (one Ray split task per
+        #    block → B bucket-reduce tasks, polars inside) keeps it fully
+        #    distributed with exactly 2 task waves.
+        n_partials = fused.count() - 0  # materialized → O(1)
+        if n_partials <= driver_fold_limit:
+            tables = [t for t in ray.get(fused.to_arrow_refs()) if t.num_rows]
+            merged = _polars_dup_fold(tables, max_samples)
+        else:
+            merged = _distributed_dup_fold(fused, max_samples, num_buckets=nparts)
         for u in unique_specs:
-            dup_stats[u.column] = {"distinct_count": 0, "duplicate_values": 0,
-                                   "duplicate_rows": 0, "samples": [],
-                                   "by_content_hash": True}
-        for r in rows:
-            p = pickle.loads(r["payload"])
-            col = p["kind"][2:]  # strip "u:"
-            out = dup_stats.get(col)
-            if out is None:
-                continue
-            out["distinct_count"] += p["distinct"]
-            out["duplicate_values"] += p["dup_values"]
-            out["duplicate_rows"] += p["dup_rows"]
-            if len(out["samples"]) < max_samples:
-                out["samples"].extend(p["samples"][: max_samples - len(out["samples"])])
+            dup_stats[u.column] = merged.get(u.column, {
+                "distinct_count": 0, "duplicate_values": 0, "duplicate_rows": 0,
+                "samples": [], "by_content_hash": True})
 
     # the two consumers read the SAME materialized partials; overlap their
     # fixed execution overheads
@@ -215,5 +293,7 @@ def run_fused_pass(
         f2 = pool.submit(fold_uniques)
         f1.result()
         f2.result()
+    if timing:
+        print(f"[fused] consumers: {time.time()-t0:.1f}s", flush=True)
 
     return stats, image_agg_box[0], dup_stats
