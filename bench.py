@@ -32,7 +32,50 @@ N_IMAGES = int(os.environ.get("RAY_GRAFT_BENCH_N", "1000000"))
 IMG_DIR = f"/tmp/raycontract_bench/images_{N_IMAGES}"
 
 
+def _calib_worker(_):
+    """One calibration worker: run the REAL per-image kernel (decode → resize
+    → batched phash) in a tight loop for a fixed window; returns img/s."""
+    import time as _t
+
+    import numpy as _np
+    import pyarrow.parquet as _pq
+
+    from raycontract.functions.codecs import _area_resize_gray, decode_image, phash64_batch
+
+    frag = sorted(f for f in os.listdir(IMG_DIR) if f.endswith(".parquet"))[0]
+    tbl = _pq.read_table(os.path.join(IMG_DIR, frag)).slice(0, 1024)
+    blobs = tbl["bytes"].to_pylist()
+    fmts = tbl["fmt"].to_pylist()
+    t0 = _t.time()
+    cnt = 0
+    while _t.time() - t0 < 3.0:
+        smalls = [_area_resize_gray(decode_image(b, f), 32) for b, f in zip(blobs, fmts)]
+        phash64_batch(_np.stack(smalls))
+        cnt += len(blobs)
+    return cnt / (_t.time() - t0)
+
+
+def machine_calibration(nproc: int) -> float:
+    """Total kernel img/s the MACHINE can deliver with nproc plain processes
+    (no Ray) at this moment. The sandbox is a microVM on a shared host with
+    variable CPU steal; this same-moment capacity measurement lets the
+    scaling report separate pipeline efficiency from host-noise/bandwidth
+    effects (see BASELINE.md)."""
+    import multiprocessing as mp
+
+    with mp.Pool(nproc) as pool:
+        rates = pool.map(_calib_worker, range(nproc))
+    return float(sum(rates))
+
+
 def run_bench() -> dict:
+    # Pin library-internal thread pools to 1: Ray's num_cpus is the unit of
+    # parallelism (on a real cluster each worker owns its CPU slot; letting
+    # polars/BLAS fan out to every physical core would let the "8 CPU" run
+    # silently use 32 and corrupt the scaling measurement).
+    for var in ("POLARS_MAX_THREADS", "OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -54,17 +97,35 @@ def run_bench() -> dict:
     from raycontract import DataContract
     from raycontract.fixtures import IMAGES_CONTRACT_YAML, write_images_dataset
 
-    # one-time generation (deterministic, cached across runs); the follow-up
-    # count() warms the OS page cache so we measure compute, not cold reads
+    # one-time generation (deterministic, cached across runs), then warm the
+    # OS page cache by actually reading every byte (count() is metadata-only)
+    # so we measure compute + shuffle, not first-touch disk reads
     write_images_dataset(IMG_DIR, N_IMAGES, num_files=64)
-    rd.read_parquet(IMG_DIR).count()
+    for f in os.listdir(IMG_DIR):
+        with open(os.path.join(IMG_DIR, f), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
 
     contract = IMAGES_CONTRACT_YAML + f"""
 servers:
   local: {{type: local, format: parquet, path: "{IMG_DIR}"}}
 """
+    # warmup validate over ONE fragment: boots Ray workers, compiles pyc,
+    # fills the import page cache — so the timed run measures the pipeline,
+    # not process-startup storms
+    frag = sorted(f for f in os.listdir(IMG_DIR) if f.endswith(".parquet"))[0]
+    warm_contract = IMAGES_CONTRACT_YAML + f"""
+servers:
+  local: {{type: local, format: parquet, path: "{os.path.join(IMG_DIR, frag)}"}}
+"""
+    DataContract(data_contract_str=warm_contract).test()
+
+    # ~8 blocks per CPU balances dispatch overhead against straggler smoothing
+    # (grid-searched in BASELINE.md); 2048-row batches amortize per-batch
+    # Python costs at ~4KB/image
     t0 = time.time()
-    run = DataContract(data_contract_str=contract).test()
+    run = DataContract(data_contract_str=contract).test(
+        override_num_blocks=8 * ncpu, batch_size=2048)
     headline = time.time() - t0
     assert run.result.value in ("passed", "failed"), run.result
     n_checks = len(run.checks)
@@ -72,7 +133,7 @@ servers:
     from raycontract import entry_queries as q
 
     queries = {}
-    for name, fn in [
+    secondary = [] if os.environ.get("RAY_GRAFT_HEADLINE_ONLY") else [
         ("contract_orders", q.flagship_contract_orders),
         ("pricing_summary", lambda d: q.pricing_summary_q(d).to_pandas()),
         ("events_hourly", lambda d: q.events_hourly_q(d).to_pandas()),
@@ -81,7 +142,8 @@ servers:
         ("knn_cosine_embeddings", lambda d: q.knn_cosine_embeddings(d).to_pandas()),
         ("text_stats_documents", lambda d: q.text_stats_documents(d).to_pandas()),
         ("distinct_counts", q.distinct_counts),
-    ]:
+    ]
+    for name, fn in secondary:
         t0 = time.time()
         fn(sf_dir)
         queries[name] = round(time.time() - t0, 3)
@@ -99,27 +161,60 @@ servers:
         "run_result": run.result.value,
     }
     ray.shutdown()
+    if os.environ.get("RAY_GRAFT_CALIBRATE"):
+        # same-moment machine capacity for this worker count (no Ray)
+        out["calib_img_per_sec"] = round(machine_calibration(max(2, ncpu - 2)), 1)
     return out
 
 
 def run_scaling() -> None:
+    """N-vs-4N substitute (see BASELINE.md): fresh processes at num_cpus=8 and
+    32 on the same cached input. The sandbox is a microVM on a shared host —
+    hypervisor steal adds ±2× run-to-run noise — so configs are interleaved
+    (8,32,8,32) and the MIN per config is the steal-free estimate; raw runs
+    are reported alongside."""
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAY_GRAFT_HEADLINE_ONLY="1",
+                   RAY_GRAFT_CALIBRATE="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = one(lo), one(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    print(json.dumps({
-        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
-        "images_per_sec_8": r_lo["images_per_sec"],
-        "images_per_sec_32": r_hi["images_per_sec"],
-        "images": r_lo["images"],
+    reps = int(os.environ.get("RAY_GRAFT_SCALING_REPS", "2"))
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    sec_lo = min(r["value"] for r in runs_lo)
+    sec_hi = min(r["value"] for r in runs_hi)
+    n_img = runs_lo[0]["images"]
+    thr_lo, thr_hi = n_img / sec_lo, n_img / sec_hi
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    result = {
+        "sec_8": sec_lo, "sec_32": sec_hi,
+        "images_per_sec_8": round(thr_lo, 1),
+        "images_per_sec_32": round(thr_hi, 1),
+        "images": n_img,
         "scaling_efficiency": round(eff, 3),
-    }))
+        "raw_sec_8": [r["value"] for r in runs_lo],
+        "raw_sec_32": [r["value"] for r in runs_hi],
+    }
+    # machine-normalized efficiency: how much of the machine's SAME-MOMENT
+    # deliverable kernel capacity (measured with plain processes, no Ray) the
+    # pipeline achieves at each size — cancels shared-host CPU steal and
+    # memory-bandwidth ceilings that a real 4x-node cluster would not have
+    calib_lo = [r["calib_img_per_sec"] for r in runs_lo if "calib_img_per_sec" in r]
+    calib_hi = [r["calib_img_per_sec"] for r in runs_hi if "calib_img_per_sec" in r]
+    if calib_lo and calib_hi:
+        machine_ratio = max(calib_hi) / max(calib_lo)
+        result["machine_kernel_img_per_sec_8"] = max(calib_lo)
+        result["machine_kernel_img_per_sec_32"] = max(calib_hi)
+        result["machine_capacity_ratio"] = round(machine_ratio, 3)
+        result["scaling_efficiency_vs_machine"] = round((thr_hi / thr_lo) / machine_ratio, 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

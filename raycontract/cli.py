@@ -33,6 +33,34 @@ def _init_ray(num_cpus):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _spec_to_dict(spec) -> dict:
+    """Contract spec → plain YAML-able dict (for `import` output)."""
+
+    def field_d(f):
+        d = {}
+        for k in ("type", "required", "unique", "references", "format", "pattern",
+                  "minLength", "maxLength", "minimum", "maximum", "precision", "scale",
+                  "description"):
+            v = getattr(f, k)
+            if v is not None:
+                d[k] = v
+        if f.fields:
+            d["fields"] = {n: field_d(c) for n, c in f.fields.items()}
+        if f.items is not None:
+            d["items"] = field_d(f.items)
+        return d
+
+    return {
+        "dataContractSpecification": spec.dataContractSpecification,
+        "id": spec.id,
+        "info": {"title": spec.info.title, "version": spec.info.version},
+        "models": {
+            n: {"type": m.type, "fields": {fn: field_d(f) for fn, f in m.fields.items()}}
+            for n, m in spec.models.items()
+        },
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="raycontract")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -42,6 +70,9 @@ def main(argv=None) -> int:
     pv.add_argument("--server", default=None)
     pv.add_argument("--junit", default=None)
     pv.add_argument("--results", default=None, help="write verdicts parquet here")
+    pv.add_argument("--violations", default=None, help="write violation rows parquet here")
+    pv.add_argument("--max-errors", type=int, default=20,
+                    help="violation-row cap per check (ref DATACONTRACT_MAX_ERRORS=500)")
     pv.add_argument("--num-cpus", type=int, default=None)
 
     pl = sub.add_parser("lint", help="static checks on the contract itself")
@@ -52,6 +83,22 @@ def main(argv=None) -> int:
     pp.add_argument("--columns", nargs="*", default=None)
     pp.add_argument("--out", required=True)
     pp.add_argument("--num-cpus", type=int, default=None)
+
+    pe = sub.add_parser("export", help="export the contract to another format")
+    pe.add_argument("contract")
+    pe.add_argument("--format", required=True, choices=["sodacl", "jsonschema"])
+
+    pi = sub.add_parser("import", help="infer a contract from a data file")
+    pi.add_argument("--format", required=True, choices=["parquet", "csv"])
+    pi.add_argument("--source", required=True)
+
+    pb = sub.add_parser("breaking", help="breaking changes between two contract versions")
+    pb.add_argument("old")
+    pb.add_argument("new")
+
+    pc = sub.add_parser("changelog", help="all changes between two contract versions")
+    pc.add_argument("old")
+    pc.add_argument("new")
 
     ps = sub.add_parser("validate-shards", help="resumable shard-checkpointed validation")
     ps.add_argument("contract")
@@ -72,18 +119,60 @@ def main(argv=None) -> int:
         print(console_table(run))
         return 0 if run.result.value in ("passed", "warning") else 1
 
+    if args.cmd == "export":
+        spec = DataContract(data_contract_file=args.contract).spec
+        if args.format == "sodacl":
+            from raycontract.export.sodacl import export_sodacl
+
+            print(export_sodacl(spec))
+        else:
+            import json
+
+            from raycontract.export.jsonschema import export_jsonschema
+
+            print(json.dumps(export_jsonschema(spec), indent=2))
+        return 0
+
+    if args.cmd == "import":
+        import yaml as _yaml
+
+        if args.format == "parquet":
+            from raycontract.imports.parquet import import_parquet as _imp
+        else:
+            from raycontract.imports.csv import import_csv as _imp
+        spec = _imp(args.source)
+        print(_yaml.dump(_spec_to_dict(spec), sort_keys=False))
+        return 0
+
+    if args.cmd in ("breaking", "changelog"):
+        from raycontract.breaking import Severity, breaking as _breaking, changelog as _changelog
+
+        old = DataContract(data_contract_file=args.old).spec
+        new = DataContract(data_contract_file=args.new).spec
+        changes = _breaking(old, new) if args.cmd == "breaking" else _changelog(old, new)
+        for c in changes:
+            print(c)
+        print(f"{len(changes)} changes")
+        # exit 1 on breaking (ERROR) changes, like the reference CLI
+        return 1 if any(c.severity == Severity.ERROR for c in changes) else 0
+
     _init_ray(getattr(args, "num_cpus", None))
     import ray
 
     try:
         if args.cmd == "validate":
-            run = DataContract(data_contract_file=args.contract, server=args.server).test()
+            run = DataContract(data_contract_file=args.contract, server=args.server).test(
+                max_samples=args.max_errors)
             print(console_table(run))
             if args.junit:
                 with open(args.junit, "w") as fh:
                     fh.write(junit_xml(run))
             if args.results:
                 write_results_parquet(run, args.results)
+            if args.violations:
+                from raycontract.output import write_violations_parquet
+
+                write_violations_parquet(run, args.violations)
             return 0 if run.result.value == "passed" else 1
 
         if args.cmd == "profile":

@@ -208,6 +208,7 @@ class DataContractSpecification:
     dataContractSpecification: Optional[str] = None
     id: Optional[str] = None
     info: Info = dc_field(default_factory=Info)
+    terms: dict[str, Any] = dc_field(default_factory=dict)  # usage/limitations/noticePeriod…
     servers: dict[str, Server] = dc_field(default_factory=dict)
     models: dict[str, Model] = dc_field(default_factory=dict)
     definitions: dict[str, Field] = dc_field(default_factory=dict)
@@ -222,6 +223,7 @@ class DataContractSpecification:
         spec.id = d.get("id")
         info = d.get("info") or {}
         spec.info = Info(info.get("title"), info.get("version"), info.get("description"))
+        spec.terms = d.get("terms") or {}
         spec.servers = {n: Server.from_dict(s or {}) for n, s in (d.get("servers") or {}).items()}
         spec.models = {n: Model.from_dict(m or {}) for n, m in (d.get("models") or {}).items()}
         spec.definitions = {n: Field.from_dict(f or {}) for n, f in (d.get("definitions") or {}).items()}

@@ -28,7 +28,7 @@ from raycontract.compile import compile_contract, evaluate_threshold
 from raycontract.plans import ModelPlan, ValidationPlan
 from raycontract.result import Check, ResultEnum, Run
 from raycontract.sources.readers import read_model
-from raycontract.stages.stats import run_stats_pass
+from raycontract.stages.stats import run_stats_pass  # noqa: F401 (public engine API)
 from raycontract.types import arrow_type_matches
 
 _AGG_RE = re.compile(
@@ -108,9 +108,15 @@ def validate(
         from concurrent.futures import ThreadPoolExecutor
 
         def guarded(label, checks, fn):
+            import time as _time
+
+            t0 = _time.time()
             try:
                 fn()
+                run.metrics[label] = {"seconds": round(_time.time() - t0, 3)}
             except Exception as e:
+                run.metrics[label] = {"seconds": round(_time.time() - t0, 3),
+                                      "error": str(e)}
                 for c in checks:
                     if c.result is None:
                         c.result = ResultEnum.error
@@ -256,10 +262,16 @@ def _model_thunks(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, max_
     def fused_thunk():
         from raycontract.stages.fused import run_fused_pass
 
+        try:
+            # metadata-only on the bare (unprojected) read — lets the fused
+            # pass pick its single-execution driver path safely
+            input_rows = get_ds(mp.model_name).count()
+        except Exception:
+            input_rows = None
         ds = get_ds(mp.model_name, scan_cols or None)
         stats, image_agg, dups = run_fused_pass(
             ds, pruned, image_spec, live_uniques,
-            max_samples=max_samples, batch_size=batch_size)
+            max_samples=max_samples, batch_size=batch_size, input_rows=input_rows)
 
         # --- uniqueness verdicts (two-stage groupby over fused partials) ---
         for u in live_uniques:

@@ -169,15 +169,18 @@ def null_counts_lineitem_sql() -> str:
 
 
 def distinct_counts(sf_dir: str) -> pa.Table:
+    from concurrent.futures import ThreadPoolExecutor
+
     from raycontract.stages.uniqueness import exact_distinct_count
 
     targets = [("orders", "o_custkey"), ("events", "user_id"),
                ("lineitem", "l_partkey"), ("documents", "lang")]
-    names, counts = [], []
-    for table, col in targets:
-        names.append(f"{table}.{col}")
-        counts.append(exact_distinct_count(_read(sf_dir, table, [col]), col))
-    return pa.table({"column_name": pa.array(names),
+    # independent shuffles → overlap their fixed execution overheads
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [pool.submit(exact_distinct_count, _read(sf_dir, t, [c]), c)
+                for t, c in targets]
+        counts = [f.result() for f in futs]
+    return pa.table({"column_name": pa.array([f"{t}.{c}" for t, c in targets]),
                      "distinct_n": pa.array(counts, type=pa.int64())})
 
 

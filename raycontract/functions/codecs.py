@@ -287,16 +287,26 @@ def _area_resize_gray(img: np.ndarray, size: int = 32) -> np.ndarray:
 
 def phash64(img: np.ndarray) -> int:
     """DCT perceptual hash → signed int64 (fits the ``phash:int64`` column)."""
-    small = _area_resize_gray(img, 32)
-    d = _DCT32 @ small @ _DCT32.T
-    block = d[:8, :8].flatten()
-    vals = block[1:]  # drop DC
-    med = np.median(vals)
+    return int(phash64_batch(_area_resize_gray(img, 32)[None, :, :])[0])
+
+
+_PHASH_SHIFTS = np.uint64(1) << np.arange(62, -1, -1, dtype=np.uint64)
+
+
+def phash64_batch(smalls: np.ndarray) -> np.ndarray:
+    """Vectorized pHash over a stack of 32×32 grayscale images (N,32,32).
+
+    np.matmul broadcasting performs the same per-slice 2-D matmuls as the
+    scalar path, so results are bit-identical to ``phash64`` per image.
+    Returns int64 array of length N.
+    """
+    if smalls.shape[0] == 0:
+        return np.empty(0, dtype=np.int64)
+    d = _DCT32 @ smalls @ _DCT32.T  # (N,32,32)
+    vals = d[:, :8, :8].reshape(smalls.shape[0], 64)[:, 1:]  # drop DC
+    med = np.median(vals, axis=1, keepdims=True)
     bits = (vals > med).astype(np.uint64)
-    h = np.uint64(0)
-    for b in bits:
-        h = (h << np.uint64(1)) | b
-    return int(h.astype(np.int64))
+    return (bits * _PHASH_SHIFTS[None, :]).sum(axis=1).astype(np.int64)
 
 
 def hamming64(a: int, b: int) -> int:

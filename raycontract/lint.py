@@ -39,6 +39,7 @@ def lint_spec(spec: DataContractSpecification) -> Run:
         "description": _lint_description,
         "quality-model": _lint_quality_model,
         "known-types": _lint_known_types,
+        "notice-period": _lint_notice_period,
     }
     # syntactic resolution itself is the first passed check (ref data_contract.py:74-138)
     run.checks.append(Check(id=new_check_id(), key="lint__syntax", category="lint",
@@ -129,6 +130,19 @@ def _lint_quality_model(spec, findings):
                             if token.lower() != mname.lower():
                                 _warn(findings,
                                       f"{mname}: quality SQL references unknown table {token!r}")
+
+
+def _lint_notice_period(spec, findings):
+    """terms.noticePeriod must be an ISO-8601 duration
+    (≅ notice_period_linter.py:17-55)."""
+    np_ = (spec.terms or {}).get("noticePeriod")
+    if np_ is None:
+        return
+    from raycontract.functions.durations import _ISO
+
+    if not (isinstance(np_, str) and np_.startswith("P") and _ISO.match(np_)
+            and np_ not in ("P", "PT")):
+        _warn(findings, f"terms.noticePeriod {np_!r} is not an ISO-8601 duration")
 
 
 def _lint_known_types(spec, findings):

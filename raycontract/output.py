@@ -71,6 +71,36 @@ def junit_xml(run: Run) -> str:
     return ET.tostring(suite, encoding="unicode", xml_declaration=True)
 
 
+def write_violations_parquet(run: Run, path: str) -> None:
+    """Violation rows across all failed checks: (check_key, pk, value, reason).
+
+    Row caps come from validate(max_samples=...) — the reference caps at 500
+    via DATACONTRACT_MAX_ERRORS (check_jsonschema.py:51-84); pass
+    max_samples=500 for the same convention. Samples never carry wide
+    payloads (image bytes are summarized as '<N bytes>')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    keys, pks, values, reasons = [], [], [], []
+    for c in run.checks:
+        d = c.diagnostics or {}
+        for s in d.get("samples", []):
+            if isinstance(s, (tuple, list)) and len(s) == 2:
+                pk, val = s
+            else:
+                pk, val = None, s
+            keys.append(c.key)
+            pks.append(str(pk) if pk is not None else None)
+            values.append(str(val) if val is not None else None)
+            reasons.append(c.reason)
+    pq.write_table(pa.table({
+        "check_key": pa.array(keys, type=pa.string()),
+        "pk": pa.array(pks, type=pa.string()),
+        "value": pa.array(values, type=pa.string()),
+        "reason": pa.array(reasons, type=pa.string()),
+    }), path)
+
+
 def write_results_parquet(run: Run, path: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq

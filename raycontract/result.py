@@ -76,6 +76,9 @@ class Run:
     result: ResultEnum = ResultEnum.unknown
     checks: list[Check] = dc_field(default_factory=list)
     logs: list[Log] = dc_field(default_factory=list)
+    # per-execution-unit metrics (label → {seconds, ...}); populated by the
+    # engine so every run ships its own stage timings (north-rule 'metrics')
+    metrics: dict = dc_field(default_factory=dict)
 
     @staticmethod
     def create_run() -> "Run":

@@ -29,8 +29,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Sum
-
 from raycontract.plans import ImageSpec, ModelPlan, UniqueSpec
 from raycontract.stages.stats import StatsKernel, merge_partials
 
@@ -92,6 +90,40 @@ class FusedKernel:
             "cnt": pa.array(np.concatenate([np.asarray(c, dtype=np.int64) for c in cnts])),
             "payload": pa.array(payloads, type=pa.binary()),
         })
+
+
+def _driver_fold_all(tables: list[pa.Table], unique_specs, max_samples: int):
+    """Driver-side fold of the complete fused output (payloads + partials)."""
+    stats_parts, image_parts = [], []
+    for t in tables:
+        for payload in t.filter(pc.equal(t["kind"], "p"))["payload"].to_pylist():
+            d = pickle.loads(payload)
+            stats_parts.append(d["stats"])
+            if "image" in d:
+                image_parts.append(d["image"])
+    stats = merge_partials(stats_parts)
+
+    image_agg = None
+    if image_parts:
+        image_agg = {"row_count": 0, "invalid_count": 0, "samples": []}
+        counters: dict[str, int] = {}
+        for p in image_parts:
+            p = pickle.loads(p) if isinstance(p, (bytes, bytearray)) else p
+            image_agg["row_count"] += p["rows"]
+            for k, v in p["counters"].items():
+                counters[k] = counters.get(k, 0) + v
+            if len(image_agg["samples"]) < max_samples:
+                image_agg["samples"].extend(p["samples"][: max_samples - len(image_agg["samples"])])
+        image_agg["invalid_count"] = sum(counters.values())
+        image_agg.update(counters)
+
+    merged = _polars_dup_fold(tables, max_samples) if unique_specs else {}
+    dup_stats = {}
+    for u in unique_specs:
+        dup_stats[u.column] = merged.get(u.column, {
+            "distinct_count": 0, "duplicate_values": 0, "duplicate_rows": 0,
+            "samples": [], "by_content_hash": True})
+    return stats, image_agg, dup_stats
 
 
 def _polars_dup_fold(tables: list[pa.Table], max_samples: int) -> dict[str, dict[str, Any]]:
@@ -182,7 +214,8 @@ def run_fused_pass(
     max_samples: int = 20,
     batch_size: Optional[int] = None,
     concurrency=None,
-    driver_fold_limit: int = 2_000_000,
+    driver_fold_limit: int = 4_000_000,
+    input_rows: Optional[int] = None,
 ) -> tuple[dict[str, Any], Optional[dict[str, Any]], dict[str, dict[str, Any]]]:
     """Returns (merged_stats, merged_image_or_None, {column: dup_stats}).
 
@@ -191,21 +224,24 @@ def run_fused_pass(
     import ray
 
     if batch_size is None:
-        batch_size = 512 if image_spec is not None else 8192
+        # wide binary rows (images ~KBs each) want bounded batches; 1024 rows
+        # ≈ a few MB per batch at thumbnail-image sizes — raise/lower via the
+        # batch_size arg for much larger payloads
+        batch_size = 1024 if image_spec is not None else 8192
 
-    if image_spec is None:
-        # stats+uniqueness only: stateless enough for elastic tasks (no actor
-        # pool startup cost — matters for many small models per contract)
+    if concurrency is None:
+        # Elastic tasks by default: Ray reuses warm worker processes across
+        # executions (actors cold-start a fresh process per pool) and the
+        # scheduler shares CPUs naturally with the read stage — measured
+        # faster than every fixed pool size tried (BASELINE.md). The kernel's
+        # per-task rebuild cost is trivial (plan objects + codec dispatch).
+        # Pass concurrency=N to opt into an actor pool for genuinely heavy
+        # per-worker state (model weights, big baselines).
         fused = ds.map_batches(
-            FusedKernel(plan, None, unique_specs, max_samples),
+            FusedKernel(plan, image_spec, unique_specs, max_samples),
             batch_format="pyarrow", batch_size=batch_size,
         )
     else:
-        if concurrency is None:
-            # decode is the CPU-heavy stage: fixed-size pool over most of the
-            # cluster (autoscaling from 1 ramps too slowly for a batch job)
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-            concurrency = max(2, cpus - 2)
         fused = ds.map_batches(
             FusedKernel,
             fn_constructor_args=(plan, image_spec, unique_specs, max_samples),
@@ -218,6 +254,20 @@ def run_fused_pass(
 
     timing = os.environ.get("RAYCONTRACT_TIMING")
     t0 = time.time()
+
+    # Fast path: when the fused partials certainly fit the driver (bounded by
+    # input_rows × unique columns), ONE execution ships them straight to the
+    # driver as Arrow refs — no materialize/coalesce/filter executions, no
+    # python-dict conversion. The distributed path below handles true scale.
+    # callers pass input_rows from the UNPROJECTED base read (metadata-only
+    # count); calling count() here on a projected dataset would execute a
+    # full extra scan
+    if input_rows is not None and input_rows * max(1, len(unique_specs)) <= driver_fold_limit:
+        tables = [pa.table(t) for t in ray.get(fused.to_arrow_refs()) if t.num_rows]
+        if timing:
+            print(f"[fused] single-execution scan→driver: {time.time()-t0:.1f}s", flush=True)
+        return _driver_fold_all(tables, unique_specs, max_samples)
+
     if unique_specs:
         # The fused output is tiny relative to the input but inherits the
         # input's block count — coalesce it so the downstream consumers

@@ -48,7 +48,11 @@ class ImageConformance:
                     "phash_mismatch": 0, "psnr_below": 0, "null_bytes": 0}
         samples: list[tuple] = []
 
-        for i in range(n):  # per-image decode is inherently row-wise; batches stay small
+        # pass 1 — per-image decode (inherently row-wise) + dim/fmt checks;
+        # collect 32×32 grayscales so the DCT phash runs ONCE, batched
+        pending: list[int] = []  # indices needing a phash compare
+        smalls: list[np.ndarray] = []
+        for i in range(n):
             blob, fmt = blobs[i], fmts[i]
             if blob is None:
                 counters["null_bytes"] += 1
@@ -71,11 +75,8 @@ class ImageConformance:
                 self._sample(samples, ids[i], f"decoded {iw}x{ih} != declared {ws[i]}x{hs[i]}")
                 continue
             if phashes[i] is not None:
-                ph = self.codecs.phash64(img)
-                if ph != phashes[i]:
-                    counters["phash_mismatch"] += 1
-                    self._sample(samples, ids[i], f"phash {ph} != stored {phashes[i]}")
-                    continue
+                pending.append(i)
+                smalls.append(self.codecs._area_resize_gray(img, 32))
             if fmt not in self.codecs.LOSSLESS_FORMATS:
                 # lossy path: roundtrip PSNR vs the decode (real check once a
                 # lossy codec is plugged in; unreachable with vendored codecs)
@@ -84,6 +85,14 @@ class ImageConformance:
                 if p < s.min_psnr:
                     counters["psnr_below"] += 1
                     self._sample(samples, ids[i], f"PSNR {p:.1f} < {s.min_psnr}")
+
+        # pass 2 — batched DCT phash (bit-identical to the per-image path)
+        if pending:
+            calc = self.codecs.phash64_batch(np.stack(smalls))
+            for idx, ph in zip(pending, calc):
+                if int(ph) != phashes[idx]:
+                    counters["phash_mismatch"] += 1
+                    self._sample(samples, ids[idx], f"phash {int(ph)} != stored {phashes[idx]}")
 
         payload = pickle.dumps({"rows": n, "counters": counters, "samples": samples})
         return pa.table({"payload": pa.array([payload], type=pa.binary())})

@@ -139,7 +139,16 @@ def validate_resumable(
         if fail_after_shards is not None and computed >= fail_after_shards:
             raise RuntimeError(f"simulated crash after {computed} computed shards")
         t0 = time.time()
-        ds = rd.read_parquet(files)
+        scan_cols = pruned.scan_columns()
+        for u in mp.uniques:
+            if u.column not in scan_cols:
+                scan_cols.append(u.column)
+        if mp.image is not None:
+            for c in (mp.image.bytes_column, mp.image.width_column, mp.image.height_column,
+                      mp.image.fmt_column, mp.image.phash_column, mp.image.id_column):
+                if c and c not in scan_cols:
+                    scan_cols.append(c)
+        ds = rd.read_parquet(files, columns=scan_cols or None)
         fused = ds.map_batches(
             FusedKernel(pruned, mp.image, mp.uniques, max_samples),
             batch_format="pyarrow",

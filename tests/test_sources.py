@@ -1,0 +1,80 @@
+"""Server-format readers: json (newline + array), csv with declared types,
+parquet directory — mirrors the reference's per-format connection tests
+(duckdb_connection.py:40-66 semantics)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from raycontract import DataContract, ResultEnum
+
+CONTRACT_TMPL = """
+id: srv
+models:
+  m:
+    fields:
+      id: {{type: string, required: true, unique: true}}
+      v: {{type: long, maximum: 100}}
+servers:
+  local: {{type: local, format: {fmt}, path: "{path}"{delim}}}
+"""
+
+ROWS = [{"id": "a", "v": 1}, {"id": "b", "v": 50}, {"id": "c", "v": 200}]
+
+
+def _expect(run):
+    by = {c.key: c for c in run.checks}
+    assert by["m__v__field_maximum"].result == ResultEnum.failed
+    assert by["m__v__field_maximum"].diagnostics["invalid_count"] == 1
+    assert by["m__id__field_required"].result == ResultEnum.passed
+    assert by["m__id__field_unique"].result == ResultEnum.passed
+
+
+def test_json_newline_server(ray_session, tmp_path):
+    p = tmp_path / "m.json"
+    p.write_text("\n".join(json.dumps(r) for r in ROWS))
+    c = CONTRACT_TMPL.format(fmt="json", path=p, delim="")
+    run = DataContract(data_contract_str=c).test()
+    _expect(run)
+    # type checks skipped for schemaless json (ref data_contract_checks.py:79-82)
+    assert not any(ch.type == "field_type" for ch in run.checks)
+
+
+def test_json_array_server(ray_session, tmp_path):
+    p = tmp_path / "m.json"
+    p.write_text(json.dumps(ROWS))
+    c = CONTRACT_TMPL.format(fmt="json", path=p, delim=", delimiter: array")
+    run = DataContract(data_contract_str=c).test()
+    _expect(run)
+
+
+def test_csv_server_with_declared_types(ray_session, tmp_path):
+    p = tmp_path / "m.csv"
+    p.write_text("id,v\na,1\nb,50\nc,200\n")
+    c = CONTRACT_TMPL.format(fmt="csv", path=p, delim="")
+    run = DataContract(data_contract_str=c).test()
+    _expect(run)
+
+
+def test_parquet_directory_server(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "m"
+    d.mkdir()
+    t = pa.table({"id": pa.array([r["id"] for r in ROWS]),
+                  "v": pa.array([r["v"] for r in ROWS], type=pa.int64())})
+    pq.write_table(t.slice(0, 2), d / "part0.parquet")
+    pq.write_table(t.slice(2), d / "part1.parquet")
+    c = CONTRACT_TMPL.format(fmt="parquet", path=d, delim="")
+    run = DataContract(data_contract_str=c).test()
+    _expect(run)
+    assert any(ch.type == "field_type" and ch.result == ResultEnum.passed
+               for ch in run.checks)
+
+
+def test_unknown_format_errors(ray_session, tmp_path):
+    c = CONTRACT_TMPL.format(fmt="avro", path=tmp_path / "x.avro", delim="")
+    run = DataContract(data_contract_str=c).test()
+    assert run.result == ResultEnum.error
