@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q.pricing_summary_q,
         "top_customers_by_revenue": q.top_customers_q,
         "events_hourly": q.events_hourly_q,
+        "sessionize_events": q.sessionize_events_q,
+        "heavy_hitters_users": q.heavy_hitters_users_q,
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
         "dedup_prefix_documents": q.dedup_prefix_documents,
@@ -85,6 +87,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": q.pricing_summary_sql(),
         "top_customers_by_revenue": q.top_customers_sql(),
         "events_hourly": q.events_hourly_sql(),
+        "sessionize_events": q.sessionize_events_sql(),
+        "heavy_hitters_users": q.heavy_hitters_users_sql(),
         "dedup_exact_documents": q.dedup_exact_documents_sql(),
         "dedup_prefix_documents": q.dedup_prefix_documents_sql(),
         "neardup_cosine_embeddings": q.neardup_cosine_embeddings_sql(),

@@ -325,6 +325,36 @@ def events_hourly_sql() -> str:
             "FROM events GROUP BY event_type, date_trunc('hour', ts)")
 
 
+def sessionize_events_q(sf_dir: str):
+    from raycontract.pipelines.relational import sessionize_events
+
+    return sessionize_events(_read(sf_dir, "events"), gap_minutes=30)
+
+
+def sessionize_events_sql() -> str:
+    return (
+        "WITH x AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "
+        "ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "y AS (SELECT user_id, ts, SUM(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts) AS session_id FROM x) "
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+        "CAST(count(*) AS BIGINT) AS n_events, min(ts) AS session_start, "
+        "max(ts) AS session_end FROM y GROUP BY user_id, session_id"
+    )
+
+
+def heavy_hitters_users_q(sf_dir: str):
+    from raycontract.pipelines.relational import heavy_hitters_users
+
+    return heavy_hitters_users(_read(sf_dir, "events"), k=10)
+
+
+def heavy_hitters_users_sql() -> str:
+    return ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events "
+            "GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10")
+
+
 def duplicate_user_events_q(sf_dir: str):
     from raycontract.pipelines.relational import duplicate_user_events
 

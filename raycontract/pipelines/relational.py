@@ -120,6 +120,50 @@ def events_hourly(events_ds):
     )
 
 
+def sessionize_events(events_ds, gap_minutes: int = 30):
+    """Session windows per user: consecutive events ≤ gap apart share a
+    session (the classic streaming sessionization, SURVEY §2e 'streaming-
+    shaped workloads': partition by key, sort by ts within the group,
+    window inside ``map_groups``).
+
+    Output: (user_id, session_id starting at 1 per user, n_events,
+    session_start, session_end). Ordering assumption: each user's events fit
+    one group (true by construction of a keyed groupby)."""
+    import pandas as pd
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        g["session_id"] = new_session.cumsum().astype("int64")
+        out = g.groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("ts", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
+
+    return events_ds.select_columns(["user_id", "ts"]).groupby("user_id").map_groups(
+        per_user, batch_format="pandas")
+
+
+def heavy_hitters_users(events_ds, k: int = 10):
+    """Exact top-k users by event count: per-batch pre-aggregation → small
+    groupby → sort + limit (deterministic tie-break on user_id)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["user_id"].drop_null())
+        return pa.table({"user_id": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = events_ds.select_columns(["user_id"]).map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("user_id").aggregate(Sum("n", alias_name="n_events"))
+    return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
+
+
 def duplicate_user_events(events_ds):
     """user_ids with more than one event + their counts (pre-aggregated)."""
 
