@@ -265,19 +265,26 @@ def regex_violations_customer_sql() -> str:
 
 
 def freshness_retention_events(sf_dir: str) -> pa.Table:
+    # timestamps surface as epoch microseconds (int64) so the driver's
+    # value-hash can't diverge on datetime unit/dtype representation
     ds = _read(sf_dir, "events", ["ts"])
     res = ds.aggregate(Max("ts", alias_name="max_ts"), Min("ts", alias_name="min_ts"),
                        Count(alias_name="n"))
+    t = pa.table({
+        "max_ts_us": pa.array([res["max_ts"]], type=pa.timestamp("us")),
+        "min_ts_us": pa.array([res["min_ts"]], type=pa.timestamp("us")),
+    })
     return pa.table({
-        "max_ts": pa.array([res["max_ts"]], type=pa.timestamp("us")),
-        "min_ts": pa.array([res["min_ts"]], type=pa.timestamp("us")),
+        "max_ts_us": pc.cast(t["max_ts_us"], pa.int64()),
+        "min_ts_us": pc.cast(t["min_ts_us"], pa.int64()),
         "n": pa.array([int(res["n"])], type=pa.int64()),
     })
 
 
 def freshness_retention_events_sql() -> str:
-    return ("SELECT max(ts) AS max_ts, min(ts) AS min_ts, CAST(count(*) AS BIGINT) AS n "
-            "FROM events")
+    return ("SELECT CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us, "
+            "CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts_us, "
+            "CAST(count(*) AS BIGINT) AS n FROM events")
 
 
 # ------------------------------------------------------------- relational
@@ -315,11 +322,23 @@ def top_customers_sql() -> str:
 def events_hourly_q(sf_dir: str):
     from raycontract.pipelines.relational import events_hourly
 
-    return events_hourly(_read(sf_dir, "events"))
+    res = events_hourly(_read(sf_dir, "events"))
+
+    def epoch(batch: pa.Table) -> pa.Table:
+        # normalize to timestamp[us] first — floor_temporal/groupby may carry
+        # a coarser unit, and a bare int64 cast yields that unit's epoch
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour_us": pc.cast(pc.cast(batch["hour"], pa.timestamp("us")), pa.int64()),
+            "sum_value_cents": batch["sum_value_cents"],
+            "n_events": batch["n_events"],
+        })
+
+    return res.map_batches(epoch, batch_format="pyarrow")
 
 
 def events_hourly_sql() -> str:
-    return ("SELECT event_type, date_trunc('hour', ts) AS hour, "
+    return ("SELECT event_type, CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us, "
             "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents, "
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM events GROUP BY event_type, date_trunc('hour', ts)")
@@ -328,7 +347,18 @@ def events_hourly_sql() -> str:
 def sessionize_events_q(sf_dir: str):
     from raycontract.pipelines.relational import sessionize_events
 
-    return sessionize_events(_read(sf_dir, "events"), gap_minutes=30)
+    res = sessionize_events(_read(sf_dir, "events"), gap_minutes=30)
+
+    def epoch(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "session_id": batch["session_id"],
+            "n_events": batch["n_events"],
+            "start_us": pc.cast(pc.cast(batch["session_start"], pa.timestamp("us")), pa.int64()),
+            "end_us": pc.cast(pc.cast(batch["session_end"], pa.timestamp("us")), pa.int64()),
+        })
+
+    return res.map_batches(epoch, batch_format="pyarrow")
 
 
 def sessionize_events_sql() -> str:
@@ -339,8 +369,10 @@ def sessionize_events_sql() -> str:
         "y AS (SELECT user_id, ts, SUM(new_s) OVER "
         "(PARTITION BY user_id ORDER BY ts) AS session_id FROM x) "
         "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
-        "CAST(count(*) AS BIGINT) AS n_events, min(ts) AS session_start, "
-        "max(ts) AS session_end FROM y GROUP BY user_id, session_id"
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(epoch_us(min(ts)) AS BIGINT) AS start_us, "
+        "CAST(epoch_us(max(ts)) AS BIGINT) AS end_us "
+        "FROM y GROUP BY user_id, session_id"
     )
 
 
