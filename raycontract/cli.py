@@ -71,6 +71,9 @@ def main(argv=None) -> int:
     pv.add_argument("--junit", default=None)
     pv.add_argument("--results", default=None, help="write verdicts parquet here")
     pv.add_argument("--violations", default=None, help="write violation rows parquet here")
+    pv.add_argument("--violations-full", default=None,
+                    help="ALSO extract EVERY violating row (uncapped streaming pass) "
+                         "to this directory as partitioned parquet")
     pv.add_argument("--max-errors", type=int, default=20,
                     help="violation-row cap per check (ref DATACONTRACT_MAX_ERRORS=500)")
     pv.add_argument("--num-cpus", type=int, default=None)
@@ -173,6 +176,22 @@ def main(argv=None) -> int:
                 from raycontract.output import write_violations_parquet
 
                 write_violations_parquet(run, args.violations)
+            if args.violations_full:
+                from raycontract.compile import compile_contract
+                from raycontract.sources.readers import read_model
+                from raycontract.stages.violations import extract_violations
+
+                dc = DataContract(data_contract_file=args.contract, server=args.server)
+                plan = compile_contract(dc.spec, dc.get_server())
+                for model_name, mp2 in plan.models.items():
+                    if not mp2.constraints:
+                        continue
+                    ds = read_model(dc.get_server(), model_name, dc.spec.models.get(model_name))
+                    import os as _os
+
+                    n = extract_violations(ds, mp2,
+                                           _os.path.join(args.violations_full, model_name))
+                    print(f"violations[{model_name}]: {n} rows")
             return 0 if run.result.value == "passed" else 1
 
         if args.cmd == "profile":

@@ -197,6 +197,25 @@ def _compile_model(
                            model=model_key, field=fname)
                 mp.referentials.append(ReferentialSpec(key("field_references"), fname, pmodel, pfield))
 
+        # plugin check kinds (raycontract.plugins.register_check): field
+        # config {checks: [{kind, args}]} — same compile/execute path as
+        # built-in constraints
+        for cc in (f.config.get("checks") or []):
+            kind = cc.get("kind") if isinstance(cc, dict) else None
+            if not kind:
+                continue
+            from raycontract.plugins import get_check
+
+            ckey = f"{model_key}__{fname}__custom_{kind}"
+            check = _add_check(plan, key=ckey, category="schema", type=f"custom_{kind}",
+                               name=f"Custom check {kind} on {fname}",
+                               model=model_key, field=fname)
+            if get_check(kind) is None:
+                check.result = None
+                check.reason = f"no plugin registered for kind {kind!r}"
+            mp.constraints.append(
+                ConstraintSpec(ckey, kind, fname, tuple(cc.get("args") or ())))
+
         if f.quality:
             _compile_quality_list(plan, mp, model_key, fname, f.quality)
 

@@ -218,6 +218,17 @@ def _model_thunks(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, max_
     for spec in missing_constraints:
         _set_error(by_key.get(spec.check_key, []), f"column {spec.column} not present")
     live_constraints = [c for c in mp.constraints if c.column in actual]
+    # unknown kinds (unregistered plugins) error their check, not the pass
+    _BUILTIN_KINDS = {"not_null", "min_length", "max_length", "minimum", "maximum",
+                      "not_equal", "enum", "regex", "format"}
+    from raycontract.plugins import get_check as _get_check
+
+    unknown = [c for c in live_constraints
+               if c.kind not in _BUILTIN_KINDS and _get_check(c.kind) is None]
+    for spec in unknown:
+        _set_error(by_key.get(spec.check_key, []),
+                   f"no plugin registered for check kind {spec.kind!r}")
+    live_constraints = [c for c in live_constraints if c not in unknown]
     live_aggs = []
     for a in mp.agg_thresholds:
         if a.column in actual:

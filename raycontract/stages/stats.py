@@ -77,6 +77,15 @@ class StatsKernel:
         self.by_column: dict[str, list] = {}
         for c in plan.constraints:
             self.by_column.setdefault(c.column, []).append(c)
+        # custom kinds resolved at construction ON THE DRIVER and pickled with
+        # the kernel, so the registry doesn't need to exist in workers
+        from raycontract.plugins import get_check
+
+        self.custom: dict[str, Any] = {}
+        for c in plan.constraints:
+            fn = get_check(c.kind)
+            if fn is not None:
+                self.custom[c.kind] = fn
 
     # -- per-constraint invalid masks (NULLs are never invalid except not_null,
     #    matching soda-core's missing/invalid split, ref :164-192 vs :226-447)
@@ -101,6 +110,8 @@ class StatsKernel:
             return pc.and_(pc.invert(pc.is_in(col, value_set=value_set)), col.is_valid())
         if kind in ("regex", "format"):
             return pc.invert(pc.match_substring_regex(col, args[0]))
+        if kind in self.custom:  # plugin kinds (raycontract.plugins)
+            return self.custom[kind](col, args)
         raise ValueError(f"unknown constraint kind {kind!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:

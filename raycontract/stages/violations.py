@@ -1,0 +1,75 @@
+"""Full violation-row extraction (uncapped, streaming).
+
+The validation pass keeps only capped per-check samples (the reference's
+DATACONTRACT_MAX_ERRORS convention). When every violating row is needed —
+quarantine lists, reprocessing queues — this dedicated pass re-evaluates the
+constraint masks per batch and EMITS the violating rows as data:
+``(check_key, pk, value)``, streamed straight to partitioned Parquet, never
+materialized on the driver. Row payloads are never copied — only the pk and
+a bounded value repr leave the scan (wide/binary values are summarized).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from raycontract.plans import ModelPlan
+from raycontract.stages.stats import StatsKernel, _sample_repr
+
+
+class ViolationExtractor(StatsKernel):
+    """Reuses StatsKernel's vectorized invalid-mask evaluation (built-in +
+    plugin kinds) but outputs one row per violation instead of counters."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        pk_col = batch[self.pk] if (self.pk and self.pk in batch.column_names) else None
+        keys: list[str] = []
+        pks: list[Optional[str]] = []
+        values: list[Optional[str]] = []
+        for name in batch.column_names:
+            specs = self.by_column.get(name)
+            if not specs:
+                continue
+            col = batch[name]
+            for spec in specs:
+                mask = self._invalid_mask(spec.kind, col, spec.args)
+                filled = mask.combine_chunks().fill_null(False) if isinstance(
+                    mask, pa.ChunkedArray) else mask.fill_null(False)
+                idx = np.flatnonzero(np.asarray(filled))
+                if idx.size == 0:
+                    continue
+                take = pa.array(idx, type=pa.int64())
+                vals = col.take(take).to_pylist()
+                pkvals = pk_col.take(take).to_pylist() if pk_col is not None else [None] * idx.size
+                keys.extend([spec.check_key] * idx.size)
+                pks.extend(str(p) if p is not None else None for p in pkvals)
+                values.extend(_sample_repr(v) for v in vals)
+        return pa.table({
+            "check_key": pa.array(keys, type=pa.string()),
+            "pk": pa.array(pks, type=pa.string()),
+            "value": pa.array(values, type=pa.string()),
+        })
+
+
+def extract_violations(ds, plan: ModelPlan, out_dir: Optional[str] = None,
+                       batch_size: Optional[int] = None):
+    """Streaming violation rows for all of ``plan.constraints``.
+
+    Returns the (lazy) Dataset; when ``out_dir`` is given, writes partitioned
+    Parquet there (the preferred sink at scale) and returns the row count.
+    """
+    cols = plan.scan_columns()
+    kwargs = {"batch_format": "pyarrow"}
+    if batch_size:
+        kwargs["batch_size"] = batch_size
+    out = ds.select_columns(cols or None).map_batches(
+        ViolationExtractor(plan), **kwargs)
+    if out_dir is not None:
+        out.write_parquet(out_dir)
+        import ray.data as rd
+
+        return rd.read_parquet(out_dir).count()
+    return out

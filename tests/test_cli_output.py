@@ -56,3 +56,42 @@ def test_cli_main_lint(tmp_path):
     f = tmp_path / "c.yaml"
     f.write_text(CONTRACT)
     assert main(["lint", str(f)]) == 0
+
+
+def test_violations_full_extraction(ray_session, tmp_path):
+    import duckdb
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raycontract.compile import compile_contract
+    from raycontract.contract import DataContractSpecification
+    from raycontract.stages.violations import extract_violations
+
+    spec = DataContractSpecification.from_string("""
+id: v
+models:
+  m:
+    primaryKey: [id]
+    fields:
+      id: {type: string, required: true}
+      v: {type: long, maximum: 10, minimum: 0}
+      s: {type: string, pattern: "^[a-z]+$"}
+""")
+    plan = compile_contract(spec, None).models["m"]
+    t = pa.table({"id": pa.array([f"r{i}" for i in range(100)]),
+                  "v": pa.array([i - 5 for i in range(100)], type=pa.int64()),
+                  "s": pa.array(["ok"] * 50 + ["BAD"] * 50)})
+    out = extract_violations(rd.from_arrow(t), plan).to_pandas()
+    # oracle: 5 below minimum + 84 above maximum + 50 regex
+    by = out.groupby("check_key").size().to_dict()
+    con = duckdb.connect()
+    con.register("t", t)
+    assert by["m__v__field_minimum"] == con.execute("SELECT count(*) FROM t WHERE v < 0").fetchone()[0]
+    assert by["m__v__field_maximum"] == con.execute("SELECT count(*) FROM t WHERE v > 10").fetchone()[0]
+    assert by["m__s__field_regex"] == 50
+    # every violation row carries the pk
+    assert out["pk"].notna().all()
+    # parquet sink path
+    n = extract_violations(rd.from_arrow(t), plan, str(tmp_path / "viol"))
+    assert n == len(out)
