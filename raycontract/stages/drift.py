@@ -109,13 +109,9 @@ def tdigest_ks(a: TDigest, b: TDigest, grid: int = 256) -> float:
     return float(d)
 
 
-def drift_stats(ds, spec: DriftSpec) -> dict[str, Any]:
-    """Sketch the current data for ``spec.column`` and compare to baseline."""
-    baseline = load_profile(spec.baseline_path)
-    if spec.column not in baseline:
-        raise ValueError(f"column {spec.column} not in baseline profile {spec.baseline_path}")
-    base = baseline[spec.column]
-    current = profile_dataset(ds, [spec.column])[spec.column]
+def compare_profiles(base: dict[str, Any], current: dict[str, Any],
+                     spec: DriftSpec) -> dict[str, Any]:
+    """Compare one column's baseline vs current sketch entries."""
 
     def as_bytes(v):
         return v if isinstance(v, (bytes, bytearray, type(None))) else v.to_bytes()
@@ -138,3 +134,12 @@ def drift_stats(ds, spec: DriftSpec) -> dict[str, Any]:
         f"no comparable sketches for column {spec.column} "
         "(numeric needs tdigest, categorical needs cat counts)"
     )
+
+
+def drift_stats(ds, spec: DriftSpec) -> dict[str, Any]:
+    """Sketch the current data for ``spec.column`` and compare to baseline."""
+    baseline = load_profile(spec.baseline_path)
+    if spec.column not in baseline:
+        raise ValueError(f"column {spec.column} not in baseline profile {spec.baseline_path}")
+    current = profile_dataset(ds, [spec.column])[spec.column]
+    return compare_profiles(baseline[spec.column], current, spec)

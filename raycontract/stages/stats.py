@@ -222,8 +222,11 @@ def merge_partials(payloads: list[bytes]) -> dict[str, Any]:
                 m["sum"] = cs["sum"] if m["sum"] is None else m["sum"] + cs["sum"]
             for skey, cls in (("hll", HyperLogLog), ("tdigest", TDigest), ("hist", Histogram),
                               ("cat", CategoricalCounts)):
-                if skey in cs:
-                    sk = cls.from_bytes(cs[skey])
+                if skey in cs and cs[skey] is not None:
+                    v = cs[skey]
+                    # accepts raw bytes (worker partials) or already-merged
+                    # sketch objects (re-merging shard-level partials)
+                    sk = v if isinstance(v, cls) else cls.from_bytes(v)
                     k = (col, skey)
                     sketches[k] = sk if k not in sketches else sketches[k].merge(sk)
         for key, e in p["checks"].items():

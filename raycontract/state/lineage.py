@@ -148,9 +148,13 @@ def validate_resumable(
                       mp.image.fmt_column, mp.image.phash_column, mp.image.id_column):
                 if c and c not in scan_cols:
                     scan_cols.append(c)
+        for d in mp.drifts:
+            if d.column not in scan_cols:
+                scan_cols.append(d.column)
         ds = rd.read_parquet(files, columns=scan_cols or None)
         fused = ds.map_batches(
-            FusedKernel(pruned, mp.image, mp.uniques, max_samples),
+            FusedKernel(pruned, mp.image, mp.uniques, max_samples,
+                        profile=bool(mp.drifts)),
             batch_format="pyarrow",
             batch_size=512 if mp.image else 8192,
         )
@@ -170,12 +174,46 @@ def validate_resumable(
     image_agg = _merge_image([p.get("image") for p in shard_partials], max_samples)
     dup_stats = _merge_uniques([p["uniq"] for p in shard_partials], mp, max_samples)
 
+    # ---- drift: global verdict from merged sketches + per-shard distances
+    # (drift LOCALIZATION: which shard's distribution moved) ----
+    drift_results: dict[str, dict] = {}
+    drift_by_shard: dict[str, dict[str, float]] = {}
+    if mp.drifts:
+        from raycontract.stages.drift import compare_profiles, load_profile
+
+        for d in mp.drifts:
+            baseline = load_profile(d.baseline_path)
+            if d.column not in baseline:
+                continue
+            cur = _profile_entry(merged_stats, d.column)
+            res = compare_profiles(baseline[d.column], cur, d)
+            per_shard = {}
+            for idx, p in enumerate(shard_partials):
+                entry = _profile_entry(p["stats"], d.column)
+                try:
+                    per_shard[f"{idx:05d}"] = round(
+                        compare_profiles(baseline[d.column], entry, d)["distance"], 4)
+                except Exception:
+                    pass
+            res["per_shard_distance"] = per_shard
+            drift_results[d.check_key] = res
+            drift_by_shard[d.column] = per_shard
+
     run = Run.create_run()
     run.dataContractId = dc.spec.id
-    _assemble(run, plan, mp, merged_stats, image_agg, dup_stats, max_samples)
+    _assemble(run, plan, mp, merged_stats, image_agg, dup_stats, max_samples,
+              drift_results)
     run.finish()
     return run, {"shards": len(shards), "computed": computed,
-                 "resumed": len(shards) - computed, "metrics": ckpt.metrics()}
+                 "resumed": len(shards) - computed, "metrics": ckpt.metrics(),
+                 "drift_by_shard": drift_by_shard}
+
+
+def _profile_entry(stats: dict, column: str) -> dict:
+    cs = stats["columns"].get(column, {})
+    return {"count": stats.get("row_count"), "null_count": cs.get("null_count"),
+            "min": cs.get("min"), "max": cs.get("max"),
+            "tdigest": cs.get("tdigest"), "cat": cs.get("cat")}
 
 
 def _fold_shard(rows, mp, max_samples) -> dict[str, Any]:
@@ -255,7 +293,8 @@ def _merge_uniques(parts: list[dict[str, dict[int, int]]], mp, max_samples):
     return out
 
 
-def _assemble(run, plan, mp, stats, image_agg, dup_stats, max_samples):
+def _assemble(run, plan, mp, stats, image_agg, dup_stats, max_samples,
+              drift_results=None):
     """Verdicts from reduced partials (same folds as engine._model_thunks)."""
     from raycontract.engine import _set_result
     from raycontract.result import ResultEnum
@@ -281,6 +320,10 @@ def _assemble(run, plan, mp, stats, image_agg, dup_stats, max_samples):
     if mp.image is not None and image_agg is not None:
         _set_result(by_key.get(mp.image.check_key, []), image_agg["invalid_count"] == 0,
                     f"{image_agg['invalid_count']} images fail conformance", image_agg)
+    for key, res in (drift_results or {}).items():
+        _set_result(by_key.get(key, []), res["passed"],
+                    f"{res['metric']} distance {res['distance']:.4f} exceeds "
+                    f"threshold {res['threshold']}", res)
     for c in run.checks:
         if c.result is None:
             c.result = ResultEnum.unknown

@@ -85,3 +85,51 @@ def test_cross_shard_duplicates_detected(ray_session):
     assert dup.result.value == "failed"
     assert dup.diagnostics["duplicate_values"] == 1
     assert dup.diagnostics["duplicate_rows"] == 1
+
+
+def test_per_shard_drift_localization(ray_session):
+    """Drift in the resumable path: global verdict from merged sketches +
+    per-shard distances localize WHICH shard's distribution moved."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raycontract.stages.drift import profile_dataset, save_profile
+
+    rng = np.random.default_rng(11)
+    baseline_vals = rng.normal(0, 1, 8000)
+    base_ds = rd.from_arrow(pa.table({"v": pa.array(baseline_vals)}))
+    bpath = os.path.join(tempfile.mkdtemp(), "base.parquet")
+    save_profile(profile_dataset(base_ds, ["v"]), bpath)
+
+    # 4 fragments: fragment 2 is shifted, others match the baseline
+    d = tempfile.mkdtemp()
+    for i in range(4):
+        vals = rng.normal(3.0 if i == 2 else 0.0, 1, 2000)
+        pq.write_table(pa.table({"id": pa.array([f"r{i}-{j}" for j in range(2000)]),
+                                 "v": pa.array(vals)}),
+                       os.path.join(d, f"f{i}.parquet"))
+
+    contract = f"""
+id: drift-shards
+models:
+  m:
+    primaryKey: [id]
+    config:
+      drift: {{baseline: "{bpath}", columns: [v], maxKs: 0.1}}
+    fields:
+      id: {{type: string, required: true}}
+      v: {{type: double}}
+"""
+    run, metrics = validate_resumable(contract, d, "m", tempfile.mkdtemp(), "dr",
+                                      num_shards=4)
+    c = [c for c in run.checks if c.type == "distribution_drift"][0]
+    assert c.result.value == "failed"  # 1/4 of rows shifted by 3σ → global drift
+    per_shard = metrics["drift_by_shard"]["v"]
+    assert len(per_shard) == 4
+    # shard 2 must stand out as the drifted one
+    worst = max(per_shard, key=per_shard.get)
+    assert worst == "00002", per_shard
+    assert per_shard["00002"] > 0.5
+    assert all(v < 0.1 for k, v in per_shard.items() if k != "00002"), per_shard
