@@ -92,7 +92,7 @@ def main(argv=None) -> int:
     pe.add_argument("--format", required=True, choices=["sodacl", "jsonschema"])
 
     pi = sub.add_parser("import", help="infer a contract from a data file")
-    pi.add_argument("--format", required=True, choices=["parquet", "csv"])
+    pi.add_argument("--format", required=True, choices=["parquet", "csv", "odcs"])
     pi.add_argument("--source", required=True)
 
     pb = sub.add_parser("breaking", help="breaking changes between two contract versions")
@@ -141,6 +141,8 @@ def main(argv=None) -> int:
 
         if args.format == "parquet":
             from raycontract.imports.parquet import import_parquet as _imp
+        elif args.format == "odcs":
+            from raycontract.imports.odcs import import_odcs as _imp
         else:
             from raycontract.imports.csv import import_csv as _imp
         spec = _imp(args.source)

@@ -236,7 +236,14 @@ class DataContractSpecification:
 
     @staticmethod
     def from_string(text: str) -> "DataContractSpecification":
-        return DataContractSpecification.from_dict(yaml.safe_load(text))
+        d = yaml.safe_load(text)
+        # ODCS v3 auto-detect ≅ reference resolve.py:248-252
+        if isinstance(d, dict):
+            from raycontract.imports.odcs import import_odcs_from_dict, is_odcs
+
+            if is_odcs(d):
+                return import_odcs_from_dict(d)
+        return DataContractSpecification.from_dict(d)
 
     @staticmethod
     def from_file(path: str) -> "DataContractSpecification":

@@ -240,3 +240,50 @@ def test_cli_export_import_breaking(tmp_path):
     assert main(["export", str(c1), "--format", "jsonschema"]) == 0
     assert main(["breaking", str(c1), str(c2)]) == 1  # ERROR-severity changes
     assert main(["changelog", str(c1), str(c1)]) == 0  # no changes
+
+
+ODCS_DOC = """
+apiVersion: v3.0.0
+kind: DataContract
+id: odcs-orders
+name: Orders
+version: 1.2.0
+schema:
+  - name: orders
+    physicalName: orders_tbl
+    properties:
+      - name: order_id
+        logicalType: string
+        required: true
+        unique: true
+        primaryKey: true
+      - name: amount
+        logicalType: number
+        logicalTypeOptions: {minimum: 0}
+      - name: created
+        logicalType: date-time
+servers:
+  - server: prod
+    type: local
+    format: parquet
+    path: /data/orders
+"""
+
+
+def test_odcs_import_and_autodetect():
+    spec = DataContractSpecification.from_string(ODCS_DOC)
+    assert spec.id == "odcs-orders"
+    m = spec.models["orders_tbl"]
+    assert m.fields["order_id"].required and m.fields["order_id"].unique
+    assert m.fields["order_id"].primaryKey
+    # "number" passes through (∈ DATACONTRACT_TYPES), matching the reference's map_type
+    assert m.fields["amount"].type == "number" and m.fields["amount"].minimum == 0
+    assert m.fields["created"].type == "timestamp"
+    assert spec.servers["prod"].format == "parquet"
+    # compiles into the same check plan machinery
+    from raycontract.compile import compile_contract
+
+    plan = compile_contract(spec, None)
+    keys = {c.key for c in plan.checks}
+    assert "orders_tbl__order_id__field_unique" in keys
+    assert "orders_tbl__amount__field_minimum" in keys
