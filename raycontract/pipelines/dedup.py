@@ -333,6 +333,56 @@ def ngram_jaccard_pairs_within_groups(ds, text_col: str, id_col: str, group_col:
     )
 
 
+# ------------------------------------------------- duplicate-group closure
+
+
+def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
+                         max_rounds: int = 20):
+    """Group near-dup pairs into clusters: iterated min-label propagation.
+
+    Each round broadcasts the current node→label map (``ray.put`` once) and a
+    distributed pass over the edges emits (node, min-neighbor-label) rows,
+    reduced per node; stops when no label changes. Rounds needed = cluster
+    diameter (near-dup clusters are shallow, typically 2-4).
+
+    The broadcast label map covers only nodes that appear in DUP PAIRS —
+    orders of magnitude smaller than the corpus for any honest near-dup graph
+    (documented partitioning assumption; a bucketed join replaces the
+    broadcast if candidates ever rival the corpus). Returns a Dataset of
+    (node, component), component = min node id in the cluster.
+    """
+    edges = pairs_ds.select_columns([id_a, id_b]).materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        a, b = t[id_a].to_pylist(), t[id_b].to_pylist()
+        lo = [min(x, y) for x, y in zip(a, b)]
+        return pa.table({"node": pa.array(a + b, type=t[id_a].type),
+                         "label": pa.array(lo + lo, type=t[id_a].type)})
+
+    labels = edges.map_batches(seed, batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+
+    for _ in range(max_rounds):
+        label_map = {r["node"]: r["label"] for r in labels.take_all()}
+        ref = ray.put(label_map)
+
+        def propagate(t: pa.Table, _ref=ref) -> pa.Table:
+            m = ray.get(_ref)
+            a, b = t[id_a].to_pylist(), t[id_b].to_pylist()
+            lo = [min(m[x], m[y]) for x, y in zip(a, b)]
+            return pa.table({"node": pa.array(a + b, type=t[id_a].type),
+                             "label": pa.array(lo + lo, type=t[id_a].type)})
+
+        labels = edges.map_batches(propagate, batch_format="pyarrow") \
+            .groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        new_map = {r["node"]: r["label"] for r in labels.take_all()}
+        if all(label_map.get(k) == v for k, v in new_map.items()):
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "component": t["label"]}),
+        batch_format="pyarrow")
+
+
 # ------------------------------------------------------- embedding cosine
 
 

@@ -59,11 +59,24 @@ def duplicate_stats(
     column: str,
     by_content_hash: bool = False,
     max_samples: int = 20,
+    driver_fold_limit: int = 4_000_000,
 ) -> dict[str, Any]:
-    """Returns {'duplicate_values', 'duplicate_rows', 'distinct_count', 'samples'}."""
+    """Returns {'duplicate_values', 'duplicate_rows', 'distinct_count', 'samples'}.
+
+    Adaptive reduce (same rationale as stages/fused.py): per-block distinct
+    partials below ``driver_fold_limit`` rows fold on the driver with one
+    polars groupby (Ray's sort-based groupby costs seconds of fixed overhead
+    per million tiny rows); larger inputs use the distributed groupby.
+    """
     partials = ds.select_columns([column]).map_batches(
         _partial_counts_fn(column, by_content_hash), batch_format="pyarrow"
     )
+    try:
+        input_rows = ds.count()  # metadata-only for plain reads
+    except Exception:
+        input_rows = None
+    if input_rows is not None and input_rows <= driver_fold_limit:
+        return _driver_dup_fold(partials, max_samples, by_content_hash)
     agg = partials.groupby("_k").aggregate(Sum("_cnt", alias_name="cnt"))
     # Per-key totals: distinct count + duplicate stats in one tiny second pass.
     def summarize(batch: pa.Table) -> pa.Table:
@@ -95,6 +108,27 @@ def duplicate_stats(
             out["samples"].extend(p["samples"][: max_samples - len(out["samples"])])
     out["by_content_hash"] = by_content_hash
     return out
+
+
+def _driver_dup_fold(partials, max_samples: int, by_content_hash: bool) -> dict[str, Any]:
+    import polars as pl
+
+    import ray
+
+    tables = [pa.table(t) for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return {"distinct_count": 0, "duplicate_values": 0, "duplicate_rows": 0,
+                "samples": [], "by_content_hash": by_content_hash}
+    df = pl.from_arrow(pa.concat_tables(tables))
+    agg = df.group_by("_k").agg(pl.col("_cnt").sum().alias("cnt"))
+    dups = agg.filter(pl.col("cnt") > 1)
+    return {
+        "distinct_count": agg.height,
+        "duplicate_values": dups.height,
+        "duplicate_rows": int(dups["cnt"].sum() or 0) - dups.height,
+        "samples": dups["_k"].head(max_samples).to_list(),
+        "by_content_hash": by_content_hash,
+    }
 
 
 def exact_distinct_count(ds, column: str) -> int:

@@ -122,3 +122,31 @@ def test_embedding_neardup_pairs(vectors):
     pairs = {(r["id_a"], r["id_b"]) for r in
              embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.95).take_all()}
     assert (0, 5) in pairs
+
+
+def test_connected_components(ray_session):
+    import ray.data as rd
+
+    from raycontract.pipelines.dedup import connected_components
+
+    # chain 0-1-2-3-4 (diameter 4 → needs multiple propagation rounds),
+    # pair (10,11), singleton pair (20,21)
+    pairs = pa.table({
+        "id_a": pa.array([0, 1, 2, 3, 10, 20], type=pa.int64()),
+        "id_b": pa.array([1, 2, 3, 4, 11, 21], type=pa.int64()),
+    })
+    out = {r["node"]: r["component"]
+           for r in connected_components(rd.from_arrow(pairs)).take_all()}
+    assert {out[i] for i in range(5)} == {0}
+    assert out[10] == out[11] == 10
+    assert out[20] == out[21] == 20
+
+
+def test_connected_components_via_minhash(docs):
+    from raycontract.pipelines.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).take_all()}
+    # docs 0,1,2 (exact dups) and 3 (near-dup) all collapse into one cluster
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp.get(3, 0) == 0
