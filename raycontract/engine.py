@@ -450,7 +450,40 @@ def _parse_arrow_type(s: str):
     m = re.match(r"^list<(?:element|item): (.+)>$", s)
     if m:
         return pa.list_(_parse_arrow_type(m.group(1)))
-    # struct/map comparisons fall back to string equality at the caller
+    m = re.match(r"^map<(.+), (.+)>$", s)
+    if m and "<" not in m.group(1):
+        k = _parse_arrow_type(m.group(1))
+        v = _parse_arrow_type(m.group(2))
+        if not isinstance(k, _OpaqueType) and not isinstance(v, _OpaqueType):
+            return pa.map_(k, v)
+    m = re.match(r"^struct<(.+)>$", s)
+    if m:
+        fields = []
+        depth = 0
+        cur = ""
+        parts = []
+        for ch in m.group(1):
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        parts.append(cur)
+        ok = True
+        for p in parts:
+            name, _, typ = p.strip().partition(": ")
+            t = _parse_arrow_type(typ)
+            if isinstance(t, _OpaqueType):
+                ok = False
+                break
+            fields.append(pa.field(name, t))
+        if ok:
+            return pa.struct(fields)
+    # anything unparsed falls back to string equality at the caller
     return _OpaqueType(s)
 
 
