@@ -177,10 +177,15 @@ def run_scaling() -> None:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), RAY_GRAFT_HEADLINE_ONLY="1",
                    RAY_GRAFT_CALIBRATE="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                             capture_output=True, text=True, check=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        for attempt in (1, 2):  # one retry for transient ray-session failures
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                                  capture_output=True, text=True,
+                                  cwd=os.path.dirname(os.path.abspath(__file__)))
+            if proc.returncode == 0:
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+            sys.stderr.write(f"[scaling] child ncpu={ncpu} attempt {attempt} failed:\n"
+                             + proc.stderr[-2000:] + "\n")
+        raise RuntimeError(f"bench child failed twice at num_cpus={ncpu}")
 
     lo, hi = 8, 32
     reps = int(os.environ.get("RAY_GRAFT_SCALING_REPS", "2"))

@@ -71,23 +71,31 @@ def validate(
 
     import threading
 
-    model_datasets: dict[str, Any] = {}
+    model_datasets: dict[tuple, Any] = {}
     ds_lock = threading.Lock()
 
     def get_ds(model_name: str, columns: Optional[list[str]] = None):
-        with ds_lock:  # thunks run concurrently; build each base Dataset once
-            if model_name not in model_datasets:
-                if datasets and model_name in datasets:
-                    model_datasets[model_name] = _to_dataset(datasets[model_name])
-                else:
-                    srv = dc.get_server()
-                    if srv is None:
-                        raise ValueError(f"no server and no dataset for model {model_name}")
-                    model_datasets[model_name] = read_model(
-                        srv, model_name, dc.spec.models.get(model_name),
-                        override_num_blocks=override_num_blocks)
-            ds = model_datasets[model_name]
-        return ds.select_columns(columns) if columns else ds
+        key = (model_name, tuple(columns) if columns else None)
+        with ds_lock:  # thunks run concurrently; build each Dataset plan once
+            if key in model_datasets:
+                return model_datasets[key]
+            if datasets and model_name in datasets:
+                base_key = (model_name, None)
+                if base_key not in model_datasets:
+                    model_datasets[base_key] = _to_dataset(datasets[model_name])
+                ds = model_datasets[base_key]
+                ds = ds.select_columns(list(columns)) if columns else ds
+            else:
+                srv = dc.get_server()
+                if srv is None:
+                    raise ValueError(f"no server and no dataset for model {model_name}")
+                # push the projection into the read (parquet column pruning);
+                # a select_columns Project stage costs an extra per-batch copy
+                ds = read_model(srv, model_name, dc.spec.models.get(model_name),
+                                columns=list(columns) if columns else None,
+                                override_num_blocks=override_num_blocks)
+            model_datasets[key] = ds
+            return ds
 
     # Collect independent execution units across ALL models and run them
     # concurrently: each unit is its own Ray Dataset execution, and the fixed

@@ -270,6 +270,61 @@ class CategoricalCounts:
         return CategoricalCounts(*pickle.loads(b))
 
 
+class MisraGries:
+    """Frequent-items (heavy hitters) sketch: k-1 counters guarantee every
+    item with frequency > n/k survives. Merge = counter addition + decrement
+    compression (Agarwal et al., 'Mergeable Summaries'). Counts are lower
+    bounds; exact counts need one verification pass over the candidates."""
+
+    __slots__ = ("k", "counters", "n")
+
+    def __init__(self, k: int = 64, counters: Optional[dict] = None, n: int = 0):
+        self.k = k
+        self.counters = counters if counters is not None else {}
+        self.n = n
+
+    def add(self, values, counts=None) -> None:
+        counts = counts if counts is not None else [1] * len(values)
+        for v, c in zip(values, counts):
+            c = int(c)
+            self.n += c
+            if v in self.counters:
+                self.counters[v] += c
+            elif len(self.counters) < self.k - 1:
+                self.counters[v] = c
+            else:
+                # decrement all by the new item's weight; drop depleted
+                dec = c
+                med = sorted(self.counters.values())[0]
+                take = min(dec, med)
+                if take:
+                    self.counters = {kk: vv - take for kk, vv in self.counters.items()
+                                     if vv - take > 0}
+                rem = dec - take
+                if rem and len(self.counters) < self.k - 1:
+                    self.counters[v] = rem
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(self.k, dict(self.counters), self.n)
+        out.add(list(other.counters.keys()), list(other.counters.values()))
+        out.n = self.n + other.n
+        return out
+
+    def candidates(self, min_fraction: float = 0.0) -> list[tuple]:
+        """(value, lower-bound count) sorted by count desc; every true heavy
+        hitter above n/k (or min_fraction·n) is guaranteed present."""
+        thr = min_fraction * self.n
+        return sorted(((v, c) for v, c in self.counters.items() if c >= thr),
+                      key=lambda x: (-x[1], str(x[0])))
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.k, self.counters, self.n))
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "MisraGries":
+        return MisraGries(*pickle.loads(b))
+
+
 def l1_distance(a: CategoricalCounts, b: CategoricalCounts) -> float:
     """Total-variation (½·L1) distance between two categorical distributions."""
     ta, tb = max(a.total(), 1), max(b.total(), 1)

@@ -164,6 +164,51 @@ def heavy_hitters_users(events_ds, k: int = 10):
     return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
 
 
+def approx_heavy_hitters(ds, column: str, k: int = 16, verify: bool = True):
+    """Shuffle-free heavy hitters: one Misra-Gries sketch per block (map-only)
+    merged on the driver — guaranteed to contain every value with frequency
+    > n/k. With ``verify=True`` a second broadcast pass computes EXACT counts
+    for the candidate set (still no shuffle). Returns [(value, count)] desc.
+    """
+    import pickle
+
+    from raycontract.functions.sketches import MisraGries
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        mg = MisraGries(k=4 * k)  # oversketch: tighter bounds, tiny memory
+        vc = pc.value_counts(batch[column].drop_null())
+        mg.add(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+        return pa.table({"payload": pa.array([pickle.dumps(mg.to_bytes())],
+                                             type=pa.binary())})
+
+    rows = ds.select_columns([column]).map_batches(sketch, batch_format="pyarrow").take_all()
+    merged = None
+    for r in rows:
+        mg = MisraGries.from_bytes(pickle.loads(r["payload"]))
+        merged = mg if merged is None else merged.merge(mg)
+    if merged is None:
+        return []
+    cands = [v for v, _ in merged.candidates()[: 4 * k]]
+    if not verify:
+        return merged.candidates()[:k]
+
+    cand_ref = ray.put(set(cands))
+
+    def exact(batch: pa.Table) -> pa.Table:
+        want = ray.get(cand_ref)
+        vc = pc.value_counts(batch[column].drop_null())
+        vals = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_pylist()
+        keep = [(v, c) for v, c in zip(vals, cnts) if v in want]
+        return pa.table({column: pa.array([v for v, _ in keep]),
+                         "_c": pa.array([c for _, c in keep], type=pa.int64())})
+
+    totals: dict = {}
+    for r in ds.select_columns([column]).map_batches(exact, batch_format="pyarrow").take_all():
+        totals[r[column]] = totals.get(r[column], 0) + r["_c"]
+    return sorted(totals.items(), key=lambda x: (-x[1], str(x[0])))[:k]
+
+
 def duplicate_user_events(events_ds):
     """user_ids with more than one event + their counts (pre-aggregated)."""
 

@@ -99,6 +99,7 @@ def validate_resumable(
     num_shards: int = 8,
     max_samples: int = 20,
     fail_after_shards: Optional[int] = None,  # test hook: simulate a crash
+    shard_parallelism: int = 2,
 ):
     """Shard-checkpointed validation of ONE model's fused pass.
 
@@ -129,28 +130,21 @@ def validate_resumable(
     pruned = ModelPlan(model_name=model_name, pk_column=mp.pk_column,
                        constraints=mp.constraints, agg_thresholds=mp.agg_thresholds)
 
-    shard_partials: list[dict[str, Any]] = []
-    computed = 0
-    for idx, files in enumerate(shards):
-        key = f"{idx:05d}"
-        if ckpt.is_done(key):
-            shard_partials.append(ckpt.load(key))
-            continue
-        if fail_after_shards is not None and computed >= fail_after_shards:
-            raise RuntimeError(f"simulated crash after {computed} computed shards")
+    scan_cols = pruned.scan_columns()
+    for u in mp.uniques:
+        if u.column not in scan_cols:
+            scan_cols.append(u.column)
+    if mp.image is not None:
+        for c in (mp.image.bytes_column, mp.image.width_column, mp.image.height_column,
+                  mp.image.fmt_column, mp.image.phash_column, mp.image.id_column):
+            if c and c not in scan_cols:
+                scan_cols.append(c)
+    for d in mp.drifts:
+        if d.column not in scan_cols:
+            scan_cols.append(d.column)
+
+    def run_shard(files: list[str]) -> dict[str, Any]:
         t0 = time.time()
-        scan_cols = pruned.scan_columns()
-        for u in mp.uniques:
-            if u.column not in scan_cols:
-                scan_cols.append(u.column)
-        if mp.image is not None:
-            for c in (mp.image.bytes_column, mp.image.width_column, mp.image.height_column,
-                      mp.image.fmt_column, mp.image.phash_column, mp.image.id_column):
-                if c and c not in scan_cols:
-                    scan_cols.append(c)
-        for d in mp.drifts:
-            if d.column not in scan_cols:
-                scan_cols.append(d.column)
         ds = rd.read_parquet(files, columns=scan_cols or None)
         fused = ds.map_batches(
             FusedKernel(pruned, mp.image, mp.uniques, max_samples,
@@ -160,14 +154,39 @@ def validate_resumable(
         )
         rows = fused.take_all()
         partial = _fold_shard(rows, mp, max_samples)
-        secs = time.time() - t0
-        ckpt.save(key, partial, {
-            "rows": partial["stats"]["row_count"], "seconds": round(secs, 3),
-            "rows_per_sec": round(partial["stats"]["row_count"] / max(secs, 1e-9), 1),
-            "files": len(files),
-        })
-        shard_partials.append(partial)
-        computed += 1
+        partial["_seconds"] = time.time() - t0
+        return partial
+
+    # shards checkpoint independently; a small thread pool overlaps their
+    # fixed per-execution overheads while each shard still fans out across
+    # the cluster (the crash-test hook forces the deterministic serial path)
+    pending = [(idx, files) for idx, files in enumerate(shards)
+               if not ckpt.is_done(f"{idx:05d}")]
+    results: dict[int, dict[str, Any]] = {}
+    computed = 0
+    if fail_after_shards is not None or shard_parallelism <= 1:
+        for idx, files in pending:
+            if fail_after_shards is not None and computed >= fail_after_shards:
+                raise RuntimeError(f"simulated crash after {computed} computed shards")
+            results[idx] = run_shard(files)
+            _save_shard(ckpt, idx, results[idx], len(shards[idx]))
+            computed += 1
+    elif pending:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(shard_parallelism, len(pending))) as pool:
+            futs = {pool.submit(run_shard, files): idx for idx, files in pending}
+            for fut, idx in futs.items():
+                results[idx] = fut.result()
+                _save_shard(ckpt, idx, results[idx], len(shards[idx]))
+                computed += 1
+
+    shard_partials = []
+    for idx in range(len(shards)):
+        if idx in results:
+            shard_partials.append(results[idx])
+        else:
+            shard_partials.append(ckpt.load(f"{idx:05d}"))
 
     # ---- final reduce over all shards ----
     merged_stats = merge_partials([b for p in shard_partials for b in p["stats_blobs"]])
@@ -214,6 +233,16 @@ def _profile_entry(stats: dict, column: str) -> dict:
     return {"count": stats.get("row_count"), "null_count": cs.get("null_count"),
             "min": cs.get("min"), "max": cs.get("max"),
             "tdigest": cs.get("tdigest"), "cat": cs.get("cat")}
+
+
+def _save_shard(ckpt: "ShardCheckpoint", idx: int, partial: dict[str, Any],
+                n_files: int) -> None:
+    secs = partial.pop("_seconds", 0.0)
+    ckpt.save(f"{idx:05d}", partial, {
+        "rows": partial["stats"]["row_count"], "seconds": round(secs, 3),
+        "rows_per_sec": round(partial["stats"]["row_count"] / max(secs, 1e-9), 1),
+        "files": n_files,
+    })
 
 
 def _fold_shard(rows, mp, max_samples) -> dict[str, Any]:

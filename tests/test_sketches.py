@@ -92,3 +92,27 @@ def test_hash64_types_and_splitmix():
     assert (hash64(pa.array(["q"])) == hash64(pa.array(["q"]))).all()
     x = splitmix64(np.array([1, 2, 3], dtype=np.uint64))
     assert len(set(x.tolist())) == 3
+
+
+def test_misra_gries_guarantee_and_merge():
+    import numpy as np
+
+    from raycontract.functions.sketches import MisraGries
+
+    rng = np.random.default_rng(4)
+    # zipf-ish stream: value 'hot' is 20% of 10k items
+    stream = ["hot"] * 2000 + [f"v{int(i)}" for i in rng.integers(0, 3000, 8000)]
+    rng.shuffle(stream)
+    halves = [stream[:5000], stream[5000:]]
+    sketches = []
+    for h in halves:
+        mg = MisraGries(k=32)
+        mg.add(h)
+        sketches.append(mg)
+    merged = sketches[0].merge(sketches[1])
+    assert merged.n == 10000
+    cands = merged.candidates()
+    assert cands and cands[0][0] == "hot"  # guaranteed: freq 20% >> n/k ≈ 3%
+    assert cands[0][1] <= 2000  # counts are lower bounds
+    rt = MisraGries.from_bytes(merged.to_bytes())
+    assert rt.candidates() == cands

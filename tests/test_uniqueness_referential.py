@@ -67,3 +67,17 @@ def test_referential_empty_parent(ray_session, child):
     empty_parent = rd.from_arrow(pa.table({"pk": pa.array([], type=pa.int64())}))
     st = referential_stats(child, "fk", empty_parent, "pk")
     assert st["violation_rows"] == 6  # all non-null FKs dangle
+
+
+def test_approx_heavy_hitters_pipeline(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raycontract.pipelines.relational import approx_heavy_hitters
+
+    vals = ["hot"] * 500 + ["warm"] * 200 + [f"v{i}" for i in range(2000)]
+    ds = rd.from_arrow(pa.table({"c": pa.array(vals)})).repartition(8)
+    top = approx_heavy_hitters(ds, "c", k=2)
+    assert top[0] == ("hot", 500)  # verified pass → EXACT counts
+    assert top[1] == ("warm", 200)
