@@ -144,16 +144,31 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     k: int = 5,
+    driver_fold_limit: int = 200_000,
 ):
     """Candidate near-dup pairs with signature-estimated Jaccard ≥ threshold.
 
     Returns a Dataset of (id_a, id_b, est_jaccard), id_a < id_b.
+
+    Signatures are always computed distributed (the expensive part: shingling
+    + num_perm minhashes per doc). The LSH banding/bucketing itself is pure
+    integer work on (docs × num_perm) uint64s: below ``driver_fold_limit``
+    docs it runs vectorized on the driver (two Ray groupby rounds cost more
+    than the banding math by orders of magnitude); above, the distributed
+    band-groupby path runs.
     """
     rows_per_band = num_perm // bands
+    # instance → elastic tasks: warm-worker reuse beats actor-pool cold start
+    # (the hasher's state is just seed arrays)
     sigs = ds.select_columns([text_col, id_col]).map_batches(
-        MinHasher, fn_constructor_args=(text_col, id_col, num_perm, k),
-        batch_format="pyarrow", concurrency=(1, 8),
+        MinHasher(text_col, id_col, num_perm, k), batch_format="pyarrow",
     )
+    try:
+        n_docs = ds.count()
+    except Exception:
+        n_docs = None
+    if n_docs is not None and n_docs <= driver_fold_limit:
+        return _lsh_pairs_driver(sigs, id_col, num_perm, bands, rows_per_band, threshold)
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -211,6 +226,53 @@ def minhash_lsh_pairs(
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
 
 
+def _lsh_pairs_driver(sigs, id_col: str, num_perm: int, bands: int,
+                      rows_per_band: int, threshold: float):
+    """Driver-side LSH banding over collected signatures (small-corpus path)."""
+    import ray.data as rd
+
+    tables = [pa.table(t) for t in ray.get(sigs.to_arrow_refs()) if t.num_rows]
+    empty_t = pa.table({"id_a": pa.array([], type=pa.int64()),
+                        "id_b": pa.array([], type=pa.int64()),
+                        "est_jaccard": pa.array([], type=pa.float64())})
+    if not tables:
+        return rd.from_arrow(empty_t)
+    t = pa.concat_tables(tables)
+    ids = t[id_col].to_pylist()
+    n = len(ids)
+    sig = np.asarray(t["sig"].combine_chunks().flatten()).reshape(n, num_perm)
+    cand: set[tuple[int, int]] = set()
+    for b in range(bands):
+        chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+        bh = np.zeros(n, dtype=np.uint64)
+        for j in range(rows_per_band):
+            bh = splitmix64(bh ^ chunk[:, j])
+        order = np.argsort(bh, kind="stable")
+        sb = bh[order]
+        start = 0
+        for i in range(1, n + 1):
+            if i == n or sb[i] != sb[start]:
+                if i - start > 1:
+                    grp = order[start:i]
+                    for x in range(len(grp)):
+                        for y in range(x + 1, len(grp)):
+                            cand.add((int(grp[x]), int(grp[y])) if grp[x] < grp[y]
+                                     else (int(grp[y]), int(grp[x])))
+                start = i
+    id_a, id_b, est = [], [], []
+    for x, y in cand:
+        e = float((sig[x] == sig[y]).mean())
+        if e >= threshold:
+            a, b_ = ids[x], ids[y]
+            id_a.append(min(a, b_))
+            id_b.append(max(a, b_))
+            est.append(e)
+    tid = t[id_col].type
+    return rd.from_arrow(pa.table({"id_a": pa.array(id_a, type=tid),
+                                   "id_b": pa.array(id_b, type=tid),
+                                   "est_jaccard": pa.array(est, type=pa.float64())}))
+
+
 # ----------------------------------------------------------------- SimHash
 
 
@@ -253,8 +315,7 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3):
     finds all candidates; each bucket verifies exact Hamming.
     """
     sh = ds.select_columns([text_col, id_col]).map_batches(
-        SimHasher, fn_constructor_args=(text_col, id_col), batch_format="pyarrow",
-        concurrency=(1, 8),
+        SimHasher(text_col, id_col), batch_format="pyarrow",
     )
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -70,9 +70,10 @@ class LangId:
 
 
 def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
+    # instance → elastic tasks (stopword tables are tiny; warm-worker reuse
+    # beats actor-pool cold start; use an actor pool only for heavy models)
     return ds.select_columns([id_col, text_col]).map_batches(
-        LangId, fn_constructor_args=(text_col, id_col), batch_format="pyarrow",
-        concurrency=(1, 8),
+        LangId(text_col, id_col), batch_format="pyarrow",
     )
 
 
@@ -117,8 +118,7 @@ class QualityScorer:
 
 def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.select_columns([id_col, text_col]).map_batches(
-        QualityScorer, fn_constructor_args=(text_col, id_col), batch_format="pyarrow",
-        concurrency=(1, 8),
+        QualityScorer(text_col, id_col), batch_format="pyarrow",
     )
 
 
