@@ -143,3 +143,57 @@ def drift_stats(ds, spec: DriftSpec) -> dict[str, Any]:
         raise ValueError(f"column {spec.column} not in baseline profile {spec.baseline_path}")
     current = profile_dataset(ds, [spec.column])[spec.column]
     return compare_profiles(baseline[spec.column], current, spec)
+
+
+class DriftComparator:
+    """Actor-pool comparator holding the baseline sketches (the north-star's
+    stateful-stage shape): the baseline profile is fetched from the object
+    store ONCE per actor in ``__init__``; each batch is sketched and scored
+    against it, emitting one (rows, distance, passed) row per batch — a
+    streaming per-batch drift signal for monitoring/localization, finer
+    grained than the per-shard view in state/lineage.py."""
+
+    def __init__(self, baseline_ref, spec: DriftSpec):
+        import ray as _ray
+
+        self.base = _ray.get(baseline_ref)[spec.column]
+        self.spec = spec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from raycontract.functions.sketches import CategoricalCounts, TDigest
+
+        col = batch[self.spec.column].drop_null()
+        entry: dict[str, Any] = {"count": batch.num_rows}
+        t = col.type
+        if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t):
+            td = TDigest()
+            td.add(np.asarray(pc.cast(col, pa.float64())))
+            entry["tdigest"] = td
+        else:
+            cat = CategoricalCounts()
+            if len(col):
+                vc = pc.value_counts(col)
+                cat.add(vc.field("values").to_pylist(), vc.field("counts").to_pylist())
+            entry["cat"] = cat
+        res = compare_profiles(self.base, entry, self.spec)
+        return pa.table({
+            "rows": pa.array([batch.num_rows], type=pa.int64()),
+            "metric": pa.array([res["metric"]]),
+            "distance": pa.array([float(res["distance"])], type=pa.float64()),
+            "passed": pa.array([bool(res["passed"])], type=pa.bool_()),
+        })
+
+
+def drift_by_batch(ds, spec: DriftSpec, batch_size: int = 8192, concurrency=(1, 8)):
+    """Per-batch drift stream via a DriftComparator actor pool; baseline
+    broadcast with ``ray.put`` once. Returns a Dataset of
+    (rows, metric, distance, passed) — one row per batch."""
+    import ray as _ray
+
+    baseline_ref = _ray.put(load_profile(spec.baseline_path))
+    return ds.select_columns([spec.column]).map_batches(
+        DriftComparator, fn_constructor_args=(baseline_ref, spec),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )

@@ -124,3 +124,27 @@ models:
     c = [c for c in run.checks if c.type == "distribution_drift"][0]
     assert c.result == ResultEnum.failed
     assert c.diagnostics["distance"] > 0.3
+
+
+def test_drift_by_batch_actor_pool(ray_session):
+    """Per-batch streaming drift via the DriftComparator actor pool."""
+    import pyarrow as pa
+
+    from raycontract.stages.drift import drift_by_batch
+
+    rng = np.random.default_rng(21)
+    base = _num_ds(rng.normal(0, 1, 6000))
+    path = os.path.join(tempfile.mkdtemp(), "b.parquet")
+    save_profile(profile_dataset(base, ["x"]), path)
+    spec = DriftSpec("k", "x", path, max_ks=0.15)
+
+    # first half clean, second half shifted → per-batch stream localizes it
+    vals = np.concatenate([rng.normal(0, 1, 8192), rng.normal(2.5, 1, 8192)])
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)}))
+    rows = drift_by_batch(ds, spec, batch_size=8192).take_all()
+    assert len(rows) == 2
+    assert sum(r["rows"] for r in rows) == 16384
+    dists = sorted(r["distance"] for r in rows)
+    assert dists[0] < 0.15          # clean batch passes
+    assert dists[1] > 0.5           # shifted batch flagged
+    assert [r["passed"] for r in sorted(rows, key=lambda r: r["distance"])] == [True, False]
