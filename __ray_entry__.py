@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_documents": q.minhash_pairs_documents,
         "simhash_pairs_documents": q.simhash_pairs_documents,
         "ngram_jaccard_documents": q.ngram_jaccard_documents,
+        "dup_clusters_documents": q.dup_clusters_documents,
+        "heavy_hitters_sketch_events": q.heavy_hitters_sketch_events,
         # similarity search
         "knn_cosine_embeddings": q.knn_cosine_embeddings,
         "lsh_knn_embeddings": q.lsh_knn_embeddings,
@@ -89,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": q.events_hourly_sql(),
         "sessionize_events": q.sessionize_events_sql(),
         "heavy_hitters_users": q.heavy_hitters_users_sql(),
+        "heavy_hitters_sketch_events": q.heavy_hitters_sketch_events_sql(),
         "dedup_exact_documents": q.dedup_exact_documents_sql(),
         "dedup_prefix_documents": q.dedup_prefix_documents_sql(),
         "neardup_cosine_embeddings": q.neardup_cosine_embeddings_sql(),

@@ -529,6 +529,29 @@ def minhash_pairs_documents(sf_dir: str):
                              "text", "doc_id", threshold=0.5)
 
 
+def dup_clusters_documents(sf_dir: str):
+    """Near-dup clusters: minhash-LSH pairs → connected components."""
+    from raycontract.pipelines.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                              "text", "doc_id", threshold=0.5)
+    return connected_components(pairs)
+
+
+def heavy_hitters_sketch_events(sf_dir: str) -> pa.Table:
+    """Misra-Gries sketch + verified-exact pass (shuffle-free heavy hitters)."""
+    from raycontract.pipelines.relational import approx_heavy_hitters
+
+    top = approx_heavy_hitters(_read(sf_dir, "events", ["event_type"]), "event_type", k=5)
+    return pa.table({"event_type": pa.array([v for v, _ in top]),
+                     "n_events": pa.array([c for _, c in top], type=pa.int64())})
+
+
+def heavy_hitters_sketch_events_sql() -> str:
+    return ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events FROM events "
+            "GROUP BY event_type ORDER BY n_events DESC, event_type LIMIT 5")
+
+
 def simhash_pairs_documents(sf_dir: str):
     from raycontract.pipelines.dedup import simhash_pairs
 
