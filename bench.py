@@ -122,11 +122,15 @@ servers:
 
     # ~8 blocks per CPU balances dispatch overhead against straggler smoothing
     # (grid-searched in BASELINE.md); 2048-row batches amortize per-batch
-    # Python costs at ~4KB/image
-    t0 = time.time()
-    run = DataContract(data_contract_str=contract).test(
-        override_num_blocks=8 * ncpu, batch_size=2048)
-    headline = time.time() - t0
+    # Python costs at ~4KB/image. Two timed runs, min reported: the shared
+    # host's CPU-steal storms inflate single runs up to 3x (BASELINE.md).
+    headline_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        run = DataContract(data_contract_str=contract).test(
+            override_num_blocks=8 * ncpu, batch_size=2048)
+        headline_runs.append(time.time() - t0)
+    headline = min(headline_runs)
     assert run.result.value in ("passed", "failed"), run.result
     n_checks = len(run.checks)
 
@@ -157,12 +161,16 @@ servers:
         "num_cpus": ncpu,
         "images": N_IMAGES,
         "images_per_sec": round(N_IMAGES / headline, 1),
+        "headline_runs_sec": [round(h, 3) for h in headline_runs],
         "checks": n_checks,
         "run_result": run.result.value,
     }
     ray.shutdown()
+    # single-process kernel rate at this moment — lets any reader normalize
+    # the headline against current host conditions (peak ≈ 4700-5600 img/s)
+    out["calib_1proc_img_per_sec"] = round(machine_calibration(1), 1)
     if os.environ.get("RAY_GRAFT_CALIBRATE"):
-        # same-moment machine capacity for this worker count (no Ray)
+        # multi-worker machine capacity for the scaling report
         out["calib_img_per_sec"] = round(machine_calibration(max(2, ncpu - 2)), 1)
     return out
 
