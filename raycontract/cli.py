@@ -89,7 +89,7 @@ def main(argv=None) -> int:
 
     pe = sub.add_parser("export", help="export the contract to another format")
     pe.add_argument("contract")
-    pe.add_argument("--format", required=True, choices=["sodacl", "jsonschema"])
+    pe.add_argument("--format", required=True, choices=["sodacl", "jsonschema", "avro"])
 
     pi = sub.add_parser("import", help="infer a contract from a data file")
     pi.add_argument("--format", required=True, choices=["parquet", "csv", "odcs"])
@@ -128,6 +128,10 @@ def main(argv=None) -> int:
             from raycontract.export.sodacl import export_sodacl
 
             print(export_sodacl(spec))
+        elif args.format == "avro":
+            from raycontract.export.avro import export_avro
+
+            print(export_avro(spec))
         else:
             import json
 

@@ -287,3 +287,35 @@ def test_odcs_import_and_autodetect():
     keys = {c.key for c in plan.checks}
     assert "orders_tbl__order_id__field_unique" in keys
     assert "orders_tbl__amount__field_minimum" in keys
+
+
+def test_avro_export():
+    from raycontract.export.avro import export_avro
+    import json as _json
+
+    spec = DataContractSpecification.from_string("""
+id: av
+models:
+  orders:
+    fields:
+      order_id: {type: string, required: true}
+      amount: {type: decimal, precision: 10, scale: 2}
+      created: {type: timestamp}
+      tags:
+        type: array
+        items: {type: string}
+      meta:
+        type: object
+        fields:
+          k: {type: long, required: true}
+""")
+    schema = _json.loads(export_avro(spec))
+    assert schema["type"] == "record" and schema["name"] == "orders"
+    by = {f["name"]: f for f in schema["fields"]}
+    assert by["order_id"]["type"] == "string"  # required → no null union
+    assert by["amount"]["type"][0] == "null"
+    assert by["amount"]["type"][1]["logicalType"] == "decimal"
+    assert by["created"]["type"][1]["logicalType"] == "timestamp-millis"
+    assert by["tags"]["type"][1]["type"] == "array"
+    assert by["meta"]["type"][1]["type"] == "record"
+    assert by["meta"]["type"][1]["fields"][0]["name"] == "k"
