@@ -99,103 +99,131 @@ def _compile_model(
         mp.format = server.format or "parquet"
     check_types = is_check_types(server)
 
-    for fname, f in model.fields.items():
-        key = lambda t: f"{model_key}__{fname}__{t}"  # noqa: E731  (ref key format :106)
+    # Check keys must be UNIQUE per (model, field): exclusiveMinimum and
+    # exclusiveMaximum both emit a field_not_equal spec (ref :48-53), and a
+    # shared key would make the per-batch partial dict and the verdict fold
+    # overwrite one spec with the other (a row equal to exclusiveMinimum then
+    # false-PASSes). Collisions get an ordinal suffix: field_not_equal,
+    # field_not_equal_2, ...
+    used_keys: dict[str, int] = {}
 
-        _add_check(plan, key=key("field_is_present"), category="schema", type="field_is_present",
+    for fname, f in model.fields.items():
+        def key(t: str) -> str:
+            base = f"{model_key}__{fname}__{t}"  # ref key format :106
+            n = used_keys.get(base, 0) + 1
+            used_keys[base] = n
+            return base if n == 1 else f"{base}_{n}"
+
+        k = key("field_is_present")
+        _add_check(plan, key=k, category="schema", type="field_is_present",
                    name=f"Check that field '{fname}' is present", model=model_key, field=fname)
-        mp.schema_checks.append(SchemaCheckSpec(key("field_is_present"), "present", fname))
+        mp.schema_checks.append(SchemaCheckSpec(k, "present", fname))
 
         if check_types and f.type is not None:
             expected = str(contract_field_to_arrow(f))
-            _add_check(plan, key=key("field_type"), category="schema", type="field_type",
+            k = key("field_type")
+            _add_check(plan, key=k, category="schema", type="field_type",
                        name=f"Check that field {fname} has type {expected}", model=model_key, field=fname)
-            mp.schema_checks.append(SchemaCheckSpec(key("field_type"), "type", fname, expected))
+            mp.schema_checks.append(SchemaCheckSpec(k, "type", fname, expected))
 
         if f.required:
-            _add_check(plan, key=key("field_required"), category="schema", type="field_required",
+            k = key("field_required")
+            _add_check(plan, key=k, category="schema", type="field_required",
                        name=f"Check that field {fname} has no missing values", model=model_key, field=fname)
-            mp.constraints.append(ConstraintSpec(key("field_required"), "not_null", fname))
+            mp.constraints.append(ConstraintSpec(k, "not_null", fname))
 
         if f.unique:
-            _add_check(plan, key=key("field_unique"), category="schema", type="field_unique",
+            k = key("field_unique")
+            _add_check(plan, key=k, category="schema", type="field_unique",
                        name=f"Check that unique field {fname} has no duplicate values",
                        model=model_key, field=fname)
             by_hash = (f.type == "bytes") or bool(f.config.get("uniqueByContentHash"))
-            mp.uniques.append(UniqueSpec(key("field_unique"), fname, by_content_hash=by_hash))
+            mp.uniques.append(UniqueSpec(k, fname, by_content_hash=by_hash))
 
         if f.minLength is not None:
-            _add_check(plan, key=key("field_min_length"), category="schema", type="field_min_length",
+            k = key("field_min_length")
+            _add_check(plan, key=k, category="schema", type="field_min_length",
                        name=f"Check that field {fname} has a min length of {f.minLength}",
                        model=model_key, field=fname)
-            mp.constraints.append(ConstraintSpec(key("field_min_length"), "min_length", fname, (f.minLength,)))
+            mp.constraints.append(ConstraintSpec(k, "min_length", fname, (f.minLength,)))
 
         if f.maxLength is not None:
-            _add_check(plan, key=key("field_max_length"), category="schema", type="field_max_length",
+            k = key("field_max_length")
+            _add_check(plan, key=k, category="schema", type="field_max_length",
                        name=f"Check that field {fname} has a max length of {f.maxLength}",
                        model=model_key, field=fname)
-            mp.constraints.append(ConstraintSpec(key("field_max_length"), "max_length", fname, (f.maxLength,)))
+            mp.constraints.append(ConstraintSpec(k, "max_length", fname, (f.maxLength,)))
 
         if f.minimum is not None:
-            _add_check(plan, key=key("field_minimum"), category="schema", type="field_minimum",
+            k = key("field_minimum")
+            _add_check(plan, key=k, category="schema", type="field_minimum",
                        name=f"Check that field {fname} has a minimum of {f.minimum}",
                        model=model_key, field=fname)
-            mp.constraints.append(ConstraintSpec(key("field_minimum"), "minimum", fname, (f.minimum,)))
+            mp.constraints.append(ConstraintSpec(k, "minimum", fname, (f.minimum,)))
 
         if f.maximum is not None:
-            _add_check(plan, key=key("field_maximum"), category="schema", type="field_maximum",
+            k = key("field_maximum")
+            _add_check(plan, key=k, category="schema", type="field_maximum",
                        name=f"Check that field {fname} has a maximum of {f.maximum}",
                        model=model_key, field=fname)
-            mp.constraints.append(ConstraintSpec(key("field_maximum"), "maximum", fname, (f.maximum,)))
+            mp.constraints.append(ConstraintSpec(k, "maximum", fname, (f.maximum,)))
 
         # exclusive bounds = bound + not_equal pair (ref :48-53)
         if f.exclusiveMinimum is not None:
-            _add_check(plan, key=key("field_minimum"), category="schema", type="field_minimum",
+            k = key("field_minimum")
+            _add_check(plan, key=k, category="schema", type="field_minimum",
                        name=f"Check that field {fname} has a minimum of {f.exclusiveMinimum}",
                        model=model_key, field=fname)
-            mp.constraints.append(ConstraintSpec(key("field_minimum"), "minimum", fname, (f.exclusiveMinimum,)))
-            _add_check(plan, key=key("field_not_equal"), category="schema", type="field_not_equal",
+            mp.constraints.append(ConstraintSpec(k, "minimum", fname, (f.exclusiveMinimum,)))
+            k = key("field_not_equal")
+            _add_check(plan, key=k, category="schema", type="field_not_equal",
                        name=f"Check that field {fname} is not equal to {f.exclusiveMinimum}",
                        model=model_key, field=fname)
-            mp.constraints.append(ConstraintSpec(key("field_not_equal"), "not_equal", fname, (f.exclusiveMinimum,)))
+            mp.constraints.append(ConstraintSpec(k, "not_equal", fname, (f.exclusiveMinimum,)))
         if f.exclusiveMaximum is not None:
-            _add_check(plan, key=key("field_maximum"), category="schema", type="field_maximum",
+            k = key("field_maximum")
+            _add_check(plan, key=k, category="schema", type="field_maximum",
                        name=f"Check that field {fname} has a maximum of {f.exclusiveMaximum}",
                        model=model_key, field=fname)
-            mp.constraints.append(ConstraintSpec(key("field_maximum"), "maximum", fname, (f.exclusiveMaximum,)))
-            _add_check(plan, key=key("field_not_equal"), category="schema", type="field_not_equal",
+            mp.constraints.append(ConstraintSpec(k, "maximum", fname, (f.exclusiveMaximum,)))
+            k = key("field_not_equal")
+            _add_check(plan, key=k, category="schema", type="field_not_equal",
                        name=f"Check that field {fname} is not equal to {f.exclusiveMaximum}",
                        model=model_key, field=fname)
-            mp.constraints.append(ConstraintSpec(key("field_not_equal"), "not_equal", fname, (f.exclusiveMaximum,)))
+            mp.constraints.append(ConstraintSpec(k, "not_equal", fname, (f.exclusiveMaximum,)))
 
         if f.pattern is not None:
-            _add_check(plan, key=key("field_regex"), category="schema", type="field_regex",
+            k = key("field_regex")
+            _add_check(plan, key=k, category="schema", type="field_regex",
                        name=f"Check that field {fname} matches regex pattern {f.pattern}",
                        model=model_key, field=fname)
-            mp.constraints.append(ConstraintSpec(key("field_regex"), "regex", fname, (f.pattern,)))
+            mp.constraints.append(ConstraintSpec(k, "regex", fname, (f.pattern,)))
 
         if f.enum:
-            _add_check(plan, key=key("field_enum"), category="schema", type="field_enum",
+            k = key("field_enum")
+            _add_check(plan, key=k, category="schema", type="field_enum",
                        name=f"Check that field {fname} only contains enum values {f.enum}",
                        model=model_key, field=fname)
-            mp.constraints.append(ConstraintSpec(key("field_enum"), "enum", fname, (tuple(f.enum),)))
+            mp.constraints.append(ConstraintSpec(k, "enum", fname, (tuple(f.enum),)))
 
         if f.format in FORMAT_REGEXES:
-            _add_check(plan, key=key("field_format"), category="schema", type="field_format",
+            k = key("field_format")
+            _add_check(plan, key=k, category="schema", type="field_format",
                        name=f"Check that field {fname} has format {f.format}",
                        model=model_key, field=fname)
             mp.constraints.append(
-                ConstraintSpec(key("field_format"), "format", fname, (FORMAT_REGEXES[f.format],))
+                ConstraintSpec(k, "format", fname, (FORMAT_REGEXES[f.format],))
             )
 
         if f.references:
             ref = f.references
             if "." in ref:
                 pmodel, pfield = ref.split(".", 1)
-                _add_check(plan, key=key("field_references"), category="schema", type="field_references",
+                k = key("field_references")
+                _add_check(plan, key=k, category="schema", type="field_references",
                            name=f"Check that field {fname} references {ref}",
                            model=model_key, field=fname)
-                mp.referentials.append(ReferentialSpec(key("field_references"), fname, pmodel, pfield))
+                mp.referentials.append(ReferentialSpec(k, fname, pmodel, pfield))
 
         # plugin check kinds (raycontract.plugins.register_check): field
         # config {checks: [{kind, args}]} — same compile/execute path as

@@ -45,8 +45,23 @@ def read_model(
     if override_num_blocks is not None:
         kwargs["override_num_blocks"] = override_num_blocks
 
-    if fmt in ("parquet", "lance", "delta"):
+    if fmt in ("parquet", "lance"):
         return rd.read_parquet(path, columns=columns, **kwargs)
+    if fmt == "delta":
+        # A Delta table directory contains tombstoned/compacted parquet files
+        # not in the current snapshot — a bare read_parquet over the directory
+        # would double-count rows. Resolve the ACTIVE file list from the
+        # _delta_log transaction log (public Delta protocol: ordered JSON
+        # commits with add/remove actions, optional parquet checkpoint).
+        files = _delta_active_files(path)
+        if files is None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "format 'delta' but no _delta_log at %s; reading as plain parquet "
+                "(tombstoned files, if any, WILL be double-counted)", path)
+            return rd.read_parquet(path, columns=columns, **kwargs)
+        return rd.read_parquet(files, columns=columns, **kwargs)
     if fmt == "csv":
         import pyarrow.csv as pacsv
 
@@ -70,3 +85,67 @@ def read_model(
         ds = rd.read_json(path, **kwargs)
         return ds.select_columns(columns) if columns else ds
     raise ValueError(f"unsupported server format: {fmt!r}")
+
+
+def _delta_active_files(table_path: str) -> Optional[list[str]]:
+    """Snapshot file list from a Delta transaction log, or None if there is
+    no ``_delta_log`` directory.
+
+    Implements the minimal public Delta protocol reader: start from the last
+    parquet checkpoint named in ``_last_checkpoint`` (if any), then replay the
+    ordered JSON commit files, applying ``add`` / ``remove`` actions. The
+    reference reads delta through DuckDB's delta scan
+    (``engines/soda/connections/duckdb_connection.py:64-66``); semantics here
+    are the same snapshot resolution.
+    """
+    import json
+    import os
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        return None
+
+    active: set[str] = set()
+    start_version = -1
+
+    ckpt_info = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(ckpt_info):
+        import pyarrow.parquet as pq
+
+        with open(ckpt_info) as f:
+            meta = json.load(f)
+        v = int(meta["version"])
+        parts = int(meta.get("parts", 0) or 0)
+        if parts:
+            ckpts = [os.path.join(log_dir, f"{v:020d}.checkpoint.{p:010d}.{parts:010d}.parquet")
+                     for p in range(1, parts + 1)]
+        else:
+            ckpts = [os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")]
+        for cp in ckpts:
+            t = pq.read_table(cp)
+            if "add" in t.column_names:
+                for a in t.column("add").to_pylist():
+                    if a and a.get("path"):
+                        active.add(a["path"])
+            if "remove" in t.column_names:
+                for r in t.column("remove").to_pylist():
+                    if r and r.get("path"):
+                        active.discard(r["path"])
+        start_version = v
+
+    commits = sorted(
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:20].isdigit() and int(f[:20]) > start_version
+    )
+    for name in commits:
+        with open(os.path.join(log_dir, name)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action and action["add"].get("path"):
+                    active.add(action["add"]["path"])
+                elif "remove" in action and action["remove"].get("path"):
+                    active.discard(action["remove"]["path"])
+    return sorted(os.path.join(table_path, p) for p in active)

@@ -101,7 +101,7 @@ def _driver_fold_all(tables: list[pa.Table], unique_specs, max_samples: int):
             stats_parts.append(d["stats"])
             if "image" in d:
                 image_parts.append(d["image"])
-    stats = merge_partials(stats_parts)
+    stats = merge_partials(stats_parts, max_samples=max_samples)
 
     image_agg = None
     if image_parts:
@@ -173,6 +173,9 @@ def _distributed_dup_fold(fused, max_samples: int, num_buckets: int = 16) -> dic
     Dataset groupby's sort machinery costs 10-100× the data (measured in
     BASELINE.md); keys are uniform 64-bit hashes so buckets are balanced."""
     import ray as _ray
+
+    # bucketing masks with (B-1): only balanced when B is a power of two
+    num_buckets = 1 << (num_buckets - 1).bit_length()
 
     @_ray.remote(num_returns=num_buckets)
     def split(tbl: pa.Table, B: int):
@@ -298,7 +301,7 @@ def run_fused_pass(
             stats_parts.append(d["stats"])
             if "image" in d:
                 image_parts.append(d["image"])
-        stats.update(merge_partials(stats_parts))
+        stats.update(merge_partials(stats_parts, max_samples=max_samples))
         if image_parts:
             agg = {"row_count": 0, "invalid_count": 0, "samples": []}
             counters: dict[str, int] = {}

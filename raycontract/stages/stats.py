@@ -195,8 +195,13 @@ def _sample_repr(v: Any, max_len: int = 80) -> str:
     return s if len(s) <= max_len else s[: max_len - 1] + "…"
 
 
-def merge_partials(payloads: list[bytes]) -> dict[str, Any]:
-    """Driver-side fold of the per-batch partials (tiny; O(blocks))."""
+def merge_partials(payloads: list[bytes], max_samples: int = 20) -> dict[str, Any]:
+    """Driver-side fold of the per-batch partials (tiny; O(blocks)).
+
+    ``max_samples`` caps merged violation samples per check — threaded from
+    the CLI's ``--max-errors`` (≅ the reference's DATACONTRACT_MAX_ERRORS
+    convention), not a hardcoded literal.
+    """
     from raycontract.functions.sketches import (
         CategoricalCounts,
         Histogram,
@@ -232,8 +237,8 @@ def merge_partials(payloads: list[bytes]) -> dict[str, Any]:
         for key, e in p["checks"].items():
             m = merged["checks"].setdefault(key, {"invalid": 0, "samples": []})
             m["invalid"] += e["invalid"]
-            if len(m["samples"]) < 20:
-                m["samples"].extend(e["samples"][: 20 - len(m["samples"])])
+            if len(m["samples"]) < max_samples:
+                m["samples"].extend(e["samples"][: max_samples - len(m["samples"])])
     for (col, skey), sk in sketches.items():
         merged["columns"][col][skey] = sk
     return merged
@@ -263,4 +268,4 @@ def run_stats_pass(
         **kwargs,
     )
     rows = stats_ds.take_all()
-    return merge_partials([r["payload"] for r in rows])
+    return merge_partials([r["payload"] for r in rows], max_samples=max_samples)
