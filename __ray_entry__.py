@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "status_distribution_orders": q.status_distribution_orders,
         "freshness_retention_events": q.freshness_retention_events,
         "row_counts": q.row_counts,
+        "nested_violations_orders": q.nested_violations_orders,
         # uniqueness / distinct (shuffle + sketch paths)
         "distinct_counts": q.distinct_counts,
         "duplicate_user_events": q.duplicate_user_events_q,
@@ -84,6 +85,7 @@ def oracle_sql() -> dict[str, str]:
         "status_distribution_orders": q.status_distribution_orders_sql(),
         "freshness_retention_events": q.freshness_retention_events_sql(),
         "row_counts": q.row_counts_sql(),
+        "nested_violations_orders": q.nested_violations_orders_sql(),
         "distinct_counts": q.distinct_counts_sql(),
         "duplicate_user_events": q.duplicate_user_events_sql(),
         "pricing_summary": q.pricing_summary_sql(),

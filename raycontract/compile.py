@@ -247,6 +247,13 @@ def _compile_model(
         if f.quality:
             _compile_quality_list(plan, mp, model_key, fname, f.quality)
 
+        # nested-field constraints: struct children (f.fields) and array
+        # items (f.items), recursively — executed as flattened Arrow kernels
+        # (reference validates these through its JSON engine:
+        # export/jsonschema_converter.py:34-94 nested properties,
+        # engines/fastjsonschema/check_jsonschema.py:87-111)
+        _walk_nested_constraints(plan, mp, model_key, fname, f, (), used_keys)
+
     if model.quality:
         _compile_quality_list(plan, mp, model_key, None, model.quality)
 
@@ -283,6 +290,79 @@ def _compile_model(
             )
 
     return mp
+
+
+def _nested_display(top: str, path: tuple) -> str:
+    out = top
+    for step in path:
+        out += "[]" if step == "[]" else f".{step}"
+    return out
+
+
+def _walk_nested_constraints(plan, mp: ModelPlan, model_key: str, top: str,
+                             f: Field, path: tuple, used_keys: dict) -> None:
+    for child_name, cf in (f.fields or {}).items():
+        cpath = path + (child_name,)
+        _emit_nested_constraints(plan, mp, model_key, top, cf, cpath, used_keys)
+        _walk_nested_constraints(plan, mp, model_key, top, cf, cpath, used_keys)
+    if f.items is not None:
+        ipath = path + ("[]",)
+        _emit_nested_constraints(plan, mp, model_key, top, f.items, ipath, used_keys)
+        _walk_nested_constraints(plan, mp, model_key, top, f.items, ipath, used_keys)
+
+
+def _emit_nested_constraints(plan, mp: ModelPlan, model_key: str, top: str,
+                             f: Field, path: tuple, used_keys: dict) -> None:
+    """Same constraint surface as top-level fields, compiled with an access
+    path (struct_field / list-flatten at execution time)."""
+    display = _nested_display(top, path)
+
+    def key(t: str) -> str:
+        base = f"{model_key}__{display}__{t}"
+        n = used_keys.get(base, 0) + 1
+        used_keys[base] = n
+        return base if n == 1 else f"{base}_{n}"
+
+    def emit(check_type: str, kind: str, args: tuple, name: str):
+        k = key(check_type)
+        _add_check(plan, key=k, category="schema", type=check_type, name=name,
+                   model=model_key, field=display)
+        mp.constraints.append(ConstraintSpec(k, kind, top, args, path=path))
+
+    if f.required:
+        emit("field_required", "not_null", (),
+             f"Check that nested field {display} has no missing values")
+    if f.minLength is not None:
+        emit("field_min_length", "min_length", (f.minLength,),
+             f"Check that nested field {display} has a min length of {f.minLength}")
+    if f.maxLength is not None:
+        emit("field_max_length", "max_length", (f.maxLength,),
+             f"Check that nested field {display} has a max length of {f.maxLength}")
+    if f.minimum is not None:
+        emit("field_minimum", "minimum", (f.minimum,),
+             f"Check that nested field {display} has a minimum of {f.minimum}")
+    if f.maximum is not None:
+        emit("field_maximum", "maximum", (f.maximum,),
+             f"Check that nested field {display} has a maximum of {f.maximum}")
+    if f.exclusiveMinimum is not None:
+        emit("field_minimum", "minimum", (f.exclusiveMinimum,),
+             f"Check that nested field {display} has a minimum of {f.exclusiveMinimum}")
+        emit("field_not_equal", "not_equal", (f.exclusiveMinimum,),
+             f"Check that nested field {display} is not equal to {f.exclusiveMinimum}")
+    if f.exclusiveMaximum is not None:
+        emit("field_maximum", "maximum", (f.exclusiveMaximum,),
+             f"Check that nested field {display} has a maximum of {f.exclusiveMaximum}")
+        emit("field_not_equal", "not_equal", (f.exclusiveMaximum,),
+             f"Check that nested field {display} is not equal to {f.exclusiveMaximum}")
+    if f.pattern is not None:
+        emit("field_regex", "regex", (f.pattern,),
+             f"Check that nested field {display} matches regex pattern {f.pattern}")
+    if f.enum:
+        emit("field_enum", "enum", (tuple(f.enum),),
+             f"Check that nested field {display} only contains enum values {f.enum}")
+    if f.format in FORMAT_REGEXES:
+        emit("field_format", "format", (FORMAT_REGEXES[f.format],),
+             f"Check that nested field {display} has format {f.format}")
 
 
 def _threshold_of(q: Quality) -> Optional[tuple]:

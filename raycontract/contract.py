@@ -216,7 +216,15 @@ class DataContractSpecification:
     quality: Optional[dict] = None  # deprecated root quality (SodaCL passthrough subset)
 
     @staticmethod
-    def from_dict(d: dict) -> "DataContractSpecification":
+    def from_dict(d: dict, validate: bool = False) -> "DataContractSpecification":
+        if validate:
+            # JSON-Schema-shaped structural gate BEFORE hydration
+            # (≅ reference lint/resolve.py:283-305; the reference applies it
+            # at resolve time inside test/lint, not in the spec class — same
+            # here: DataContract.test()/lint() validate, from_dict is lazy)
+            from raycontract.schema_validate import validate_contract_dict
+
+            validate_contract_dict(d)
         d = _inline_refs(d)
         spec = DataContractSpecification()
         spec.dataContractSpecification = d.get("dataContractSpecification")
@@ -235,7 +243,7 @@ class DataContractSpecification:
         return spec
 
     @staticmethod
-    def from_string(text: str) -> "DataContractSpecification":
+    def from_string(text: str, validate: bool = False) -> "DataContractSpecification":
         d = yaml.safe_load(text)
         # ODCS v3 auto-detect ≅ reference resolve.py:248-252
         if isinstance(d, dict):
@@ -243,12 +251,12 @@ class DataContractSpecification:
 
             if is_odcs(d):
                 return import_odcs_from_dict(d)
-        return DataContractSpecification.from_dict(d)
+        return DataContractSpecification.from_dict(d, validate=validate)
 
     @staticmethod
-    def from_file(path: str) -> "DataContractSpecification":
+    def from_file(path: str, validate: bool = False) -> "DataContractSpecification":
         with open(path) as fh:
-            return DataContractSpecification.from_string(fh.read())
+            return DataContractSpecification.from_string(fh.read(), validate=validate)
 
 
 def _inline_refs(d: dict) -> dict:
@@ -294,15 +302,35 @@ class DataContract:
         data_contract: Optional[DataContractSpecification] = None,
         server: Optional[str] = None,
     ):
+        self.raw_dict: Optional[dict] = None  # kept for schema validation at
+        #                                       test()/lint() time (≅ resolve)
         if data_contract is not None:
             self.spec = data_contract
         elif data_contract_str is not None:
+            d = yaml.safe_load(data_contract_str)
+            if isinstance(d, dict):
+                self.raw_dict = d
             self.spec = DataContractSpecification.from_string(data_contract_str)
         elif data_contract_file is not None:
-            self.spec = DataContractSpecification.from_file(data_contract_file)
+            with open(data_contract_file) as fh:
+                text = fh.read()
+            d = yaml.safe_load(text)
+            if isinstance(d, dict):
+                self.raw_dict = d
+            self.spec = DataContractSpecification.from_string(text)
         else:
             raise ValueError("one of data_contract_file/str/spec required")
         self.server_name = server
+
+    def validate_schema(self) -> None:
+        """Raise ContractValidationError if the raw document violates the DCS
+        structural schema (no-op for programmatically built specs)."""
+        if self.raw_dict is not None:
+            from raycontract.imports.odcs import is_odcs
+            from raycontract.schema_validate import validate_contract_dict
+
+            if not is_odcs(self.raw_dict):
+                validate_contract_dict(self.raw_dict)
 
     def get_server(self) -> Optional[Server]:
         """First server or the named one (ref engines/data_contract_test.py:35-47)."""
@@ -322,4 +350,4 @@ class DataContract:
     def lint(self):
         from raycontract.lint import lint_spec
 
-        return lint_spec(self.spec)
+        return lint_spec(self.spec, raw_dict=self.raw_dict)

@@ -26,7 +26,7 @@ import ray.data as rd
 from raycontract.contract import DataContract, DataContractSpecification
 from raycontract.compile import compile_contract, evaluate_threshold
 from raycontract.plans import ModelPlan, ValidationPlan
-from raycontract.result import Check, ResultEnum, Run
+from raycontract.result import Check, ResultEnum, Run, new_check_id
 from raycontract.sources.readers import read_model
 from raycontract.stages.stats import run_stats_pass  # noqa: F401 (public engine API)
 from raycontract.types import arrow_type_matches
@@ -58,6 +58,22 @@ def validate(
     read from the contract's server definition.
     """
     dc = _as_contract(contract, server)
+    # structural schema gate ≅ reference resolve-time validation
+    # (lint/resolve.py:283-305): malformed contract → failed run with the
+    # reference's check shape, nothing executed
+    from raycontract.schema_validate import ContractValidationError
+
+    try:
+        dc.validate_schema()
+    except ContractValidationError as e:
+        run = Run.create_run()
+        run.dataContractId = dc.spec.id
+        run.checks = [Check(id=new_check_id(), key="lint__schema", category="lint",
+                            type="lint", name=e.name, engine="raycontract",
+                            result=ResultEnum.failed, reason=e.reason)]
+        run.finish()
+        return run
+
     plan = compile_contract(dc.spec, dc.get_server())
     run = Run.create_run()
     run.dataContractId = dc.spec.id
@@ -226,6 +242,14 @@ def _model_thunks(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, max_
     for spec in missing_constraints:
         _set_error(by_key.get(spec.check_key, []), f"column {spec.column} not present")
     live_constraints = [c for c in mp.constraints if c.column in actual]
+    # nested constraints also need the struct/list path to exist physically
+    bad_paths = [c for c in live_constraints
+                 if c.path and not _path_in_type(actual[c.column], c.path)]
+    for spec in bad_paths:
+        _set_error(by_key.get(spec.check_key, []),
+                   f"nested path {spec.column}{''.join('.' + p for p in spec.path)} "
+                   f"not present in physical type {actual[spec.column]}")
+    live_constraints = [c for c in live_constraints if c not in bad_paths]
     # unknown kinds (unregistered plugins) error their check, not the pass
     _BUILTIN_KINDS = {"not_null", "min_length", "max_length", "minimum", "maximum",
                       "not_equal", "enum", "regex", "format"}
@@ -423,6 +447,26 @@ def _model_thunks(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, max_
             thunks.append((f"{mp.model_name}:drift:{d.column}", checks, drift_thunk))
 
     return thunks
+
+
+def _path_in_type(t, path: tuple) -> bool:
+    """Does the nested access path exist in the physical Arrow type?"""
+    import pyarrow as pa
+
+    for step in path:
+        if step == "[]":
+            if not (pa.types.is_list(t) or pa.types.is_large_list(t)
+                    or pa.types.is_fixed_size_list(t)):
+                return False
+            t = t.value_type
+        else:
+            if not pa.types.is_struct(t):
+                return False
+            idx = t.get_field_index(step)
+            if idx < 0:
+                return False
+            t = t.field(idx).type
+    return True
 
 
 def _age_seconds(now: datetime, bound) -> float:

@@ -287,6 +287,68 @@ def freshness_retention_events_sql() -> str:
             "CAST(count(*) AS BIGINT) AS n FROM events")
 
 
+NESTED_CONTRACT = """
+dataContractSpecification: 1.1.0
+id: nested-orders
+info: {title: nested orders, version: 1.0.0}
+models:
+  orders2:
+    primaryKey: [o_orderkey]
+    fields:
+      o_orderkey: {type: long, required: true}
+      info:
+        type: object
+        fields:
+          status: {type: string, enum: [O, F], required: true}
+          price: {type: double, minimum: 1000}
+"""
+
+_NESTED_KEYS = ["orders2__info.price__field_minimum",
+                "orders2__info.status__field_enum",
+                "orders2__info.status__field_required"]
+
+
+def nested_violations_orders(sf_dir: str) -> pa.Table:
+    """Nested-field constraint execution (struct children) with a DuckDB
+    oracle: orders columns are packed into a struct and validated through the
+    flattened-Arrow nested kernels; the oracle computes the same counts from
+    the flat columns."""
+    from raycontract import DataContract
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def nest(batch: pa.Table) -> pa.Table:
+        info = pc.make_struct(batch["o_orderstatus"].combine_chunks(),
+                              batch["o_totalprice"].combine_chunks(),
+                              field_names=["status", "price"])
+        return pa.table({"o_orderkey": batch["o_orderkey"], "info": info})
+
+    nested = ds.map_batches(nest, batch_format="pyarrow")
+    run = DataContract(data_contract_str=NESTED_CONTRACT).test(datasets={"orders2": nested})
+    by = {c.key: c for c in run.checks}
+    keys, invalids = [], []
+    for k in _NESTED_KEYS:
+        d = by[k].diagnostics or {}
+        keys.append(k)
+        invalids.append(int(d.get("invalid_count", d.get("missing_count", 0)) or 0))
+    return pa.table({"check_key": pa.array(keys),
+                     "invalid_count": pa.array(invalids, type=pa.int64())})
+
+
+def nested_violations_orders_sql() -> str:
+    parts = [
+        ("orders2__info.price__field_minimum",
+         "count(*) FILTER (WHERE o_totalprice < 1000)"),
+        ("orders2__info.status__field_enum",
+         "count(*) FILTER (WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F'))"),
+        ("orders2__info.status__field_required",
+         "count(*) FILTER (WHERE o_orderstatus IS NULL)"),
+    ]
+    return " UNION ALL ".join(
+        f"SELECT '{k}' AS check_key, CAST({expr} AS BIGINT) AS invalid_count FROM orders"
+        for k, expr in parts)
+
+
 # ------------------------------------------------------------- relational
 
 

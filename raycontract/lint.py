@@ -28,9 +28,26 @@ def _warn(findings: list[str], msg: str) -> None:
     findings.append(msg)
 
 
-def lint_spec(spec: DataContractSpecification) -> Run:
+def lint_spec(spec: DataContractSpecification, raw_dict: dict | None = None) -> Run:
     run = Run.create_run()
     run.dataContractId = spec.id
+
+    # structural DCS-schema check (≅ reference resolve-time validation; the
+    # reference hard-fails lint on schema violations — here lint downgrades
+    # them to a warning so the remaining linters still report, while test()
+    # enforces the schema strictly)
+    if raw_dict is not None:
+        from raycontract.schema_validate import ContractValidationError, validate_contract_dict
+
+        c = Check(id=new_check_id(), key="lint__schema", category="lint", type="lint",
+                  name="Check that data contract YAML is valid")
+        try:
+            validate_contract_dict(raw_dict)
+            c.result = ResultEnum.passed
+        except ContractValidationError as e:
+            c.result = ResultEnum.warning
+            c.reason = e.reason
+        run.checks.append(c)
 
     linters = {
         "valid-constraints": _lint_valid_constraints,

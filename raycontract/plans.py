@@ -29,8 +29,13 @@ class ConstraintSpec:
     check_key: str
     kind: str  # not_null | min_length | max_length | minimum | maximum |
     #            not_equal | enum | regex | format
-    column: str
+    column: str  # TOP-LEVEL column the value lives under (scan pruning key)
     args: tuple = ()  # (value,) or (list,) depending on kind
+    # Access path below the top-level column for nested constraints
+    # (reference semantics: export/jsonschema_converter.py:34-94 nested
+    # properties + engines/fastjsonschema/check_jsonschema.py:87-111):
+    # each step is a struct child name, or "[]" = flatten a list level.
+    path: tuple = ()
 
 
 @dataclass(frozen=True)

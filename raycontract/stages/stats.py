@@ -87,12 +87,42 @@ class StatsKernel:
             if fn is not None:
                 self.custom[c.kind] = fn
 
+    # -- nested access: resolve a (struct-child | list-flatten) path under a
+    #    top-level column. Returns (values, parent_row_idx or None,
+    #    immediate_parent_valid or None). parent_row_idx maps each value back
+    #    to its top-level row (pk samples); immediate_parent_valid implements
+    #    JSON-Schema `required` semantics — a child is only "missing" when its
+    #    enclosing object EXISTS (ref check_jsonschema.py:87-111).
+    @staticmethod
+    def _resolve_path(col: pa.ChunkedArray, path: tuple):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        parent_idx: Optional[np.ndarray] = None
+        parent_valid: Optional[np.ndarray] = None
+        for step in path:
+            if step == "[]":
+                lengths = pc.list_value_length(arr).fill_null(0)
+                lengths = np.asarray(lengths, dtype=np.int64)
+                base = parent_idx if parent_idx is not None else np.arange(len(arr))
+                parent_idx = np.repeat(base, lengths)
+                arr = pc.list_flatten(arr)
+                # each element's parent (the list entry) exists by construction
+                parent_valid = None
+            else:
+                parent_valid = np.asarray(arr.is_valid())
+                arr = pc.struct_field(arr, step)
+        return arr, parent_idx, parent_valid
+
     # -- per-constraint invalid masks (NULLs are never invalid except not_null,
     #    matching soda-core's missing/invalid split, ref :164-192 vs :226-447)
-    def _invalid_mask(self, kind: str, col: pa.ChunkedArray, args: tuple):
+    def _invalid_mask(self, kind: str, col: pa.ChunkedArray, args: tuple,
+                      parent_valid: Optional[np.ndarray] = None):
         t = col.type
         if kind == "not_null":
-            return pc.invert(col.is_valid())
+            miss = pc.invert(col.is_valid())
+            if parent_valid is not None:
+                # nested required: only enforced where the enclosing struct exists
+                miss = pc.and_(miss, pa.array(parent_valid))
+            return miss
         if kind in ("min_length", "max_length"):
             if pa.types.is_binary(t) or pa.types.is_large_binary(t):
                 lens = pc.binary_length(col)
@@ -133,8 +163,15 @@ class StatsKernel:
                 self._profile_column(name, col, cstats)
             partial["columns"][name] = cstats
 
+            resolved_cache: dict[tuple, tuple] = {}
             for spec in self.by_column.get(name, ()):
-                mask = self._invalid_mask(spec.kind, col, spec.args)
+                if spec.path:
+                    if spec.path not in resolved_cache:
+                        resolved_cache[spec.path] = self._resolve_path(col, spec.path)
+                    values, parent_idx, parent_valid = resolved_cache[spec.path]
+                else:
+                    values, parent_idx, parent_valid = col, None, None
+                mask = self._invalid_mask(spec.kind, values, spec.args, parent_valid)
                 inv = pc.sum(mask)
                 inv = inv.as_py() if inv.is_valid else 0
                 entry = {"invalid": int(inv or 0), "samples": []}
@@ -144,8 +181,13 @@ class StatsKernel:
                     ) else mask.fill_null(False)
                     idx = np.flatnonzero(np.asarray(filled))[: self.max_samples]
                     take = pa.array(idx, type=pa.int64())
-                    vals = col.take(take).to_pylist()
-                    pks = pk_col.take(take).to_pylist() if pk_col is not None else [None] * len(idx)
+                    vals = (values.take(take) if not isinstance(values, pa.ChunkedArray)
+                            else values.take(take)).to_pylist()
+                    if pk_col is not None:
+                        rows = idx if parent_idx is None else parent_idx[idx]
+                        pks = pk_col.take(pa.array(rows, type=pa.int64())).to_pylist()
+                    else:
+                        pks = [None] * len(idx)
                     entry["samples"] = [
                         (k, _sample_repr(v)) for k, v in zip(pks, vals)
                     ]

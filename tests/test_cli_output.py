@@ -8,6 +8,8 @@ from raycontract.output import console_table, junit_xml, write_results_parquet
 
 CONTRACT = """
 id: c
+dataContractSpecification: 1.1.0
+info: {title: test, version: 1.0.0}
 models:
   m:
     fields:
@@ -70,6 +72,8 @@ def test_violations_full_extraction(ray_session, tmp_path):
 
     spec = DataContractSpecification.from_string("""
 id: v
+dataContractSpecification: 1.1.0
+info: {title: test, version: 1.0.0}
 models:
   m:
     primaryKey: [id]

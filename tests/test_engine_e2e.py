@@ -13,6 +13,7 @@ from raycontract import DataContract, ResultEnum
 CONTRACT = """
 dataContractSpecification: 1.1.0
 id: probe
+info: {title: test, version: 1.0.0}
 models:
   m:
     primaryKey: [id]

@@ -9,6 +9,8 @@ from raycontract.export.sodacl import export_sodacl
 # same contract, our exporter must produce the same YAML structure
 GOLDEN_CONTRACT = """
 dataContractSpecification: 1.1.0
+id: test-contract
+info: {title: test, version: 1.0.0}
 models:
   orders:
     description: test
@@ -122,6 +124,8 @@ def test_sodacl_golden_parity():
 def test_jsonschema_export():
     spec = DataContractSpecification.from_string("""
 id: t
+dataContractSpecification: 1.1.0
+info: {title: test, version: 1.0.0}
 models:
   m:
     fields:
@@ -179,6 +183,8 @@ def test_parquet_import_roundtrip(tmp_path):
 
 OLD = """
 id: t
+dataContractSpecification: 1.1.0
+info: {title: test, version: 1.0.0}
 models:
   m:
     fields:
@@ -188,6 +194,8 @@ models:
 """
 NEW = """
 id: t
+dataContractSpecification: 1.1.0
+info: {title: test, version: 1.0.0}
 models:
   m:
     fields:
@@ -295,6 +303,8 @@ def test_avro_export():
 
     spec = DataContractSpecification.from_string("""
 id: av
+dataContractSpecification: 1.1.0
+info: {title: test, version: 1.0.0}
 models:
   orders:
     fields:

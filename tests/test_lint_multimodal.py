@@ -7,6 +7,8 @@ from raycontract import DataContract, ResultEnum
 def test_lint_clean_contract():
     c = """
 id: ok
+dataContractSpecification: 1.1.0
+info: {title: test, version: 1.0.0}
 models:
   m:
     description: model desc
@@ -21,6 +23,8 @@ models:
 def test_lint_findings_are_warnings():
     c = """
 id: bad
+dataContractSpecification: 1.1.0
+info: {title: test, version: 1.0.0}
 models:
   m:
     fields:

@@ -22,6 +22,8 @@ def make_even_mask():
 
 CONTRACT = """
 id: p
+dataContractSpecification: 1.1.0
+info: {title: test, version: 1.0.0}
 models:
   m:
     primaryKey: [id]

@@ -113,6 +113,8 @@ def test_per_shard_drift_localization(ray_session):
 
     contract = f"""
 id: drift-shards
+dataContractSpecification: 1.1.0
+info: {{title: test, version: 1.0.0}}
 models:
   m:
     primaryKey: [id]

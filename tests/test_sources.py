@@ -12,6 +12,8 @@ from raycontract import DataContract, ResultEnum
 
 CONTRACT_TMPL = """
 id: srv
+dataContractSpecification: 1.1.0
+info: {{title: test, version: 1.0.0}}
 models:
   m:
     fields:

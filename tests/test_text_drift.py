@@ -112,6 +112,8 @@ def test_drift_via_contract(ray_session):
     save_profile(profile_dataset(base, ["v"]), path)
     contract = f"""
 id: driftc
+dataContractSpecification: 1.1.0
+info: {{title: test, version: 1.0.0}}
 models:
   m:
     config:
