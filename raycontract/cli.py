@@ -33,32 +33,107 @@ def _init_ray(num_cpus):
     DataContext.get_current().enable_progress_bars = False
 
 
-def _spec_to_dict(spec) -> dict:
-    """Contract spec → plain YAML-able dict (for `import` output)."""
+INIT_TEMPLATE = """\
+dataContractSpecification: 1.1.0
+id: my-data-contract-id
+info:
+  title: My Data Contract
+  version: 0.0.1
+  description: describe the dataset this contract covers
+servers:
+  local:
+    type: local
+    format: parquet
+    path: "data/{model}.parquet"
+models:
+  my_table:
+    description: one row per entity
+    fields:
+      id:
+        type: long
+        required: true
+        unique: true
+      name:
+        type: string
+        minLength: 1
+      created_at:
+        type: timestamp_ntz
+        required: true
+"""
 
-    def field_d(f):
-        d = {}
-        for k in ("type", "required", "unique", "references", "format", "pattern",
-                  "minLength", "maxLength", "minimum", "maximum", "precision", "scale",
-                  "description"):
-            v = getattr(f, k)
-            if v is not None:
-                d[k] = v
-        if f.fields:
-            d["fields"] = {n: field_d(c) for n, c in f.fields.items()}
-        if f.items is not None:
-            d["items"] = field_d(f.items)
-        return d
 
-    return {
-        "dataContractSpecification": spec.dataContractSpecification,
-        "id": spec.id,
-        "info": {"title": spec.info.title, "version": spec.info.version},
-        "models": {
-            n: {"type": m.type, "fields": {fn: field_d(f) for fn, f in m.fields.items()}}
-            for n, m in spec.models.items()
-        },
-    }
+def render_export(spec, fmt: str, model: str | None = None,
+                  dialect: str | None = None) -> str:
+    """Single dispatch point for every exporter (≅ exporter_factory.create)."""
+    if fmt == "sodacl":
+        from raycontract.export.sodacl import export_sodacl
+
+        return export_sodacl(spec)
+    if fmt == "avro":
+        from raycontract.export.avro import export_avro
+
+        return export_avro(spec)
+    if fmt == "jsonschema":
+        import json
+
+        from raycontract.export.jsonschema import export_jsonschema
+
+        return json.dumps(export_jsonschema(spec), indent=2)
+    if fmt == "sql":
+        from raycontract.export.sql import to_sql_ddl
+
+        return to_sql_ddl(spec, dialect=dialect)
+    if fmt == "sql-query":
+        from raycontract.export.sql import to_sql_query
+
+        m = model or next(iter(spec.models))
+        return to_sql_query(spec, m, dialect=dialect or "duckdb")
+    if fmt == "odcs":
+        from raycontract.export.odcs import export_odcs
+
+        return export_odcs(spec)
+    if fmt == "dcs":
+        from raycontract.export.dcs import export_dcs_yaml
+
+        return export_dcs_yaml(spec)
+    if fmt == "markdown":
+        from raycontract.export.markdown import export_markdown
+
+        return export_markdown(spec)
+    if fmt == "html":
+        from raycontract.export.html import export_html
+
+        return export_html(spec)
+    if fmt == "dbt":
+        from raycontract.export.dbt import to_dbt_models_yaml
+
+        return to_dbt_models_yaml(spec, dialect=dialect or "duckdb")
+    if fmt == "dbt-sources":
+        from raycontract.export.dbt import to_dbt_sources_yaml
+
+        return to_dbt_sources_yaml(spec, dialect=dialect or "duckdb")
+    if fmt == "dbt-staging-sql":
+        from raycontract.export.dbt import to_dbt_staging_sql
+
+        m = model or next(iter(spec.models))
+        return to_dbt_staging_sql(spec, m)
+    if fmt == "pydantic-model":
+        from raycontract.export.pydantic_model import export_pydantic
+
+        return export_pydantic(spec)
+    if fmt == "protobuf":
+        from raycontract.export.protobuf import export_protobuf
+
+        return export_protobuf(spec)
+    if fmt == "spark":
+        from raycontract.export.spark import export_spark
+
+        return export_spark(spec)
+    if fmt == "bigquery":
+        from raycontract.export.bigquery import export_bigquery
+
+        return export_bigquery(spec)
+    raise ValueError(f"unknown export format {fmt!r}")
 
 
 def main(argv=None) -> int:
@@ -89,11 +164,26 @@ def main(argv=None) -> int:
 
     pe = sub.add_parser("export", help="export the contract to another format")
     pe.add_argument("contract")
-    pe.add_argument("--format", required=True, choices=["sodacl", "jsonschema", "avro"])
+    pe.add_argument("--format", required=True, choices=[
+        "sodacl", "jsonschema", "avro", "sql", "sql-query", "odcs", "dcs",
+        "markdown", "html", "dbt", "dbt-sources", "dbt-staging-sql",
+        "pydantic-model", "protobuf", "spark", "bigquery"])
+    pe.add_argument("--model", default=None,
+                    help="model name (required for sql-query/dbt-staging-sql)")
+    pe.add_argument("--dialect", default=None, help="SQL dialect override")
 
-    pi = sub.add_parser("import", help="infer a contract from a data file")
-    pi.add_argument("--format", required=True, choices=["parquet", "csv", "odcs"])
+    pi = sub.add_parser("import", help="infer a contract from a data file / schema")
+    pi.add_argument("--format", required=True,
+                    choices=["parquet", "csv", "odcs", "sql", "avro", "jsonschema",
+                             "bigquery"])
     pi.add_argument("--source", required=True)
+
+    pinit = sub.add_parser("init", help="write a starter data contract YAML")
+    pinit.add_argument("out", nargs="?", default="datacontract.yaml")
+
+    pcat = sub.add_parser("catalog", help="render an HTML catalog for contract files")
+    pcat.add_argument("files", nargs="+")
+    pcat.add_argument("--output", default="catalog")
 
     pb = sub.add_parser("breaking", help="breaking changes between two contract versions")
     pb.add_argument("old")
@@ -124,33 +214,46 @@ def main(argv=None) -> int:
 
     if args.cmd == "export":
         spec = DataContract(data_contract_file=args.contract).spec
-        if args.format == "sodacl":
-            from raycontract.export.sodacl import export_sodacl
-
-            print(export_sodacl(spec))
-        elif args.format == "avro":
-            from raycontract.export.avro import export_avro
-
-            print(export_avro(spec))
-        else:
-            import json
-
-            from raycontract.export.jsonschema import export_jsonschema
-
-            print(json.dumps(export_jsonschema(spec), indent=2))
+        print(render_export(spec, args.format, model=args.model, dialect=args.dialect))
         return 0
 
     if args.cmd == "import":
-        import yaml as _yaml
+        importers = {
+            "parquet": "raycontract.imports.parquet:import_parquet",
+            "csv": "raycontract.imports.csv:import_csv",
+            "odcs": "raycontract.imports.odcs:import_odcs",
+            "sql": "raycontract.imports.sql:import_sql",
+            "avro": "raycontract.imports.avro:import_avro",
+            "jsonschema": "raycontract.imports.jsonschema:import_jsonschema",
+            "bigquery": "raycontract.imports.bigquery:import_bigquery",
+        }
+        import importlib
 
-        if args.format == "parquet":
-            from raycontract.imports.parquet import import_parquet as _imp
-        elif args.format == "odcs":
-            from raycontract.imports.odcs import import_odcs as _imp
-        else:
-            from raycontract.imports.csv import import_csv as _imp
+        mod, fn = importers[args.format].split(":")
+        _imp = getattr(importlib.import_module(mod), fn)
         spec = _imp(args.source)
-        print(_yaml.dump(_spec_to_dict(spec), sort_keys=False))
+        from raycontract.export.dcs import export_dcs_yaml
+
+        print(export_dcs_yaml(spec))
+        return 0
+
+    if args.cmd == "init":
+        import os as _os
+
+        if _os.path.exists(args.out):
+            print(f"refusing to overwrite existing {args.out}")
+            return 1
+        with open(args.out, "w") as fh:
+            fh.write(INIT_TEMPLATE)
+        print(f"wrote {args.out}")
+        return 0
+
+    if args.cmd == "catalog":
+        from raycontract.export.html import build_catalog
+
+        written = build_catalog(args.files, args.output)
+        for w in written:
+            print(w)
         return 0
 
     if args.cmd in ("breaking", "changelog"):

@@ -1,0 +1,304 @@
+"""Round-trip + golden-shape tests for the round-2 exporter/importer batch
+(SQL DDL, Avro, JSON Schema, BigQuery, ODCS, DCS YAML, dbt, markdown/HTML,
+pydantic, protobuf, spark) — mirrors the reference's one-test-per-format
+corpus (tests/test_export_*.py / test_import_*.py)."""
+
+import json
+
+import yaml
+
+from raycontract.contract import DataContractSpecification
+
+CONTRACT = """
+dataContractSpecification: 1.1.0
+id: fmt-rt
+info: {title: Format tests, version: 1.0.0, description: round-trip corpus}
+servers:
+  prod: {type: local, format: parquet, path: "data/{model}.parquet"}
+models:
+  orders:
+    description: one row per order
+    fields:
+      order_id: {type: string, required: true, unique: true, primaryKey: true,
+                 minLength: 8, maxLength: 10, pattern: "^B[0-9]+$"}
+      amount: {type: decimal, precision: 10, scale: 2}
+      status: {type: string, enum: [open, shipped]}
+      n_items: {type: long, minimum: 0}
+      created: {type: timestamp, required: true}
+      day: {type: date}
+      payload: {type: bytes}
+      tags: {type: array, items: {type: string}}
+      address:
+        type: object
+        fields:
+          zip: {type: string, required: true}
+          city: {type: string}
+servicelevels:
+  freshness: {threshold: 24h, timestampField: orders.created}
+  retention: {period: P1Y, timestampField: orders.created}
+"""
+
+
+def spec():
+    return DataContractSpecification.from_string(CONTRACT)
+
+
+# ----------------------------------------------------------------- SQL
+
+
+def test_sql_ddl_duckdb_and_roundtrip():
+    from raycontract.export.sql import to_sql_ddl
+    from raycontract.imports.sql import import_sql
+
+    ddl = to_sql_ddl(spec(), dialect="duckdb")
+    assert "-- SQL Dialect: duckdb" in ddl
+    assert "order_id VARCHAR not null primary key" in ddl
+    assert "amount DECIMAL(10,2)" in ddl
+    assert "created TIMESTAMP WITH TIME ZONE not null" in ddl
+    imp = import_sql(ddl)
+    f = imp.models["orders"].fields
+    assert f["order_id"].type == "string" and f["order_id"].required
+    assert f["order_id"].primaryKey
+    assert f["amount"].type == "decimal" and f["amount"].precision == 10
+    assert f["created"].type == "timestamp" and f["created"].required
+    assert f["day"].type == "date"
+    assert f["payload"].type == "bytes"
+    assert f["tags"].type == "array" and f["tags"].items.type == "string"
+    assert f["address"].type == "object"
+
+
+def test_sql_ddl_dialects():
+    from raycontract.export.sql import to_sql_ddl
+
+    pg = to_sql_ddl(spec(), dialect="postgres")
+    assert "order_id text not null primary key" in pg
+    assert "created timestamptz not null" in pg
+    assert "n_items bigint" in pg
+    sf = to_sql_ddl(spec(), dialect="snowflake")
+    assert "created TIMESTAMP_TZ not null" in sf
+    db = to_sql_ddl(spec(), dialect="databricks")
+    assert "CREATE OR REPLACE TABLE orders" in db
+    assert 'COMMENT "one row per order"' in db
+    my = to_sql_ddl(spec(), dialect="mysql")
+    assert "order_id VARCHAR(10) not null" in my
+
+
+def test_sql_query():
+    from raycontract.export.sql import to_sql_query
+
+    q = to_sql_query(spec(), "orders")
+    assert q.strip().endswith("from orders")
+    assert "    order_id," in q
+
+
+# ---------------------------------------------------------------- Avro
+
+
+def test_avro_roundtrip():
+    from raycontract.export.avro import export_avro
+    from raycontract.imports.avro import import_avro
+
+    avsc = export_avro(spec())
+    imp = import_avro(avsc)
+    f = imp.models["orders"].fields
+    assert f["order_id"].type == "string" and f["order_id"].required
+    assert f["amount"].type == "decimal" and f["amount"].precision == 10
+    assert f["created"].type == "timestamp" and not f["status"].required
+    assert f["day"].type == "date"
+    assert f["tags"].type == "array" and f["tags"].items.type == "string"
+    assert f["address"].type == "object"
+    assert f["address"].fields["zip"].type == "string"
+
+
+# ---------------------------------------------------------- JSON Schema
+
+
+def test_jsonschema_roundtrip():
+    from raycontract.export.jsonschema import export_jsonschema
+    from raycontract.imports.jsonschema import import_jsonschema
+
+    js = json.dumps(export_jsonschema(spec()))
+    imp = import_jsonschema(js, model_name="orders")
+    model = next(iter(imp.models.values()))
+    f = model.fields
+    assert f["order_id"].required and f["order_id"].pattern == "^B[0-9]+$"
+    assert f["order_id"].minLength == 8 and f["order_id"].maxLength == 10
+    assert f["status"].enum == ["open", "shipped"]
+    assert f["n_items"].minimum == 0
+    assert f["created"].type == "timestamp"
+    assert f["address"].type == "object" and f["address"].fields["zip"].required
+
+
+# ------------------------------------------------------------- BigQuery
+
+
+def test_bigquery_roundtrip():
+    from raycontract.export.bigquery import export_bigquery
+    from raycontract.imports.bigquery import import_bigquery
+
+    bq = export_bigquery(spec())
+    doc = json.loads(bq)
+    assert doc["tables"][0]["tableReference"]["tableId"] == "orders"
+    by = {f["name"]: f for f in doc["tables"][0]["schema"]["fields"]}
+    assert by["order_id"]["mode"] == "REQUIRED"
+    assert by["tags"]["mode"] == "REPEATED"
+    assert by["address"]["type"] == "RECORD"
+    imp = import_bigquery(bq)
+    f = imp.models["orders"].fields
+    assert f["order_id"].required and f["tags"].type == "array"
+    assert f["address"].type == "object" and f["amount"].type == "decimal"
+
+
+# ----------------------------------------------------------------- ODCS
+
+
+def test_odcs_roundtrip():
+    from raycontract.export.odcs import export_odcs
+    from raycontract.imports.odcs import import_odcs_from_dict
+
+    doc = yaml.safe_load(export_odcs(spec()))
+    assert doc["kind"] == "DataContract" and doc["apiVersion"].startswith("v3")
+    imp = import_odcs_from_dict(doc)
+    assert "orders" in imp.models
+    f = imp.models["orders"].fields
+    assert f["order_id"].required and f["order_id"].unique
+    assert f["order_id"].minLength == 8 and f["order_id"].pattern == "^B[0-9]+$"
+
+
+# ------------------------------------------------------------- DCS YAML
+
+
+def test_dcs_yaml_roundtrip():
+    from raycontract.export.dcs import export_dcs_yaml
+
+    txt = export_dcs_yaml(spec())
+    back = DataContractSpecification.from_string(txt, validate=True)
+    f = back.models["orders"].fields
+    assert f["order_id"].pattern == "^B[0-9]+$"
+    assert f["address"].fields["zip"].required
+    assert back.servicelevels.freshness.threshold == "24h"
+    assert back.servers["prod"].path == "data/{model}.parquet"
+    # and it still validates + recompiles identically
+    txt2 = export_dcs_yaml(back)
+    assert txt == txt2
+
+
+# ------------------------------------------------------------------ dbt
+
+
+def test_dbt_models_yaml():
+    from raycontract.export.dbt import to_dbt_models_yaml, to_dbt_sources_yaml, \
+        to_dbt_staging_sql
+
+    doc = yaml.safe_load(to_dbt_models_yaml(spec()))
+    assert doc["version"] == 2
+    m = doc["models"][0]
+    assert m["name"] == "orders"
+    assert m["config"]["contract"]["enforced"] is True
+    cols = {c["name"]: c for c in m["columns"]}
+    assert {"type": "not_null"} in cols["order_id"]["constraints"]
+    assert {"type": "unique"} in cols["order_id"]["constraints"]
+    tests = cols["order_id"]["data_tests"]
+    assert any("expect_column_value_lengths_to_be_between" in str(t) for t in tests)
+    assert any("expect_column_values_to_match_regex" in str(t) for t in tests)
+    assert {"accepted_values": {"values": ["open", "shipped"]}} in cols["status"]["data_tests"]
+
+    src = yaml.safe_load(to_dbt_sources_yaml(spec()))
+    stbl = src["sources"][0]["tables"][0]
+    scols = {c["name"]: c for c in stbl["columns"]}
+    assert "not_null" in scols["order_id"]["data_tests"]
+
+    sql = to_dbt_staging_sql(spec(), "orders")
+    assert "source('fmt-rt', 'orders')" in sql and "order_id" in sql
+
+
+# ------------------------------------------------- markdown / html / code
+
+
+def test_markdown_export():
+    from raycontract.export.markdown import export_markdown
+
+    md = export_markdown(spec())
+    assert "# Format tests" in md
+    assert "## Model `orders`" in md
+    assert "| order_id | string |" in md
+    assert "address.zip" in md  # nested rows
+    assert "tags[]" in md
+    assert "**freshness**: 24h" in md
+
+
+def test_html_export_and_catalog(tmp_path):
+    from raycontract.export.html import build_catalog, export_html
+
+    page = export_html(spec())
+    assert "<h1>Format tests</h1>" in page and "orders" in page
+    assert "address.zip" in page
+    c = tmp_path / "c.yaml"
+    c.write_text(CONTRACT)
+    written = build_catalog([str(c)], str(tmp_path / "cat"))
+    names = [w.split("/")[-1] for w in written]
+    assert "index.html" in names and "c.html" in names
+
+
+def test_pydantic_export_compiles():
+    from raycontract.export.pydantic_model import export_pydantic
+
+    src = export_pydantic(spec())
+    assert "class Orders(BaseModel):" in src
+    assert "order_id: str" in src
+    assert "Optional[" in src
+    compile(src, "<gen>", "exec")  # syntactically valid python
+
+
+def test_protobuf_export():
+    from raycontract.export.protobuf import export_protobuf
+
+    proto = export_protobuf(spec())
+    assert 'syntax = "proto3";' in proto
+    assert "message Orders {" in proto
+    assert "repeated string tags" in proto
+    assert "message OrdersAddress" in proto.replace("Orders_address", "OrdersAddress") \
+        or "Orders_address" in proto
+
+
+def test_spark_export():
+    from raycontract.export.spark import export_spark
+
+    code = export_spark(spec())
+    assert 'StructField("order_id", StringType(), False)' in code
+    assert "DecimalType(10, 2)" in code
+    assert "ArrayType(StringType())" in code
+    assert 'StructField("zip", StringType(), False)' in code
+
+
+# -------------------------------------------------------------- CLI glue
+
+
+def test_cli_export_all_formats(tmp_path, capsys):
+    from raycontract.cli import main
+
+    c = tmp_path / "c.yaml"
+    c.write_text(CONTRACT)
+    for fmt in ["sql", "sql-query", "odcs", "dcs", "markdown", "html", "dbt",
+                "dbt-sources", "dbt-staging-sql", "pydantic-model", "protobuf",
+                "spark", "bigquery"]:
+        assert main(["export", str(c), "--format", fmt]) == 0
+        out = capsys.readouterr().out
+        assert out.strip(), fmt
+
+
+def test_cli_init_and_import_sql(tmp_path, capsys):
+    from raycontract.cli import main
+
+    out = tmp_path / "dc.yaml"
+    assert main(["init", str(out)]) == 0
+    capsys.readouterr()
+    spec2 = DataContractSpecification.from_file(str(out), validate=True)
+    assert "my_table" in spec2.models
+
+    ddl = tmp_path / "t.sql"
+    ddl.write_text("CREATE TABLE t1 (a INTEGER NOT NULL, b VARCHAR);")
+    assert main(["import", "--format", "sql", "--source", str(ddl)]) == 0
+    txt = capsys.readouterr().out
+    back = DataContractSpecification.from_string(txt)
+    assert back.models["t1"].fields["a"].required
