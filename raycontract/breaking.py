@@ -78,9 +78,24 @@ RULES: dict[str, Severity] = {
     "field_enum_added": Severity.WARNING,
     "field_enum_removed": Severity.INFO,
     "field_enum_updated": Severity.ERROR,
+    # governance attributes (ref breaking_rules.py:59-66)
+    "field_pii_added": Severity.WARNING,
+    "field_pii_removed": Severity.ERROR,
+    "field_pii_updated": Severity.ERROR,
+    "field_classification_added": Severity.WARNING,
+    "field_classification_removed": Severity.ERROR,
+    "field_classification_updated": Severity.ERROR,
+    # key structure (ref :40-51)
+    "field_primary_key_added": Severity.WARNING,
+    "field_primary_key_removed": Severity.WARNING,
+    "field_primary_key_updated": Severity.WARNING,
+    # quality (ref :110-114)
     "quality_added": Severity.INFO,
     "quality_removed": Severity.WARNING,
     "quality_updated": Severity.WARNING,
+    "quality_type_updated": Severity.WARNING,
+    "quality_specification_updated": Severity.WARNING,
+    # model/info/terms metadata is INFO via the default
 }
 
 # (attr on Field, rule prefix) — description/title are INFO-only and matched
@@ -99,6 +114,11 @@ _FIELD_PROPS = [
     ("enum", "field_enum"),
     ("description", "field_description"),
     ("title", "field_title"),
+    ("pii", "field_pii"),
+    ("classification", "field_classification"),
+    ("tags", "field_tags"),
+    ("example", "field_example"),
+    ("primaryKey", "field_primary_key"),
 ]
 
 
@@ -126,17 +146,29 @@ def _diff_fields(changes, model_name: str, path: str, old: Field, new: Field):
         if bool(getattr(old, attr)) != bool(getattr(new, attr)):
             _add(changes, rule, model_name, path,
                  f"{attr} changed from {bool(getattr(old, attr))} to {bool(getattr(new, attr))}")
-    # quality lists
-    if len(old.quality) < len(new.quality):
-        _add(changes, "quality_added", model_name, path, "quality check added")
-    elif len(old.quality) > len(new.quality):
-        _add(changes, "quality_removed", model_name, path, "quality check removed")
-    elif [(q.type, q.query) for q in old.quality] != [(q.type, q.query) for q in new.quality]:
-        _add(changes, "quality_updated", model_name, path, "quality check updated")
+    _diff_quality(changes, model_name, path, old.quality, new.quality)
     # nested
     _diff_field_maps(changes, model_name, old.fields, new.fields, prefix=f"{path}.")
     if old.items is not None and new.items is not None:
         _diff_fields(changes, model_name, f"{path}[]", old.items, new.items)
+
+
+def _diff_quality(changes, model_name, path, old_q, new_q):
+    """Quality-list diff with the reference's type/specification granularity
+    (breaking_rules.py:110-114)."""
+    if len(old_q) < len(new_q):
+        _add(changes, "quality_added", model_name, path, "quality check added")
+        return
+    if len(old_q) > len(new_q):
+        _add(changes, "quality_removed", model_name, path, "quality check removed")
+        return
+    for oq, nq in zip(old_q, new_q):
+        if oq.type != nq.type:
+            _add(changes, "quality_type_updated", model_name, path,
+                 f"quality type changed from {oq.type!r} to {nq.type!r}")
+        elif vars(oq) != vars(nq):
+            _add(changes, "quality_specification_updated", model_name, path,
+                 "quality specification updated")
 
 
 def _diff_field_maps(changes, model_name, old_fields, new_fields, prefix=""):
@@ -150,8 +182,27 @@ def _diff_field_maps(changes, model_name, old_fields, new_fields, prefix=""):
             _diff_fields(changes, model_name, f"{prefix}{name}", old_fields[name], nf)
 
 
+def _diff_plain_dict(changes, entity: str, old: dict, new: dict):
+    """INFO-level diff of a metadata dict (reference's info_/contact_/terms_
+    extension-key rules, breaking_rules.py:116-130)."""
+    for k in old:
+        if k not in new:
+            _add(changes, f"{entity}_{k}_removed", None, None, f"{entity}.{k} removed")
+    for k, v in new.items():
+        if k not in old:
+            _add(changes, f"{entity}_{k}_added", None, None, f"{entity}.{k} added: {v!r}")
+        elif old[k] != v:
+            _add(changes, f"{entity}_{k}_updated", None, None,
+                 f"{entity}.{k} changed from {old[k]!r} to {v!r}")
+
+
 def changelog(old: DataContractSpecification, new: DataContractSpecification) -> list[Change]:
     changes: list[Change] = []
+    # info / terms metadata (all INFO)
+    _diff_plain_dict(changes, "info",
+                     {k: v for k, v in vars(old.info).items() if v is not None},
+                     {k: v for k, v in vars(new.info).items() if v is not None})
+    _diff_plain_dict(changes, "terms", old.terms or {}, new.terms or {})
     for mname, om in old.models.items():
         if mname not in new.models:
             _add(changes, "model_removed", mname, None, "model removed")
@@ -160,6 +211,12 @@ def changelog(old: DataContractSpecification, new: DataContractSpecification) ->
         if (om.type or "table") != (nm.type or "table"):
             _add(changes, "model_type_updated", mname, None,
                  f"model type changed from {om.type!r} to {nm.type!r}")
+        if (om.description or None) != (nm.description or None):
+            rule = ("model_description_added" if om.description is None else
+                    "model_description_removed" if nm.description is None else
+                    "model_description_updated")
+            _add(changes, rule, mname, None, "model description changed")
+        _diff_quality(changes, mname, None, om.quality, nm.quality)
         _diff_field_maps(changes, mname, om.fields, nm.fields)
     for mname in new.models:
         if mname not in old.models:

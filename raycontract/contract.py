@@ -83,6 +83,11 @@ class Field:
     precision: Optional[int] = None
     scale: Optional[int] = None
     primaryKey: Optional[bool] = None
+    pii: Optional[bool] = None
+    classification: Optional[str] = None
+    tags: Optional[list] = None
+    example: Any = None
+    examples: Optional[list] = None
     fields: dict[str, "Field"] = dc_field(default_factory=dict)  # struct children
     items: Optional["Field"] = None  # array element
     keys: Optional["Field"] = None  # map key

@@ -35,6 +35,25 @@ _AGG_RE = re.compile(
     r"^\s*select\s+(count|sum|min|max|avg)\s*\(\s*(\*|[\w\.]+)\s*\)\s+from\s+(\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
+# distributed fast path #2: <agg>(<arbitrary scalar expr>) [WHERE <pred>] —
+# the expr/pred are evaluated per batch by DuckDB inside map_batches
+# (vectorized), partials merged on the driver (sum/min/max; avg = sum+count)
+_AGG_EXPR_RE = re.compile(
+    r"^\s*select\s+(count|sum|min|max|avg)\s*\((.+?)\)\s+from\s+(\w+)"
+    r"(?:\s+where\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# distributed fast path #3: duplicate-shaped GROUP BY — count of groups
+# matching a HAVING count(*) condition; per-batch partial groupby (DuckDB),
+# merged (groupby keys, sum) on the driver, HAVING applied to merged counts
+_GROUPED_COUNT_RE = re.compile(
+    r"^\s*select\s+count\s*\(\s*\*\s*\)\s+from\s*\(\s*select\s+(.+?)\s+from\s+(\w+)"
+    r"(?:\s+where\s+(.+?))?\s+group\s+by\s+(.+?)\s+having\s+count\s*\(\s*\*\s*\)\s*"
+    r"(>=|<=|!=|=|>|<)\s*(\d+)\s*\)(?:\s+as\s+\w+|\s+\w+)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_FORBIDDEN_SQL = re.compile(r"\b(join|union|over|distinct|group\s+by|order\s+by|limit)\b",
+                            re.IGNORECASE)
 _QUANTILE_RE = re.compile(
     r"^\s*select\s+(?:approx_)?(?:percentile|quantile)(?:_cont|_disc)?\s*"
     r"\(\s*(\w+)\s*,\s*([0-9.]+)\s*\)\s+from\s+(\w+)\s*;?\s*$",
@@ -576,7 +595,98 @@ def _eval_quality(query: str, model_name: str, stats, get_ds):
     if m and m.group(3).lower() == model_name.lower():
         col, qv = m.group(1), float(m.group(2))
         return _tdigest_quantile(get_ds(model_name, [col]), col, qv)
+    m = _GROUPED_COUNT_RE.match(query)
+    if m and m.group(2).lower() == model_name.lower():
+        return _grouped_count_fast_path(get_ds(model_name), model_name,
+                                        keys=m.group(4), select=m.group(1),
+                                        where=m.group(3), op=m.group(5),
+                                        n=int(m.group(6)))
+    m = _AGG_EXPR_RE.match(query)
+    if (m and m.group(3).lower() == model_name.lower()
+            and not _FORBIDDEN_SQL.search(m.group(2) or "")
+            and not _FORBIDDEN_SQL.search(m.group(4) or "")):
+        return _agg_expr_fast_path(get_ds(model_name), fn=m.group(1).lower(),
+                                   expr=m.group(2), where=m.group(4))
     return _duckdb_fallback(query, model_name, get_ds)
+
+
+def _batch_duck(batch, sql: str):
+    """Run one SQL statement over a single Arrow batch with a per-worker
+    cached DuckDB connection (vectorized scalar-expression evaluation)."""
+    import duckdb
+
+    global _WORKER_DUCK
+    try:
+        con = _WORKER_DUCK
+    except NameError:
+        con = duckdb.connect()
+        globals()["_WORKER_DUCK"] = con
+    con.register("_rc_b", batch)
+    try:
+        return con.execute(sql).arrow()
+    finally:
+        con.unregister("_rc_b")
+
+
+def _agg_expr_fast_path(ds, fn: str, expr: str, where):
+    """Decomposable aggregate over an arbitrary scalar expression:
+    per-batch DuckDB partial inside map_batches → tiny driver merge.
+    avg decomposes into (sum, count)."""
+    import pyarrow as pa
+
+    cond = f" WHERE {where}" if where else ""
+    if fn == "avg":
+        inner = f"SELECT SUM({expr}) AS s, COUNT({expr}) AS c FROM _rc_b{cond}"
+    elif fn == "count":
+        inner = f"SELECT COUNT({expr}) AS v FROM _rc_b{cond}"
+    else:
+        inner = f"SELECT {fn.upper()}({expr}) AS v FROM _rc_b{cond}"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _batch_duck(batch, inner)
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if fn == "avg":
+        s = sum(r["s"] for r in rows if r["s"] is not None)
+        c = sum(r["c"] for r in rows)
+        return s / c if c else None
+    vals = [r["v"] for r in rows if r["v"] is not None]
+    if fn in ("count", "sum"):
+        return sum(vals) if (vals or fn == "count") else None
+    if not vals:
+        return None
+    return min(vals) if fn == "min" else max(vals)
+
+
+def _grouped_count_fast_path(ds, model_name: str, keys: str, select: str,
+                             where, op: str, n: int):
+    """Two-stage duplicate-shaped GROUP BY: per-batch partial counts per key
+    (DuckDB in map_batches, shuffle-free), merged per key on the driver
+    (bounded by the number of DISTINCT keys, not rows), HAVING applied to the
+    merged counts."""
+    import polars as pl
+    import pyarrow as pa
+
+    cond = f" WHERE {where}" if where else ""
+    inner = f"SELECT {keys}, COUNT(*) AS _n FROM _rc_b{cond} GROUP BY {keys}"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _batch_duck(batch, inner)
+
+    import ray
+
+    parts = [pa.table(t) for t in
+             ray.get(ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+             if t.num_rows]
+    if not parts:
+        return 0
+    df = pl.from_arrow(pa.concat_tables(parts))
+    key_cols = [c for c in df.columns if c != "_n"]
+    merged = df.group_by(key_cols).agg(pl.col("_n").sum())
+    col = pl.col("_n")
+    having = {">": col > n, ">=": col >= n, "<": col < n, "<=": col <= n,
+              "=": col == n, "!=": col != n}[op]
+    return merged.filter(having).height
 
 
 def _tdigest_quantile(ds, column: str, q: float) -> float:
@@ -605,14 +715,31 @@ def _tdigest_quantile(ds, column: str, q: float) -> float:
 
 def _duckdb_fallback(query: str, model_name: str, get_ds):
     """Arbitrary-SQL quality checks: stream the model's batches into an
-    in-memory DuckDB table on the driver and run the query. Correct but not
+    in-memory DuckDB table on the driver and run the query. Correct but NOT
     distributed — the reference has the same shape (one DuckDB connection,
-    ``duckdb_connection.py:17-20``); large tables should use the aggregate /
-    quantile fast paths instead."""
+    ``duckdb_connection.py:17-20``). A loud warning is emitted so the cost is
+    never silent, and ``RAYCONTRACT_FALLBACK_SAMPLE_ROWS`` caps the streamed
+    rows (sampled mode: the check becomes approximate and says so). Simple
+    aggregate / filtered-aggregate / duplicate-GROUP-BY shapes never reach
+    here — they run on the distributed fast paths above."""
+    import logging
+    import os
+
     import duckdb
     import pyarrow as pa
 
+    sample_rows = int(os.environ.get("RAYCONTRACT_FALLBACK_SAMPLE_ROWS", "0") or 0)
+    logging.getLogger(__name__).warning(
+        "quality SQL %r does not match any distributed fast path — streaming "
+        "model %s into a DRIVER-LOCAL DuckDB table%s. This is a single-node "
+        "scan; rewrite as <agg>(<expr>) [WHERE ...] or a duplicate-shaped "
+        "GROUP BY to stay distributed.",
+        query, model_name,
+        f" (sampled: first {sample_rows} rows)" if sample_rows else "")
+
     ds = get_ds(model_name)
+    if sample_rows:
+        ds = ds.limit(sample_rows)
     con = duckdb.connect()
     first = True
     for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):

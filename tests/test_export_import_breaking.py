@@ -329,3 +329,47 @@ models:
     assert by["tags"]["type"][1]["type"] == "array"
     assert by["meta"]["type"][1]["type"] == "record"
     assert by["meta"]["type"][1]["fields"][0]["name"] == "k"
+
+
+def test_breaking_rules_parity_round2():
+    """Severity table parity with the reference (breaking_rules.py:40-114):
+    pii/classification/primaryKey/quality-type rules added in round 2."""
+    old = DataContractSpecification.from_string("""
+dataContractSpecification: 1.1.0
+id: b2
+info: {title: t, version: 1.0.0}
+models:
+  m:
+    description: old desc
+    fields:
+      a: {type: string, pii: true, classification: sensitive, primaryKey: true}
+      b: {type: string}
+    quality:
+      - {type: sql, query: "SELECT count(*) FROM m", mustBe: 1}
+""")
+    new = DataContractSpecification.from_string("""
+dataContractSpecification: 1.1.0
+id: b2
+info: {title: t, version: 2.0.0}
+models:
+  m:
+    description: new desc
+    fields:
+      a: {type: string, classification: public}
+      b: {type: string, pii: true}
+    quality:
+      - {type: custom, query: "SELECT count(*) FROM m", mustBe: 1}
+""")
+    changes = changelog(old, new)
+    by_rule = {c.rule: c for c in changes}
+    assert by_rule["field_pii_removed"].severity == Severity.ERROR
+    assert by_rule["field_pii_added"].severity == Severity.WARNING
+    assert by_rule["field_classification_updated"].severity == Severity.ERROR
+    assert by_rule["field_primary_key_removed"].severity == Severity.WARNING
+    assert by_rule["quality_type_updated"].severity == Severity.WARNING
+    assert by_rule["model_description_updated"].severity == Severity.INFO
+    assert by_rule["info_version_updated"].severity == Severity.INFO
+    # breaking() keeps only ERROR/WARNING
+    brk_rules = {c.rule for c in breaking(old, new)}
+    assert "model_description_updated" not in brk_rules
+    assert "field_pii_removed" in brk_rules
