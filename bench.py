@@ -29,7 +29,10 @@ import sys
 import time
 
 N_IMAGES = int(os.environ.get("RAY_GRAFT_BENCH_N", "1000000"))
-IMG_DIR = f"/tmp/raycontract_bench/images_{N_IMAGES}"
+# 256 fragments: fine-grained per-fragment tasks for the read-fused scan
+# (64 fragments left 26/30 CPUs idle in the last wave — measured r2)
+N_FILES = int(os.environ.get("RAY_GRAFT_BENCH_FILES", "256"))
+IMG_DIR = f"/tmp/raycontract_bench/images_{N_IMAGES}_f{N_FILES}"
 
 
 def _calib_worker(_):
@@ -100,7 +103,7 @@ def run_bench() -> dict:
     # one-time generation (deterministic, cached across runs), then warm the
     # OS page cache by actually reading every byte (count() is metadata-only)
     # so we measure compute + shuffle, not first-touch disk reads
-    write_images_dataset(IMG_DIR, N_IMAGES, num_files=64)
+    write_images_dataset(IMG_DIR, N_IMAGES, num_files=N_FILES)
     for f in os.listdir(IMG_DIR):
         with open(os.path.join(IMG_DIR, f), "rb") as fh:
             while fh.read(1 << 24):

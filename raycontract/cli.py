@@ -133,6 +133,30 @@ def render_export(spec, fmt: str, model: str | None = None,
         from raycontract.export.bigquery import export_bigquery
 
         return export_bigquery(spec)
+    if fmt == "great-expectations":
+        from raycontract.export.great_expectations import export_great_expectations
+
+        return export_great_expectations(spec)
+    if fmt == "dbml":
+        from raycontract.export.dbml import export_dbml
+
+        return export_dbml(spec, dialect=dialect or "duckdb")
+    if fmt == "sqlalchemy":
+        from raycontract.export.sqlalchemy_model import export_sqlalchemy
+
+        return export_sqlalchemy(spec)
+    if fmt == "go":
+        from raycontract.export.golang import export_go
+
+        return export_go(spec)
+    if fmt == "terraform":
+        from raycontract.export.terraform import export_terraform
+
+        return export_terraform(spec)
+    if fmt == "iceberg":
+        from raycontract.export.iceberg import export_iceberg
+
+        return export_iceberg(spec, model_name=model)
     raise ValueError(f"unknown export format {fmt!r}")
 
 
@@ -167,7 +191,8 @@ def main(argv=None) -> int:
     pe.add_argument("--format", required=True, choices=[
         "sodacl", "jsonschema", "avro", "sql", "sql-query", "odcs", "dcs",
         "markdown", "html", "dbt", "dbt-sources", "dbt-staging-sql",
-        "pydantic-model", "protobuf", "spark", "bigquery"])
+        "pydantic-model", "protobuf", "spark", "bigquery",
+        "great-expectations", "dbml", "sqlalchemy", "go", "terraform", "iceberg"])
     pe.add_argument("--model", default=None,
                     help="model name (required for sql-query/dbt-staging-sql)")
     pe.add_argument("--dialect", default=None, help="SQL dialect override")
@@ -175,7 +200,7 @@ def main(argv=None) -> int:
     pi = sub.add_parser("import", help="infer a contract from a data file / schema")
     pi.add_argument("--format", required=True,
                     choices=["parquet", "csv", "odcs", "sql", "avro", "jsonschema",
-                             "bigquery"])
+                             "bigquery", "dbt", "unity", "protobuf", "dbml", "spark"])
     pi.add_argument("--source", required=True)
 
     pinit = sub.add_parser("init", help="write a starter data contract YAML")
@@ -226,6 +251,11 @@ def main(argv=None) -> int:
             "avro": "raycontract.imports.avro:import_avro",
             "jsonschema": "raycontract.imports.jsonschema:import_jsonschema",
             "bigquery": "raycontract.imports.bigquery:import_bigquery",
+            "dbt": "raycontract.imports.dbt:import_dbt_manifest",
+            "unity": "raycontract.imports.unity:import_unity",
+            "protobuf": "raycontract.imports.protobuf:import_protobuf",
+            "dbml": "raycontract.imports.dbml:import_dbml",
+            "spark": "raycontract.imports.spark:import_spark",
         }
         import importlib
 

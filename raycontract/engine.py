@@ -136,10 +136,22 @@ def validate(
     # concurrently: each unit is its own Ray Dataset execution, and the fixed
     # per-execution overhead (task submit, shuffle setup) otherwise serializes
     # — threads share the one Ray cluster, the streaming executors interleave.
+    srv = dc.get_server()
+    _PARQUET_FMTS = ("parquet", "lance", "delta")
     thunks: list[tuple[str, list[Check], Any]] = []
     for model_name, mp in plan.models.items():
+        # count() is metadata-only for parquet reads and in-memory datasets;
+        # for csv/json it would execute a FULL extra scan — skip it there and
+        # let the fused pass take its conservative distributed path
+        cheap_count = bool(datasets and model_name in datasets) or (
+            srv is not None and (srv.format or "parquet") in _PARQUET_FMTS)
+        fused_files = None
+        if not (datasets and model_name in datasets):
+            fused_files = _fused_read_files(srv, model_name)
         try:
-            thunks.extend(_model_thunks(plan, mp, by_key, get_ds, now, max_samples, batch_size))
+            thunks.extend(_model_thunks(plan, mp, by_key, get_ds, now, max_samples,
+                                        batch_size, cheap_count=cheap_count,
+                                        fused_files=fused_files))
         except Exception as e:  # a broken model errors its checks, not the run
             for c in plan.checks:
                 if c.model == model_name and c.result is None:
@@ -223,8 +235,41 @@ def kwargs_max_workers() -> int:
     return int(os.environ.get("RAYCONTRACT_CHECK_PARALLELISM", "6"))
 
 
+def _fused_read_files(srv, model_name: str):
+    """Fragment list for the read-fused scan — local parquet/lance sources
+    whose fragment count keeps every CPU busy (one task per fragment) and
+    whose fragments are individually small enough to read in one task."""
+    import os
+
+    import ray
+
+    if srv is None or (srv.format or "parquet") not in ("parquet", "lance"):
+        return None
+    try:
+        from raycontract.sources.readers import resolve_path
+
+        p = resolve_path(srv, model_name)
+    except Exception:
+        return None
+    if os.path.isdir(p):
+        files = sorted(os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet"))
+    elif os.path.isfile(p):
+        files = [p]
+    else:
+        return None
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        ncpu = 8
+    if len(files) < ncpu:
+        return None  # not enough fragments to keep the cluster busy per-task
+    if any(os.path.getsize(f) > (1 << 30) for f in files):
+        return None  # giant fragments: stay on the splitting read
+    return files
+
+
 def _model_thunks(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, max_samples,
-                  batch_size) -> list:
+                  batch_size, cheap_count: bool = True, fused_files=None) -> list:
     """Run schema checks (metadata-only) synchronously, prune to present
     columns, and return one (label, checks, thunk) per independent Ray
     execution so validate() can run them concurrently."""
@@ -326,14 +371,16 @@ def _model_thunks(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, max_
 
         try:
             # metadata-only on the bare (unprojected) read — lets the fused
-            # pass pick its single-execution driver path safely
-            input_rows = get_ds(mp.model_name).count()
+            # pass pick its single-execution driver path safely. Gated on
+            # cheap_count: for csv/json sources count() would be a full scan.
+            input_rows = get_ds(mp.model_name).count() if cheap_count else None
         except Exception:
             input_rows = None
         ds = get_ds(mp.model_name, scan_cols or None)
         stats, image_agg, dups = run_fused_pass(
             ds, pruned, image_spec, live_uniques,
-            max_samples=max_samples, batch_size=batch_size, input_rows=input_rows)
+            max_samples=max_samples, batch_size=batch_size, input_rows=input_rows,
+            file_paths=fused_files, columns=scan_cols or None)
 
         # --- uniqueness verdicts (two-stage groupby over fused partials) ---
         for u in live_uniques:

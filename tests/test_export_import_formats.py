@@ -302,3 +302,190 @@ def test_cli_init_and_import_sql(tmp_path, capsys):
     txt = capsys.readouterr().out
     back = DataContractSpecification.from_string(txt)
     assert back.models["t1"].fields["a"].required
+
+
+# ------------------------------------------------------ round-2 batch 2
+
+
+def test_great_expectations_export():
+    from raycontract.export.great_expectations import to_great_expectations
+
+    suite = json.loads(to_great_expectations(spec(), "orders"))
+    types = {e["expectation_type"] for e in suite["expectations"]}
+    assert "expect_table_columns_to_match_ordered_list" in types
+    assert "expect_column_values_to_not_be_null" in types
+    assert "expect_column_values_to_be_unique" in types
+    assert "expect_column_values_to_match_regex" in types
+    assert "expect_column_values_to_be_in_set" in types
+
+
+def test_dbml_roundtrip():
+    from raycontract.export.dbml import export_dbml
+    from raycontract.imports.dbml import import_dbml
+
+    dbml = export_dbml(spec())
+    assert 'Table "orders"' in dbml
+    imp = import_dbml(dbml)
+    f = imp.models["orders"].fields
+    assert f["order_id"].primaryKey and f["order_id"].required and f["order_id"].unique
+    assert f["amount"].type == "decimal" and f["amount"].precision == 10
+    assert f["created"].type == "timestamp"
+
+
+def test_dbml_refs():
+    from raycontract.imports.dbml import import_dbml
+
+    src = '''
+Table "a" {
+  "id" "BIGINT" [pk]
+}
+Table "b" {
+  "a_id" "BIGINT"
+}
+Ref: "b"."a_id" > "a"."id"
+'''
+    imp = import_dbml(src)
+    assert imp.models["b"].fields["a_id"].references == "a.id"
+
+
+def test_sqlalchemy_export_compiles():
+    from raycontract.export.sqlalchemy_model import export_sqlalchemy
+
+    src = export_sqlalchemy(spec())
+    assert "class Orders(Base):" in src
+    assert '__tablename__ = "orders"' in src
+    assert "primary_key=True" in src and "nullable=False" in src
+    compile(src, "<gen>", "exec")
+
+
+def test_go_export():
+    from raycontract.export.golang import export_go
+
+    src = export_go(spec())
+    assert "type Orders struct {" in src
+    assert 'OrderId string `json:"order_id" avro:"order_id"`' in src
+    assert "Tags []string" in src
+    assert 'import "time"' in src
+
+
+def test_terraform_export():
+    from raycontract.export.terraform import export_terraform
+    from raycontract.contract import DataContractSpecification
+
+    c = CONTRACT + """
+"""
+    s = DataContractSpecification.from_string(c)
+    from raycontract.contract import Server
+
+    s.servers["s3prod"] = Server(type="s3", location="s3://my-bucket/data",
+                                 dataProductId="dp-1")
+    tf = export_terraform(s)
+    assert 'resource "aws_s3_bucket" "fmt-rt_s3prod"' in tf
+    assert 'bucket = "my-bucket"' in tf
+    assert 'DataProduct  = "dp-1"' in tf
+
+
+def test_iceberg_export():
+    from raycontract.export.iceberg import export_iceberg
+
+    doc = json.loads(export_iceberg(spec(), model_name="orders"))
+    assert doc["type"] == "struct"
+    by = {f["name"]: f for f in doc["fields"]}
+    assert by["order_id"]["required"] is True
+    assert by["amount"]["type"] == "decimal(10, 2)"
+    assert by["created"]["type"] == "timestamptz"
+    assert by["tags"]["type"]["type"] == "list"
+    assert by["address"]["type"]["type"] == "struct"
+    ids = []
+    def walk(fields):
+        for f in fields:
+            ids.append(f["id"])
+            t = f["type"]
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t["fields"])
+    walk(doc["fields"])
+    assert len(ids) == len(set(ids))  # unique field ids
+
+
+def test_protobuf_roundtrip():
+    from raycontract.export.protobuf import export_protobuf
+    from raycontract.imports.protobuf import import_protobuf
+
+    proto = export_protobuf(spec())
+    imp = import_protobuf(proto)
+    assert "Orders" in imp.models
+    f = imp.models["Orders"].fields
+    assert f["order_id"].type == "string"
+    assert f["tags"].type == "array" and f["tags"].items.type == "string"
+    assert f["address"].type == "object" and "zip" in f["address"].fields
+    assert f["n_items"].type == "long"
+
+
+def test_spark_import_ddl_and_simplestring():
+    from raycontract.imports.spark import import_spark
+
+    imp = import_spark("a INT NOT NULL, b STRING, c ARRAY<BIGINT>, "
+                       "d DECIMAL(12,3), e STRUCT<x:INT,y:STRING>")
+    f = imp.models["model"].fields
+    assert f["a"].type == "int" and f["a"].required
+    assert f["c"].type == "array" and f["c"].items.type == "long"
+    assert f["d"].precision == 12 and f["d"].scale == 3
+    assert f["e"].type == "object" and f["e"].fields["x"].type == "int"
+
+    imp2 = import_spark("struct<a:int,b:array<string>,c:map<string,double>>")
+    f2 = imp2.models["model"].fields
+    assert f2["b"].type == "array" and f2["c"].type == "map"
+
+
+def test_dbt_manifest_import(tmp_path):
+    from raycontract.imports.dbt import import_dbt_manifest
+
+    manifest = {
+        "metadata": {"project_name": "shop"},
+        "nodes": {
+            "model.shop.orders": {
+                "resource_type": "model", "name": "orders",
+                "description": "orders model",
+                "columns": {
+                    "order_id": {"data_type": "VARCHAR", "tests": ["not_null", "unique"]},
+                    "amount": {"data_type": "DECIMAL(10,2)"},
+                },
+            },
+            "seed.shop.x": {"resource_type": "seed", "name": "x", "columns": {}},
+        },
+    }
+    imp = import_dbt_manifest(json.dumps(manifest))
+    assert list(imp.models) == ["orders"]
+    f = imp.models["orders"].fields
+    assert f["order_id"].required and f["order_id"].unique
+    assert f["amount"].type == "decimal" and f["amount"].scale == 2
+
+
+def test_unity_import():
+    from raycontract.imports.unity import import_unity
+
+    doc = {
+        "name": "events",
+        "comment": "event table",
+        "columns": [
+            {"name": "id", "type_name": "LONG", "nullable": False},
+            {"name": "amt", "type_name": "DECIMAL(8,2)",
+             "type_json": '{"name":"amt","type":"decimal(8,2)"}'},
+            {"name": "ts", "type_name": "TIMESTAMP", "comment": "event time"},
+        ],
+    }
+    imp = import_unity(json.dumps(doc))
+    f = imp.models["events"].fields
+    assert f["id"].type == "long" and f["id"].required
+    assert f["amt"].precision == 8 and f["amt"].scale == 2
+    assert f["ts"].description == "event time"
+
+
+def test_cli_export_batch2(tmp_path, capsys):
+    from raycontract.cli import main
+
+    c = tmp_path / "c.yaml"
+    c.write_text(CONTRACT)
+    for fmt in ["great-expectations", "dbml", "sqlalchemy", "go", "iceberg"]:
+        assert main(["export", str(c), "--format", fmt]) == 0
+        assert capsys.readouterr().out.strip(), fmt
