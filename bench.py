@@ -87,8 +87,11 @@ def run_bench() -> dict:
 
     import ray
 
+    # log_to_driver=False: worker-side "Failed to hash the schemas" warnings
+    # (benign — pandas metadata in the testdata parquet) would spam the bench
+    # output at scale; the bench prints exactly one JSON line
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR", log_to_driver=False)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -63,7 +63,7 @@ models:
 
 
 def render_export(spec, fmt: str, model: str | None = None,
-                  dialect: str | None = None) -> str:
+                  dialect: str | None = None, template: str | None = None) -> str:
     """Single dispatch point for every exporter (≅ exporter_factory.create)."""
     if fmt == "sodacl":
         from raycontract.export.sodacl import export_sodacl
@@ -157,6 +157,24 @@ def render_export(spec, fmt: str, model: str | None = None,
         from raycontract.export.iceberg import export_iceberg
 
         return export_iceberg(spec, model_name=model)
+    if fmt == "rdf":
+        from raycontract.export.rdf import export_rdf
+
+        return export_rdf(spec)
+    if fmt == "avro-idl":
+        from raycontract.export.avro_idl import export_avro_idl
+
+        return export_avro_idl(spec)
+    if fmt == "data-caterer":
+        from raycontract.export.data_caterer import export_data_caterer
+
+        return export_data_caterer(spec)
+    if fmt == "custom":
+        from raycontract.export.custom import export_custom
+
+        if not template:
+            raise ValueError("--format custom requires --template")
+        return export_custom(spec, template)
     raise ValueError(f"unknown export format {fmt!r}")
 
 
@@ -192,7 +210,10 @@ def main(argv=None) -> int:
         "sodacl", "jsonschema", "avro", "sql", "sql-query", "odcs", "dcs",
         "markdown", "html", "dbt", "dbt-sources", "dbt-staging-sql",
         "pydantic-model", "protobuf", "spark", "bigquery",
-        "great-expectations", "dbml", "sqlalchemy", "go", "terraform", "iceberg"])
+        "great-expectations", "dbml", "sqlalchemy", "go", "terraform", "iceberg",
+        "rdf", "avro-idl", "data-caterer", "custom"])
+    pe.add_argument("--template", default=None,
+                    help="jinja template path (required for --format custom)")
     pe.add_argument("--model", default=None,
                     help="model name (required for sql-query/dbt-staging-sql)")
     pe.add_argument("--dialect", default=None, help="SQL dialect override")
@@ -200,7 +221,8 @@ def main(argv=None) -> int:
     pi = sub.add_parser("import", help="infer a contract from a data file / schema")
     pi.add_argument("--format", required=True,
                     choices=["parquet", "csv", "odcs", "sql", "avro", "jsonschema",
-                             "bigquery", "dbt", "unity", "protobuf", "dbml", "spark"])
+                             "bigquery", "dbt", "unity", "protobuf", "dbml", "spark",
+                             "iceberg"])
     pi.add_argument("--source", required=True)
 
     pinit = sub.add_parser("init", help="write a starter data contract YAML")
@@ -239,7 +261,8 @@ def main(argv=None) -> int:
 
     if args.cmd == "export":
         spec = DataContract(data_contract_file=args.contract).spec
-        print(render_export(spec, args.format, model=args.model, dialect=args.dialect))
+        print(render_export(spec, args.format, model=args.model, dialect=args.dialect,
+                            template=getattr(args, "template", None)))
         return 0
 
     if args.cmd == "import":
@@ -256,6 +279,7 @@ def main(argv=None) -> int:
             "protobuf": "raycontract.imports.protobuf:import_protobuf",
             "dbml": "raycontract.imports.dbml:import_dbml",
             "spark": "raycontract.imports.spark:import_spark",
+            "iceberg": "raycontract.imports.iceberg:import_iceberg",
         }
         import importlib
 

@@ -221,7 +221,8 @@ class DataContractSpecification:
     quality: Optional[dict] = None  # deprecated root quality (SodaCL passthrough subset)
 
     @staticmethod
-    def from_dict(d: dict, validate: bool = False) -> "DataContractSpecification":
+    def from_dict(d: dict, validate: bool = False,
+                  base_dir: Optional[str] = None) -> "DataContractSpecification":
         if validate:
             # JSON-Schema-shaped structural gate BEFORE hydration
             # (≅ reference lint/resolve.py:283-305; the reference applies it
@@ -230,7 +231,7 @@ class DataContractSpecification:
             from raycontract.schema_validate import validate_contract_dict
 
             validate_contract_dict(d)
-        d = _inline_refs(d)
+        d = _inline_refs(d, base_dir=base_dir)
         spec = DataContractSpecification()
         spec.dataContractSpecification = d.get("dataContractSpecification")
         spec.id = d.get("id")
@@ -248,7 +249,8 @@ class DataContractSpecification:
         return spec
 
     @staticmethod
-    def from_string(text: str, validate: bool = False) -> "DataContractSpecification":
+    def from_string(text: str, validate: bool = False,
+                    base_dir: Optional[str] = None) -> "DataContractSpecification":
         d = yaml.safe_load(text)
         # ODCS v3 auto-detect ≅ reference resolve.py:248-252
         if isinstance(d, dict):
@@ -256,18 +258,50 @@ class DataContractSpecification:
 
             if is_odcs(d):
                 return import_odcs_from_dict(d)
-        return DataContractSpecification.from_dict(d, validate=validate)
+        return DataContractSpecification.from_dict(d, validate=validate, base_dir=base_dir)
 
     @staticmethod
     def from_file(path: str, validate: bool = False) -> "DataContractSpecification":
+        import os
+
         with open(path) as fh:
-            return DataContractSpecification.from_string(fh.read(), validate=validate)
+            return DataContractSpecification.from_string(
+                fh.read(), validate=validate,
+                base_dir=os.path.dirname(os.path.abspath(path)))
 
 
-def _inline_refs(d: dict) -> dict:
-    """Inline local ``$ref: '#/definitions/...'`` (reference resolve.py:75-191,
-    restricted to local refs — file/http refs are out of scope offline)."""
+def _inline_refs(d: dict, base_dir: Optional[str] = None) -> dict:
+    """Inline ``$ref`` definitions (reference resolve.py:75-191): local
+    ``#/definitions/...`` pointers plus file refs — ``file://...#/ptr``,
+    relative or absolute ``path.yaml#/ptr`` resolved against ``base_dir``
+    (the contract file's directory). http refs stay unsupported (offline)."""
+    import os
+
     defs = d.get("definitions") or {}
+    file_cache: dict[str, Any] = {}
+
+    def _load_file(path: str):
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        if not os.path.isabs(path):
+            if base_dir is None:
+                raise ValueError(
+                    f"relative file $ref {path!r} needs a contract file location")
+            path = os.path.join(base_dir, path)
+        if path not in file_cache:
+            with open(path) as fh:
+                file_cache[path] = yaml.safe_load(fh)
+        return file_cache[path]
+
+    def _pointer(doc, ptr: str, ref: str):
+        target = doc
+        for part in ptr.strip("/").split("/"):
+            if not part:
+                continue
+            if not isinstance(target, dict) or part not in target:
+                raise ValueError(f"unresolved $ref: {ref}")
+            target = target[part]
+        return target
 
     def resolve(node, depth=0):
         if depth > 32:
@@ -275,13 +309,20 @@ def _inline_refs(d: dict) -> dict:
         if isinstance(node, dict):
             if "$ref" in node:
                 ref = node["$ref"]
-                if not ref.startswith("#/definitions/"):
-                    raise ValueError(f"unsupported $ref (only local #/definitions): {ref}")
-                target = defs
-                for part in ref[len("#/definitions/"):].split("/"):
-                    if part not in target:
-                        raise ValueError(f"unresolved $ref: {ref}")
-                    target = target[part]
+                if ref.startswith("#/definitions/"):
+                    target = defs
+                    for part in ref[len("#/definitions/"):].split("/"):
+                        if part not in target:
+                            raise ValueError(f"unresolved $ref: {ref}")
+                        target = target[part]
+                elif ref.startswith("http://") or ref.startswith("https://"):
+                    raise ValueError(f"unsupported $ref (http unavailable offline): {ref}")
+                elif "#" in ref or ref.startswith("file://") or ref.endswith((".yaml", ".yml", ".json")):
+                    path, _, ptr = ref.partition("#")
+                    doc = _load_file(path)
+                    target = _pointer(doc, ptr, ref) if ptr else doc
+                else:
+                    raise ValueError(f"unsupported $ref: {ref}")
                 merged = dict(resolve(target, depth + 1))
                 merged.update({k: v for k, v in node.items() if k != "$ref"})
                 return merged
@@ -317,12 +358,15 @@ class DataContract:
                 self.raw_dict = d
             self.spec = DataContractSpecification.from_string(data_contract_str)
         elif data_contract_file is not None:
+            import os
+
             with open(data_contract_file) as fh:
                 text = fh.read()
             d = yaml.safe_load(text)
             if isinstance(d, dict):
                 self.raw_dict = d
-            self.spec = DataContractSpecification.from_string(text)
+            self.spec = DataContractSpecification.from_string(
+                text, base_dir=os.path.dirname(os.path.abspath(data_contract_file)))
         else:
             raise ValueError("one of data_contract_file/str/spec required")
         self.server_name = server

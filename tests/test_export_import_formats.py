@@ -489,3 +489,141 @@ def test_cli_export_batch2(tmp_path, capsys):
     for fmt in ["great-expectations", "dbml", "sqlalchemy", "go", "iceberg"]:
         assert main(["export", str(c), "--format", fmt]) == 0
         assert capsys.readouterr().out.strip(), fmt
+
+
+# ------------------------------------------------------ round-2 batch 3
+
+
+def test_rdf_export():
+    from raycontract.export.rdf import export_rdf
+
+    ttl = export_rdf(spec())
+    assert "@prefix dc:" in ttl
+    assert "<fmt-rt> a dc:DataContract" in ttl
+    assert "a dc:Model" in ttl and "a dc:Field" in ttl
+    assert 'dc:pattern "^B[0-9]+$"' in ttl
+    assert 'dc:enum "open", "shipped"' in ttl
+
+
+def test_avro_idl_export():
+    from raycontract.export.avro_idl import export_avro_idl
+
+    idl = export_avro_idl(spec())
+    assert "protocol fmt_rt {" in idl
+    assert "record orders {" in idl
+    assert "string order_id;" in idl
+    assert "union { null, decimal(10, 2) } amount;" in idl
+    assert "array<string>" in idl
+    assert "record orders_address" in idl
+
+
+def test_data_caterer_export():
+    from raycontract.export.data_caterer import export_data_caterer
+
+    doc = yaml.safe_load(export_data_caterer(spec()))
+    assert doc["name"] == "fmt-rt_generation"
+    step = doc["steps"][0]
+    assert step["name"] == "orders" and step["type"] == "parquet"
+    assert step["options"]["path"] == "data/orders.parquet"
+    by = {f["name"]: f for f in step["fields"]}
+    assert by["order_id"]["options"]["regex"] == "^B[0-9]+$"
+    assert by["order_id"]["options"]["isUnique"] is True
+    assert by["status"]["options"]["oneOf"] == ["open", "shipped"]
+    assert by["address"]["type"] == "struct" and "fields" in by["address"]
+
+
+def test_custom_template_export(tmp_path):
+    from raycontract.export.custom import export_custom
+
+    tpl = tmp_path / "t.j2"
+    tpl.write_text("id={{ datacontract.id }}\n"
+                   "{% for m, mv in datacontract.models.items() %}model={{ m }} "
+                   "cols={{ mv.fields | length }}{% endfor %}\n")
+    out = export_custom(spec(), str(tpl))
+    assert "id=fmt-rt" in out
+    assert "model=orders cols=9" in out
+
+
+def test_iceberg_roundtrip():
+    from raycontract.export.iceberg import export_iceberg
+    from raycontract.imports.iceberg import import_iceberg
+
+    js = export_iceberg(spec(), model_name="orders")
+    imp = import_iceberg(js, model_name="orders")
+    f = imp.models["orders"].fields
+    assert f["order_id"].required and f["order_id"].type == "string"
+    assert f["amount"].type == "decimal" and f["amount"].precision == 10
+    assert f["created"].type == "timestamp"
+    assert f["tags"].type == "array" and f["tags"].items.type == "string"
+    assert f["address"].type == "object" and f["address"].fields["zip"].required
+
+
+def test_file_ref_resolution(tmp_path):
+    defs = tmp_path / "shared_defs.yaml"
+    defs.write_text("""
+definitions:
+  order_id:
+    type: string
+    pattern: "^B[0-9]+$"
+    minLength: 8
+""")
+    contract = tmp_path / "c.yaml"
+    contract.write_text("""
+dataContractSpecification: 1.1.0
+id: fileref
+info: {title: t, version: 1.0.0}
+models:
+  m:
+    fields:
+      oid:
+        $ref: "shared_defs.yaml#/definitions/order_id"
+        required: true
+""")
+    s = DataContractSpecification.from_file(str(contract))
+    f = s.models["m"].fields["oid"]
+    assert f.type == "string" and f.pattern == "^B[0-9]+$" and f.minLength == 8
+    assert f.required  # local keys override/augment the ref target
+
+    # file:// absolute form
+    contract2 = tmp_path / "c2.yaml"
+    contract2.write_text(f"""
+dataContractSpecification: 1.1.0
+id: fileref2
+info: {{title: t, version: 1.0.0}}
+models:
+  m:
+    fields:
+      oid:
+        $ref: "file://{defs}#/definitions/order_id"
+""")
+    s2 = DataContractSpecification.from_file(str(contract2))
+    assert s2.models["m"].fields["oid"].pattern == "^B[0-9]+$"
+
+
+def test_http_ref_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="http unavailable"):
+        DataContractSpecification.from_string("""
+dataContractSpecification: 1.1.0
+id: h
+info: {title: t, version: 1.0.0}
+models:
+  m:
+    fields:
+      a: {$ref: "https://example.com/defs.yaml#/definitions/x"}
+""")
+
+
+def test_cli_export_batch3(tmp_path, capsys):
+    from raycontract.cli import main
+
+    c = tmp_path / "c.yaml"
+    c.write_text(CONTRACT)
+    for fmt in ["rdf", "avro-idl", "data-caterer"]:
+        assert main(["export", str(c), "--format", fmt]) == 0
+        assert capsys.readouterr().out.strip(), fmt
+    tpl = tmp_path / "t.j2"
+    tpl.write_text("{{ datacontract.id }}")
+    assert main(["export", str(c), "--format", "custom", "--template", str(tpl)]) == 0
+    assert "fmt-rt" in capsys.readouterr().out
