@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": q.dedup_exact_documents,
         "dedup_prefix_documents": q.dedup_prefix_documents,
         "neardup_cosine_embeddings": q.neardup_cosine_embeddings,
+        "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
+        "repeat_customers_orders": q.repeat_customers_orders,
         "minhash_pairs_documents": q.minhash_pairs_documents,
         "simhash_pairs_documents": q.simhash_pairs_documents,
         "ngram_jaccard_documents": q.ngram_jaccard_documents,
@@ -97,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": q.dedup_exact_documents_sql(),
         "dedup_prefix_documents": q.dedup_prefix_documents_sql(),
         "neardup_cosine_embeddings": q.neardup_cosine_embeddings_sql(),
+        "repeat_customers_orders": q.repeat_customers_orders_sql(),
         "knn_cosine_embeddings": q.knn_cosine_embeddings_sql(),
         "text_stats_documents": q.text_stats_documents_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):

@@ -510,6 +510,52 @@ def neardup_cosine_embeddings_sql() -> str:
             "CAST(b.embedding AS DOUBLE[])) >= 0.4")
 
 
+def neardup_lsh_embeddings(sf_dir: str):
+    """The 100-TB near-dup path: hyperplane-LSH bucket groupby + exact cosine
+    within buckets (approximate recall — rows-only check by design)."""
+    from raycontract.pipelines.dedup import embedding_neardup_pairs_lsh
+
+    return embedding_neardup_pairs_lsh(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "embedding", "vec_id", threshold=0.4, bits=6, num_tables=8,
+    ).select_columns(["id_a", "id_b"])
+
+
+def repeat_customers_orders(sf_dir: str) -> pa.Table:
+    """Duplicate-shaped GROUP BY quality check through the distributed
+    two-stage fast path (per-batch DuckDB partial groupby → driver merge
+    bounded by distinct keys)."""
+    from raycontract import DataContract
+
+    contract = """
+dataContractSpecification: 1.1.0
+id: grouped-quality
+info: {title: t, version: 1.0.0}
+models:
+  orders:
+    fields:
+      o_custkey: {type: long}
+    quality:
+      - type: sql
+        description: customers with more than 5 orders
+        query: "SELECT count(*) FROM (SELECT o_custkey FROM orders
+                WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+                HAVING count(*) > 5)"
+        mustBeGreaterThanOrEqualTo: 0
+"""
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    run = DataContract(data_contract_str=contract).test(datasets={"orders": ds})
+    check = [c for c in run.checks if c.type == "model_quality_sql"][0]
+    return pa.table({"n_repeat_customers": pa.array([int(check.diagnostics["value"])],
+                                                    type=pa.int64())})
+
+
+def repeat_customers_orders_sql() -> str:
+    return ("SELECT CAST(count(*) AS BIGINT) AS n_repeat_customers FROM "
+            "(SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL "
+            "GROUP BY o_custkey HAVING count(*) > 5)")
+
+
 # -------------------------------------------------------------- similarity
 
 
