@@ -193,6 +193,9 @@ def main(argv=None) -> int:
                          "to this directory as partitioned parquet")
     pv.add_argument("--max-errors", type=int, default=20,
                     help="violation-row cap per check (ref DATACONTRACT_MAX_ERRORS=500)")
+    pv.add_argument("--publish", default=None,
+                    help="write the Run JSON here (file analog of the reference's "
+                         "HTTP publish)")
     pv.add_argument("--num-cpus", type=int, default=None)
 
     pl = sub.add_parser("lint", help="static checks on the contract itself")
@@ -339,6 +342,10 @@ def main(argv=None) -> int:
                 from raycontract.output import write_violations_parquet
 
                 write_violations_parquet(run, args.violations)
+            if args.publish:
+                from raycontract.output import publish_run
+
+                publish_run(run, args.publish)
             if args.violations_full:
                 from raycontract.compile import compile_contract
                 from raycontract.sources.readers import read_model

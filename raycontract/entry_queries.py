@@ -515,9 +515,12 @@ def neardup_lsh_embeddings(sf_dir: str):
     within buckets (approximate recall — rows-only check by design)."""
     from raycontract.pipelines.dedup import embedding_neardup_pairs_lsh
 
+    # the fixture's near-dups sit at cos≈0.4 (weak for hyperplane LSH): 4
+    # bits × 12 tables trades scan volume for ~0.9 expected recall here;
+    # high-similarity production near-dups (cos ≥0.9) prune far harder
     return embedding_neardup_pairs_lsh(
         _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        "embedding", "vec_id", threshold=0.4, bits=6, num_tables=8,
+        "embedding", "vec_id", threshold=0.4, bits=4, num_tables=12,
     ).select_columns(["id_a", "id_b"])
 
 

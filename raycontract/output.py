@@ -114,3 +114,46 @@ def write_results_parquet(run: Run, path: str) -> None:
         "violations": pa.array(cols["violations"], type=pa.int64()),
     })
     pq.write_table(t, path)
+
+
+def run_to_json(run: Run) -> str:
+    """Run → the reference's publish payload shape (``integration/
+    datamesh_manager.py:8-44`` POSTs the Run as JSON; offline, the same
+    document is written to a file via :func:`publish_run`)."""
+    import dataclasses
+    import json
+    from datetime import datetime
+    from enum import Enum
+
+    def default(o):
+        if isinstance(o, datetime):
+            return o.isoformat()
+        if isinstance(o, Enum):
+            return o.value
+        if dataclasses.is_dataclass(o):
+            return dataclasses.asdict(o)
+        return str(o)
+
+    import dataclasses as _dc
+
+    doc = _dc.asdict(run)
+    return json.dumps(doc, default=default, indent=2)
+
+
+def publish_run(run: Run, path: str) -> None:
+    """File-sink analog of the reference's HTTP publish (network is
+    unavailable offline): write the Run JSON atomically."""
+    import os
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(run_to_json(run))
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise

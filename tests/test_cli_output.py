@@ -99,3 +99,19 @@ models:
     # parquet sink path
     n = extract_violations(rd.from_arrow(t), plan, str(tmp_path / "viol"))
     assert n == len(out)
+
+
+def test_publish_run_json(ray_session, tmp_path):
+    """File-sink analog of the reference's HTTP publish (r2)."""
+    import json
+
+    from raycontract.output import publish_run
+
+    run = _run(ray_session)
+    out = tmp_path / "nested" / "run.json"
+    publish_run(run, str(out))
+    doc = json.loads(out.read_text())
+    assert doc["runId"] == run.runId
+    assert doc["result"] == run.result.value
+    assert len(doc["checks"]) == len(run.checks)
+    assert all("key" in c and "result" in c for c in doc["checks"])
