@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # drift + multimodal
         "drift_documents": q.drift_documents,
         "image_features_sample": q.image_features_sample,
+        "audio_features_sample": q.audio_features_sample,
     }
 
 

@@ -781,3 +781,52 @@ def image_features_sample(sf_dir: str):
     ds = rd.read_parquet(os.path.join(d, "images.parquet"))
     feats = image_features(ds)
     return feats.select_columns(["image_id", "phash_calc", "decoded_ok"])
+
+
+def _audio_fixture_table(n: int = 200) -> pa.Table:
+    """Deterministic WAV corpus: sine tones of varying frequency/amplitude,
+    leading silence, plus a few corrupt payloads (self-synthesized — no
+    external data)."""
+    from raycontract.pipelines.multimodal import encode_wav
+
+    ids, blobs, codecs = [], [], []
+    sr = 16000
+    for i in range(n):
+        ids.append(i)
+        if i % 50 == 49:
+            blobs.append(b"not-a-wav")  # corrupt: decoded_ok=False
+            codecs.append("wav")
+            continue
+        freq = 110.0 * (1 + (i % 20))
+        amp = 0.1 + 0.8 * ((i % 7) / 6.0)
+        dur = 0.25 + (i % 4) * 0.25
+        t = np.arange(int(sr * dur)) / sr
+        x = amp * np.sin(2 * np.pi * freq * t)
+        silence = np.zeros(int(sr * 0.1))
+        blobs.append(encode_wav(np.concatenate([silence, x]), sr))
+        codecs.append("wav")
+    return pa.table({"audio_id": pa.array(ids, type=pa.int64()),
+                     "bytes": pa.array(blobs, type=pa.binary()),
+                     "codec": pa.array(codecs)})
+
+
+def audio_features_sample(sf_dir: str):
+    """REAL WAV/PCM decode + feature extraction over an actor pool (sf_dir
+    sets scale only; the audio corpus is deterministic/self-synthesized)."""
+    from raycontract.pipelines.multimodal import audio_features
+
+    ds = rd.from_arrow(_audio_fixture_table())
+    feats = audio_features(ds)
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({
+            "audio_id": batch["audio_id"],
+            "duration_ms": _pc.cast(_pc.round(_pc.multiply(batch["duration_s"], 1000.0)),
+                                    pa.int64()),
+            "rms_milli": _pc.cast(_pc.round(_pc.multiply(batch["rms"], 1000.0)), pa.int64()),
+            "decoded_ok": batch["decoded_ok"],
+        })
+
+    return feats.map_batches(rounded, batch_format="pyarrow")

@@ -1,10 +1,12 @@
 """Multimodal (image/audio/video) batch stages.
 
-Images are real (vendored numpy codecs, raycontract.functions.codecs); audio
-and video decode are STUBS behind ``NotImplementedError`` — the codec
-libraries aren't in this container — but the Ray-side plumbing (schemas,
-actor signature, small-batch sizing for wide binary rows, output layout) is
-real and tested, so a proper decoder drops in without touching the pipeline.
+Images are real (vendored numpy codecs, raycontract.functions.codecs).
+Audio is REAL for WAV/PCM (stdlib RIFF decode — duration/rms/peak/zcr/
+silence features); compressed audio codecs raise ``NotImplementedError``
+(honest: mp3/ogg decoders aren't in this container). Video decode is a STUB
+behind ``NotImplementedError`` with real Ray-side plumbing (schemas, actor
+signature, small-batch sizing for wide binary rows, output layout), so a
+proper decoder drops in without touching the pipeline.
 """
 
 from __future__ import annotations
@@ -65,33 +67,126 @@ def image_features(ds, bytes_col="bytes", fmt_col="fmt", id_col="image_id",
     )
 
 
-class AudioFeatures:
-    """STUB: audio decode/feature-extraction plumbing (no codec lib offline).
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM decode (stdlib ``wave`` — a REAL codec, no external
+    libs): returns (mono float64 samples in [-1, 1], sample_rate)."""
+    import io
+    import wave
 
-    Expected input: (id:string, bytes:binary, codec:string, sample_rate:int32)
-    Output: (id, duration_s:float64, rms:float64). ``deterministic_fake=True``
-    produces a seeded fake so the pipeline shape is testable end-to-end.
+    with wave.open(io.BytesIO(blob)) as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if width == 1:
+        x = x - 128.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x / float(2 ** (8 * width - 1)), sr
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Inverse of :func:`decode_wav` (16-bit PCM) — used by fixtures/tests."""
+    import io
+    import wave
+
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (x * 32767.0).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+class AudioFeatures:
+    """Actor-pool stage: audio bytes → features.
+
+    REAL for WAV/PCM (codec 'wav'/'pcm', stdlib decode — no external libs
+    needed); compressed codecs (mp3/ogg/flac) raise ``NotImplementedError``
+    unless ``deterministic_fake=True`` (honest stub: those decoders aren't
+    available offline). Output: (id, duration_s, rms, peak, zcr,
+    silence_ratio, sample_rate, decoded_ok).
     """
 
     def __init__(self, id_col: str = "audio_id", bytes_col: str = "bytes",
-                 deterministic_fake: bool = False):
-        self.id_col, self.bytes_col = id_col, bytes_col
+                 codec_col: Optional[str] = "codec",
+                 deterministic_fake: bool = False, silence_db: float = -40.0):
+        self.id_col, self.bytes_col, self.codec_col = id_col, bytes_col, codec_col
         self.fake = deterministic_fake
+        self.silence_amp = 10 ** (silence_db / 20.0)
+
+    def _features(self, x: np.ndarray, sr: int) -> dict:
+        n = x.size
+        if n == 0:
+            return {"duration_s": 0.0, "rms": 0.0, "peak": 0.0, "zcr": 0.0,
+                    "silence_ratio": 1.0, "sample_rate": sr}
+        rms = float(np.sqrt(np.mean(x * x)))
+        zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if n > 1 else 0.0
+        return {
+            "duration_s": n / sr,
+            "rms": rms,
+            "peak": float(np.max(np.abs(x))),
+            "zcr": zc,  # zero crossings per sample
+            "silence_ratio": float(np.mean(np.abs(x) < self.silence_amp)),
+            "sample_rate": sr,
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "audio decode requires an external codec library not available "
-                "in this environment; construct with deterministic_fake=True "
-                "to exercise the pipeline plumbing"
-            )
         blobs = batch[self.bytes_col].to_pylist()
-        dur = [len(b) / 32000.0 if b else 0.0 for b in blobs]
-        rms = [float(np.frombuffer(b[: len(b) // 2 * 2], dtype=np.int16).astype(np.float64).std())
-               if b else 0.0 for b in blobs]
-        return pa.table({self.id_col: batch[self.id_col],
-                         "duration_s": pa.array(dur, type=pa.float64()),
-                         "rms": pa.array(rms, type=pa.float64())})
+        codecs = (batch[self.codec_col].to_pylist()
+                  if self.codec_col and self.codec_col in batch.column_names
+                  else ["wav"] * len(blobs))
+        rows = []
+        ok = []
+        for b, codec in zip(blobs, codecs):
+            c = (codec or "wav").lower()
+            try:
+                if b is None:
+                    raise ValueError("null audio payload")
+                if c in ("wav", "wave", "pcm", "pcm16"):
+                    x, sr = decode_wav(b)
+                elif self.fake:
+                    rng = np.random.default_rng(len(b))
+                    x, sr = rng.standard_normal(1600) * 0.1, 16000
+                else:
+                    raise NotImplementedError(
+                        f"audio codec {c!r} needs an external decoder not "
+                        "available offline (WAV/PCM is fully supported)")
+                rows.append(self._features(x, sr))
+                ok.append(True)
+            except NotImplementedError:
+                raise
+            except Exception:
+                rows.append({"duration_s": 0.0, "rms": 0.0, "peak": 0.0,
+                             "zcr": 0.0, "silence_ratio": 1.0, "sample_rate": 0})
+                ok.append(False)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "duration_s": pa.array([r["duration_s"] for r in rows], type=pa.float64()),
+            "rms": pa.array([r["rms"] for r in rows], type=pa.float64()),
+            "peak": pa.array([r["peak"] for r in rows], type=pa.float64()),
+            "zcr": pa.array([r["zcr"] for r in rows], type=pa.float64()),
+            "silence_ratio": pa.array([r["silence_ratio"] for r in rows], type=pa.float64()),
+            "sample_rate": pa.array([r["sample_rate"] for r in rows], type=pa.int32()),
+            "decoded_ok": pa.array(ok, type=pa.bool_()),
+        })
+
+
+def audio_features(ds, id_col="audio_id", bytes_col="bytes", codec_col="codec",
+                   batch_size: int = 128, concurrency=(1, 8)):
+    """Actor-pool audio feature pipeline (small batches: wide binary rows)."""
+    cols = [id_col, bytes_col] + ([codec_col] if codec_col else [])
+    return ds.select_columns(cols).map_batches(
+        AudioFeatures, fn_constructor_args=(id_col, bytes_col, codec_col),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
 
 
 class VideoFrameSampler:

@@ -44,16 +44,16 @@ models:
 
 
 def test_multimodal_stubs(ray_session):
-    import ray.data as rd
-
+    """r2: WAV audio is REAL now (see the tests below); compressed codecs
+    and video decode remain honest stubs."""
     from raycontract.pipelines.multimodal import AudioFeatures, VideoFrameSampler
 
+    # non-WAV payload under the (default) wav codec: decode fails SOFTLY
     batch = pa.table({"audio_id": pa.array(["a1"]),
                       "bytes": pa.array([b"\x00\x01" * 100], type=pa.binary())})
-    with pytest.raises(NotImplementedError):
-        AudioFeatures()(batch)
-    out = AudioFeatures(deterministic_fake=True)(batch)
-    assert out.column_names == ["audio_id", "duration_s", "rms"]
+    out = AudioFeatures()(batch)
+    assert out["decoded_ok"][0].as_py() is False
+    assert "rms" in out.column_names and "zcr" in out.column_names
 
     vbatch = pa.table({"video_id": pa.array(["v1"]),
                        "bytes": pa.array([b"\x00" * 4096], type=pa.binary())})
@@ -77,3 +77,63 @@ def test_image_features_pipeline(ray_session):
     assert all(r["decoded_ok"] for r in feats)
     # recomputed phash matches the stored column (consistency invariant)
     assert by_id[rows[0]["image_id"]]["phash_calc"] == rows[0]["phash"]
+
+
+# ---------------------------------------------------- real WAV audio (r2)
+
+
+def test_wav_roundtrip_and_features(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycontract.pipelines.multimodal import (AudioFeatures, audio_features,
+                                                  decode_wav, encode_wav)
+
+    sr = 16000
+    t = np.arange(sr) / sr  # 1 second
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    blob = encode_wav(x, sr)
+    y, sr2 = decode_wav(blob)
+    assert sr2 == sr and len(y) == sr
+    assert np.allclose(y, x, atol=1e-3)  # 16-bit quantization tolerance
+
+    silence = encode_wav(np.zeros(sr // 2), sr)
+    tbl = pa.table({"audio_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "bytes": pa.array([blob, silence, b"garbage"], type=pa.binary()),
+                    "codec": pa.array(["wav", "wav", "wav"])})
+    out = {r["audio_id"]: r for r in audio_features(rd.from_arrow(tbl)).take_all()}
+    tone = out[1]
+    assert abs(tone["duration_s"] - 1.0) < 1e-3
+    assert abs(tone["rms"] - 0.5 / np.sqrt(2)) < 1e-2  # sine RMS = A/sqrt(2)
+    assert abs(tone["peak"] - 0.5) < 1e-2
+    # 440 Hz sine crosses zero 880x/s → zcr ≈ 880/16000
+    assert abs(tone["zcr"] - 880.0 / sr) < 0.005
+    assert tone["silence_ratio"] < 0.05 and tone["decoded_ok"]
+    sil = out[2]
+    assert sil["silence_ratio"] > 0.99 and sil["rms"] < 1e-6
+    assert not out[3]["decoded_ok"]
+
+
+def test_audio_compressed_codec_still_raises():
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from raycontract.pipelines.multimodal import AudioFeatures
+
+    batch = pa.table({"audio_id": pa.array([1], type=pa.int64()),
+                      "bytes": pa.array([b"\xff\xfb"], type=pa.binary()),
+                      "codec": pa.array(["mp3"])})
+    with _pytest.raises(NotImplementedError, match="mp3"):
+        AudioFeatures()(batch)
+
+
+def test_audio_features_sample_query(ray_session):
+    from raycontract.entry_queries import audio_features_sample
+
+    rows = audio_features_sample("/root/testdata/sf0.001").take_all()
+    assert len(rows) == 200
+    ok = [r for r in rows if r["decoded_ok"]]
+    bad = [r for r in rows if not r["decoded_ok"]]
+    assert len(bad) == 4  # planted corrupt payloads
+    assert all(r["duration_ms"] >= 350 for r in ok)  # ≥0.25s tone + 0.1s silence
