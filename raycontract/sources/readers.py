@@ -77,11 +77,18 @@ def read_model(
         return ds.select_columns(columns) if columns else ds
     if fmt == "json":
         if server.delimiter == "array":
-            # a whole-file JSON array is not splittable line-wise; read via
-            # pandas on the driver for small files (documented limitation)
-            import pandas as pd
+            # a whole-file JSON array is not line-splittable; parse it once
+            # on the driver with DuckDB's read_json_auto (EXACTLY what the
+            # reference does for array JSON, duckdb_connection.py:40-48) and
+            # hand the arrow table to Ray — the downstream pipeline is
+            # distributed, only the parse is driver-side (documented)
+            import duckdb
 
-            return rd.from_pandas(pd.read_json(path))
+            con = duckdb.connect()
+            t = con.execute(
+                "SELECT * FROM read_json_auto(?, format='array')", [path]).arrow()
+            con.close()
+            return rd.from_arrow(t)
         ds = rd.read_json(path, **kwargs)
         return ds.select_columns(columns) if columns else ds
     raise ValueError(f"unsupported server format: {fmt!r}")

@@ -247,8 +247,9 @@ class FileFusedKernel:
     matching the lineage sharding."""
 
     def __init__(self, plan: ModelPlan, image_spec, unique_specs, max_samples: int,
-                 columns: Optional[list[str]], slice_rows: int):
-        self.inner = FusedKernel(plan, image_spec, unique_specs, max_samples)
+                 columns: Optional[list[str]], slice_rows: int, profile: bool = False):
+        self.inner = FusedKernel(plan, image_spec, unique_specs, max_samples,
+                                 profile=profile)
         self.columns = columns
         self.slice_rows = slice_rows
 
