@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine_embeddings": q.knn_cosine_embeddings,
         "lsh_knn_embeddings": q.lsh_knn_embeddings,
+        "ivf_knn_embeddings": q.ivf_knn_embeddings,
         # text analysis
         "text_stats_documents": q.text_stats_documents,
         "langid_documents": q.langid_documents,

@@ -601,6 +601,17 @@ def lsh_knn_embeddings(sf_dir: str):
     return lsh_knn(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), ids, Q, k=10)
 
 
+def ivf_knn_embeddings(sf_dir: str):
+    """IVF ANN: spherical-k-means coarse quantizer + per-centroid packed
+    lists; queries probe nprobe nearest centroids only (approximate —
+    rows-only by design)."""
+    from raycontract.pipelines.similarity import ivf_knn
+
+    ids, Q = _query_matrix(sf_dir)
+    return ivf_knn(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), ids, Q,
+                   k=10, n_centroids=32, nprobe=8)
+
+
 # ------------------------------------------------------------------- text
 
 

@@ -91,6 +91,23 @@ def import_odcs_from_dict(doc: dict) -> DataContractSpecification:
         name = srv.get("server") or srv.get("environment") or "default"
         spec.servers[name] = Server(type=srv.get("type"), format=srv.get("format"),
                                     path=srv.get("path") or srv.get("location"))
+
+    # slaProperties → servicelevels (inverse of export/odcs.py)
+    sla = {p.get("property"): p for p in (doc.get("slaProperties") or [])
+           if isinstance(p, dict)}
+    if "freshness" in sla or "retention" in sla:
+        from raycontract.contract import Freshness, Retention, ServiceLevel
+
+        sl = ServiceLevel()
+        if "freshness" in sla:
+            p = sla["freshness"]
+            sl.freshness = Freshness(threshold=p.get("value"),
+                                     timestampField=p.get("element"))
+        if "retention" in sla:
+            p = sla["retention"]
+            sl.retention = Retention(period=p.get("value"),
+                                     timestampField=p.get("element"))
+        spec.servicelevels = sl
     return spec
 
 

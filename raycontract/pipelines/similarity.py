@@ -289,6 +289,196 @@ def query_lsh_index(index: LshIndex, query_ids: list[int], query_matrix: np.ndar
     return result, stats
 
 
+# ----------------------------------------------------------------- IVF ANN
+
+
+class IvfIndex:
+    """Inverted-file index: k-means coarse quantizer + per-centroid packed
+    vector lists. ``blocks``/``locator`` as in :class:`LshIndex` (one packed
+    row per centroid); ``centroids`` is the (k, dim) matrix held on the
+    driver (tiny — k ≪ corpus). Queries probe the ``nprobe`` nearest
+    centroids and fetch ONLY those lists."""
+
+    def __init__(self, blocks, locator, centroids, id_col, total_rows, id_type):
+        self.blocks = blocks
+        self.locator = locator  # centroid_id → (block_idx, row_idx)
+        self.centroids = centroids
+        self.id_col = id_col
+        self.total_rows = total_rows
+        self.id_type = id_type
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self.blocks)
+
+
+def _kmeans_cosine(X: np.ndarray, k: int, iters: int = 10,
+                   seed: int = 777) -> np.ndarray:
+    """Spherical k-means on the (already normalized) sample — numpy only."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(C.shape[0]):
+            members = X[assign == j]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[j] = v / n
+    return C
+
+
+def build_ivf_index(ds, emb_col: str = "embedding", id_col: str = "vec_id",
+                    k: int = 64, train_rows: int = 50_000,
+                    kmeans_iters: int = 10) -> IvfIndex:
+    """Train the coarse quantizer on a bounded sample (driver k-means over
+    ≤ ``train_rows`` vectors — k-means training is NOT the scan), then ONE
+    distributed assign pass + ONE groupby packs each centroid's vectors.
+    The IVF alternative to :func:`build_lsh_index` (better recall than
+    hyperplane LSH when neighbor similarity is weak)."""
+    import ray.data as rd
+
+    from raycontract.pipelines.dedup import _emb_matrix
+
+    sample = ds.select_columns([emb_col]).limit(train_rows)
+    tabs = [pa.table(t) for t in ray.get(sample.to_arrow_refs()) if t.num_rows]
+    X = np.concatenate([_emb_matrix(t, emb_col) for t in tabs])
+    centroids = _kmeans_cosine(X, k, iters=kmeans_iters)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        En = _emb_matrix(batch, emb_col)
+        n = batch.num_rows
+        if n == 0 or En.size == 0:
+            return pa.table({"centroid": pa.array([], type=pa.int32()),
+                             id_col: batch[id_col],
+                             "_emb": pa.array([], type=pa.list_(pa.float64()))})
+        cid = np.argmax(En @ C.T, axis=1).astype(np.int32)
+        return pa.table({
+            "centroid": pa.array(cid),
+            id_col: batch[id_col],
+            "_emb": pa.FixedSizeListArray.from_arrays(
+                pa.array(En.ravel(), type=pa.float64()), En.shape[1]),
+        })
+
+    def pack(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        emb = group["_emb"].combine_chunks()
+        dim = emb.type.list_size
+        return pa.table({
+            "centroid": group["centroid"][:1],
+            "n": pa.array([n], type=pa.int64()),
+            "dim": pa.array([dim], type=pa.int32()),
+            "ids": pa.array([group[id_col].to_pylist()],
+                            type=pa.list_(group[id_col].type)),
+            "mat": pa.array([np.asarray(emb.flatten(), dtype=np.float64)],
+                            type=pa.list_(pa.float64())),
+        })
+
+    packed = ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow").groupby("centroid").map_groups(
+        pack, batch_format="pyarrow").materialize()
+    refs = list(packed.to_arrow_refs())
+
+    @ray.remote
+    def block_keys(t: pa.Table):
+        t = pa.table(t)
+        if "centroid" not in t.column_names:  # empty block, bare schema
+            return ([], [])
+        return (t["centroid"].to_pylist(), t["n"].to_pylist())
+
+    locator: dict[int, tuple] = {}
+    total = 0
+    ps = packed.schema()
+    id_type = dict(zip(ps.names, ps.types))["ids"].value_type
+    for bi, (cids, ns) in enumerate(ray.get([block_keys.remote(r) for r in refs])):
+        for ri, (c, n) in enumerate(zip(cids, ns)):
+            locator[int(c)] = (bi, ri)
+            total += int(n)
+    return IvfIndex(refs, locator, centroids, id_col, total, id_type)
+
+
+def query_ivf_index(index: IvfIndex, query_ids: list[int], query_matrix: np.ndarray,
+                    k: int = 10, nprobe: int = 8):
+    """Top-k per query probing the ``nprobe`` nearest centroid lists only.
+    Returns (arrow table (query_id, rank, id, score), scan-stats dict)."""
+    Q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qids = list(query_ids)
+    nq = len(qids)
+    sims = Q @ index.centroids.T  # (nq, k_centroids)
+    nprobe = min(nprobe, sims.shape[1])
+    probes = np.argpartition(-sims, kth=nprobe - 1, axis=1)[:, :nprobe]
+
+    per_block: dict[int, dict[int, list[int]]] = {}
+    for qi in range(nq):
+        for c in probes[qi]:
+            loc = index.locator.get(int(c))
+            if loc is None:
+                continue
+            bi, ri = loc
+            per_block.setdefault(bi, {}).setdefault(ri, []).append(qi)
+
+    @ray.remote
+    def score_block(tbl: pa.Table, rows: dict, Q: np.ndarray, k: int):
+        tbl = pa.table(tbl)
+        out = []
+        for ri, q_idxs in rows.items():
+            n = int(tbl["n"][ri].as_py())
+            if n == 0:
+                continue
+            dim = int(tbl["dim"][ri].as_py())
+            ids = tbl["ids"][ri].as_py()
+            M = np.asarray(tbl["mat"][ri].as_py(), dtype=np.float64).reshape(n, dim)
+            S = Q[q_idxs] @ M.T
+            kk = min(k, n)
+            top = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+            for row, qi in enumerate(q_idxs):
+                for c in top[row]:
+                    out.append((qi, ids[c], float(S[row, c])))
+        return out
+
+    futures = [score_block.remote(index.blocks[bi], rows, Q, k)
+               for bi, rows in per_block.items()]
+    cand: dict[int, dict] = {qi: {} for qi in range(nq)}
+    rows_scored = 0
+    for part in ray.get(futures) if futures else []:
+        for qi, cid, s in part:
+            rows_scored += 1
+            prev = cand[qi].get(cid)
+            if prev is None or s > prev:
+                cand[qi][cid] = s
+    qcol, rcol, icol, scol = [], [], [], []
+    for qi in range(nq):
+        items = sorted(cand[qi].items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for rank, (cid, s) in enumerate(items, 1):
+            qcol.append(qids[qi])
+            rcol.append(rank)
+            icol.append(cid)
+            scol.append(s)
+    result = pa.table({"query_id": pa.array(qcol, type=pa.int64()),
+                       "rank": pa.array(rcol, type=pa.int64()),
+                       index.id_col: pa.array(icol, type=index.id_type),
+                       "score": pa.array(scol, type=pa.float64())})
+    stats = {"blocks_fetched": len(per_block), "blocks_total": index.num_blocks,
+             "rows_scored": rows_scored, "corpus_rows": index.total_rows,
+             "nprobe": nprobe}
+    return result, stats
+
+
+def ivf_knn(ds, query_ids: list[int], query_matrix: np.ndarray,
+            emb_col: str = "embedding", id_col: str = "vec_id", k: int = 10,
+            n_centroids: int = 64, nprobe: int = 8):
+    """IVF approximate top-k (train → assign → pack → probe)."""
+    import ray.data as rd
+
+    index = build_ivf_index(ds, emb_col, id_col, k=n_centroids)
+    result, _stats = query_ivf_index(index, query_ids, query_matrix, k=k,
+                                     nprobe=nprobe)
+    return rd.from_arrow(result)
+
+
 def lsh_knn(ds, query_ids: list[int], query_matrix: np.ndarray,
             emb_col: str = "embedding", id_col: str = "vec_id", k: int = 10,
             bits: int = 8, num_tables: int = 4, probe_hamming: int = 1):

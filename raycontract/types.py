@@ -18,6 +18,16 @@ from raycontract.contract import Field
 
 
 def contract_field_to_arrow(field: Field) -> pa.DataType:
+    # per-field physical override (≅ the reference's per-dialect config
+    # overrides, e.g. config.postgresType — ours is the engine's dialect):
+    # config.arrowType names any pyarrow alias ("uint32", "float16", ...)
+    if field.config:
+        override = field.config.get("arrowType")
+        if override:
+            try:
+                return pa.type_for_alias(str(override))
+            except ValueError:
+                pass
     t = (field.type or "").lower()
     if t in ("string", "text", "varchar"):
         return pa.string()

@@ -298,3 +298,47 @@ def test_distributed_dup_fold_non_power_of_two_buckets(ray_session):
     assert d["distinct_count"] == n // 2
     assert d["duplicate_values"] == n // 2
     assert d["duplicate_rows"] == n // 2
+
+
+# --------------------------------------------------------------- IVF ANN
+
+
+def test_ivf_knn_recall_and_partial_scan(clustered_embeddings):
+    """IVF coarse-quantizer path: high recall on clustered data, probing
+    only nprobe centroid lists (scan stats prove the partial read)."""
+    from raycontract.pipelines.similarity import build_ivf_index, query_ivf_index
+
+    ds, ids, E = clustered_embeddings
+    qids, Q = ids[:5], E[:5]
+    index = build_ivf_index(ds, "embedding", "vec_id", k=20)
+    result, stats = query_ivf_index(index, qids, Q, k=10, nprobe=4)
+
+    S = Q @ E.T
+    res = result.to_pydict()
+    hits = total = 0
+    for qi, qid in enumerate(qids):
+        got = {res["vec_id"][i] for i in range(len(res["query_id"]))
+               if res["query_id"][i] == qid}
+        want = {ids[i] for i in np.argsort(-S[qi], kind="stable")[:10]}
+        hits += len(got & want)
+        total += len(want)
+    assert hits / total >= 0.9, (hits / total, stats)
+    # nprobe=4 of 20 centroids → well under the full corpus scanned
+    assert stats["rows_scored"] < stats["corpus_rows"]
+    assert stats["blocks_fetched"] <= stats["blocks_total"]
+
+
+def test_ivf_knn_smoke(clustered_embeddings):
+    from raycontract.pipelines.similarity import ivf_knn
+
+    ds, ids, E = clustered_embeddings
+    res = ivf_knn(ds, ids[:2], E[:2], k=5, n_centroids=10, nprobe=3)
+    rows = res.take_all()
+    assert len(rows) == 10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # rank 1 must be the query vector itself (it is in the corpus)
+    for qid, rs in by_q.items():
+        top = min(rs, key=lambda r: r["rank"])
+        assert top["vec_id"] == qid and top["score"] > 0.999
