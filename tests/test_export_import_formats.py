@@ -627,3 +627,27 @@ def test_cli_export_batch3(tmp_path, capsys):
     tpl.write_text("{{ datacontract.id }}")
     assert main(["export", str(c), "--format", "custom", "--template", str(tpl)]) == 0
     assert "fmt-rt" in capsys.readouterr().out
+
+
+def test_odcs_sla_roundtrip():
+    from raycontract.export.odcs import export_odcs
+    from raycontract.imports.odcs import import_odcs_from_dict
+
+    doc = yaml.safe_load(export_odcs(spec()))
+    imp = import_odcs_from_dict(doc)
+    assert imp.servicelevels is not None
+    assert imp.servicelevels.freshness.threshold == "24h"
+    assert imp.servicelevels.freshness.timestampField == "orders.created"
+    assert imp.servicelevels.retention.period == "P1Y"
+
+
+def test_arrow_type_config_override():
+    from raycontract.types import contract_field_to_arrow
+    from raycontract.contract import Field
+    import pyarrow as pa
+
+    f = Field(type="int", config={"arrowType": "uint32"})
+    assert contract_field_to_arrow(f) == pa.uint32()
+    # bogus override falls back to the logical mapping
+    f2 = Field(type="int", config={"arrowType": "not-a-type"})
+    assert contract_field_to_arrow(f2) == pa.int32()
