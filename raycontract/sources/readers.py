@@ -91,6 +91,14 @@ def read_model(
             return rd.from_arrow(t)
         ds = rd.read_json(path, **kwargs)
         return ds.select_columns(columns) if columns else ds
+    if fmt == "kafka":
+        # The reference's kafka path materializes the topic from `earliest`
+        # into a static frame and validates it as a BATCH SNAPSHOT
+        # (engines/soda/connections/kafka.py:50-57) — no streaming state.
+        # Offline analog: the server path points at an NDJSON topic dump
+        # (one message per line), reproducing exactly those semantics.
+        ds = rd.read_json(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     raise ValueError(f"unsupported server format: {fmt!r}")
 
 

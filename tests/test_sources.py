@@ -80,3 +80,17 @@ def test_unknown_format_errors(ray_session, tmp_path):
     c = CONTRACT_TMPL.format(fmt="avro", path=tmp_path / "x.avro", delim="")
     run = DataContract(data_contract_str=c).test()
     assert run.result == ResultEnum.error
+
+
+def test_kafka_dump_snapshot_server(ray_session, tmp_path):
+    """format: kafka reads an NDJSON topic dump as a batch snapshot (the
+    reference's kafka semantics: earliest→now materialized, validated as a
+    batch — engines/soda/connections/kafka.py:50-57)."""
+    p = tmp_path / "topic.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in ROWS))
+    c = CONTRACT_TMPL.format(fmt="kafka", path=p, delim="")
+    run = DataContract(data_contract_str=c).test()
+    _expect(run)
+    # (a `type: kafka, format: json` server flows through the json branch
+    # with type-checks skipped, exactly like the reference; `format: kafka`
+    # is the explicit dump spelling tested here)
