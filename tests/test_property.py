@@ -103,3 +103,99 @@ def test_categorical_counts_merge_total(items):
     a.add([k for k, _ in items[:half]], [c for _, c in items[:half]])
     b.add([k for k, _ in items[half:]], [c for _, c in items[half:]])
     assert a.merge(b).total() == sum(c for _, c in items)
+
+
+# ------------------------------------------------- r2: format round-trips
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+
+_scalar_types = st.sampled_from(
+    ["string", "int", "long", "float", "double", "boolean", "date",
+     "timestamp", "timestamp_ntz", "bytes", "time"])
+
+
+@st.composite
+def _flat_field(draw):
+    from raycontract.contract import Field
+
+    f = Field(type=draw(_scalar_types))
+    if draw(st.booleans()):
+        f.required = True
+    if draw(st.booleans()):
+        f.unique = True
+    if f.type == "string" and draw(st.booleans()):
+        f.maxLength = draw(st.integers(1, 100))
+    if f.type in ("int", "long", "double", "float") and draw(st.booleans()):
+        f.minimum = draw(st.integers(-1000, 1000))
+    return f
+
+
+@st.composite
+def _flat_spec(draw):
+    from raycontract.contract import DataContractSpecification, Info, Model
+
+    spec = DataContractSpecification(dataContractSpecification="1.1.0")
+    spec.id = draw(_ident)
+    spec.info = Info(title="p", version="1.0.0")
+    model = Model()
+    names = draw(st.lists(_ident, min_size=1, max_size=6, unique=True))
+    for n in names:
+        model.fields[n] = draw(_flat_field())
+    spec.models[draw(_ident)] = model
+    return spec
+
+
+@settings(max_examples=25, deadline=None)
+@given(spec=_flat_spec())
+def test_dcs_yaml_roundtrip_property(spec):
+    """export→parse→export is a fixed point and preserves every field attr."""
+    from raycontract.contract import DataContractSpecification
+    from raycontract.export.dcs import export_dcs_yaml
+
+    txt = export_dcs_yaml(spec)
+    back = DataContractSpecification.from_string(txt, validate=True)
+    assert export_dcs_yaml(back) == txt
+    mname = next(iter(spec.models))
+    for n, f in spec.models[mname].fields.items():
+        g = back.models[mname].fields[n]
+        for attr in ("type", "required", "unique", "maxLength", "minimum"):
+            assert getattr(g, attr) == getattr(f, attr), (n, attr)
+
+
+@settings(max_examples=15, deadline=None)
+@given(spec=_flat_spec())
+def test_sql_ddl_import_roundtrip_property(spec):
+    """contract → DuckDB DDL → import preserves type/required for every
+    scalar field (modulo the documented lossy physical mappings)."""
+    from raycontract.export.sql import to_sql_ddl
+    from raycontract.imports.sql import import_sql
+
+    ddl = to_sql_ddl(spec, dialect="duckdb")
+    back = import_sql(ddl)
+    mname = next(iter(spec.models))
+    equivalent = {"float": {"float"}, "double": {"double"},
+                  "int": {"int"}, "long": {"long"}, "string": {"string"},
+                  "boolean": {"boolean"}, "bytes": {"bytes"}, "date": {"date"},
+                  "time": {"time"}, "timestamp": {"timestamp"},
+                  "timestamp_ntz": {"timestamp_ntz"}}
+    for n, f in spec.models[mname].fields.items():
+        g = back.models[mname].fields[n]
+        assert g.type in equivalent[f.type], (n, f.type, g.type)
+        assert bool(g.required) == bool(f.required), n
+
+
+@settings(max_examples=20, deadline=None)
+@given(spec=_flat_spec())
+def test_avro_import_roundtrip_property(spec):
+    from raycontract.export.avro import export_avro
+    from raycontract.imports.avro import import_avro
+
+    back = import_avro(export_avro(spec))
+    mname = next(iter(spec.models))
+    amap = {"time": "time", "timestamp": "timestamp", "timestamp_ntz": "timestamp_ntz"}
+    for n, f in spec.models[mname].fields.items():
+        g = back.models[mname].fields[n]
+        assert bool(g.required) == bool(f.required), n
+        if f.type in ("string", "int", "long", "float", "double", "boolean",
+                      "bytes", "date"):
+            assert g.type == f.type, (n, f.type, g.type)
