@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q.pricing_summary_q,
         "top_customers_by_revenue": q.top_customers_q,
         "events_hourly": q.events_hourly_q,
+        "events_sliding_windows": q.events_sliding_windows,
         "sessionize_events": q.sessionize_events_q,
         "heavy_hitters_users": q.heavy_hitters_users_q,
         # dedup family
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn_embeddings": q.ivf_knn_embeddings,
         # text analysis
         "text_stats_documents": q.text_stats_documents,
+        "bpe_tokens_documents": q.bpe_tokens_documents,
         "langid_documents": q.langid_documents,
         "quality_scores_documents": q.quality_scores_documents,
         "fingerprints_documents": q.fingerprints_documents,
@@ -95,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": q.pricing_summary_sql(),
         "top_customers_by_revenue": q.top_customers_sql(),
         "events_hourly": q.events_hourly_sql(),
+        "events_sliding_windows": q.events_sliding_windows_sql(),
         "sessionize_events": q.sessionize_events_sql(),
         "heavy_hitters_users": q.heavy_hitters_users_sql(),
         "heavy_hitters_sketch_events": q.heavy_hitters_sketch_events_sql(),

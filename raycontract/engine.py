@@ -151,7 +151,8 @@ def validate(
         try:
             thunks.extend(_model_thunks(plan, mp, by_key, get_ds, now, max_samples,
                                         batch_size, cheap_count=cheap_count,
-                                        fused_files=fused_files))
+                                        fused_files=fused_files,
+                                        run_metrics_box=run.metrics))
         except Exception as e:  # a broken model errors its checks, not the run
             for c in plan.checks:
                 if c.model == model_name and c.result is None:
@@ -269,7 +270,8 @@ def _fused_read_files(srv, model_name: str):
 
 
 def _model_thunks(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, max_samples,
-                  batch_size, cheap_count: bool = True, fused_files=None) -> list:
+                  batch_size, cheap_count: bool = True, fused_files=None,
+                  run_metrics_box: Optional[dict] = None) -> list:
     """Run schema checks (metadata-only) synchronously, prune to present
     columns, and return one (label, checks, thunk) per independent Ray
     execution so validate() can run them concurrently."""
@@ -381,6 +383,9 @@ def _model_thunks(plan: ValidationPlan, mp: ModelPlan, by_key, get_ds, now, max_
             ds, pruned, image_spec, live_uniques,
             max_samples=max_samples, batch_size=batch_size, input_rows=input_rows,
             file_paths=fused_files, columns=scan_cols or None)
+        ray_stats = stats.pop("_ray_stats", None)
+        if ray_stats and run_metrics_box is not None:
+            run_metrics_box[f"{mp.model_name}:ray-stats"] = ray_stats
 
         # --- uniqueness verdicts (two-stage groupby over fused partials) ---
         for u in live_uniques:

@@ -438,6 +438,35 @@ def sessionize_events_sql() -> str:
     )
 
 
+def events_sliding_windows(sf_dir: str):
+    """Sliding event-time windows (1h window, 30min hop): each event lands in
+    2 overlapping windows; fan-out happens as pre-aggregated (window, sum)
+    partials, not event copies."""
+    from raycontract.pipelines.relational import sliding_window_agg
+
+    return sliding_window_agg(_read(sf_dir, "events", ["ts", "value"]),
+                              window_s=3600, slide_s=1800)
+
+
+def events_sliding_windows_sql() -> str:
+    return (
+        "SELECT CAST((epoch_us(ts) // 1800000000) * 1800000000 "
+        "- o.i * 1800000000 AS BIGINT) AS window_start_us, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+        "FROM events CROSS JOIN (SELECT range AS i FROM range(0,2)) o "
+        "GROUP BY 1"
+    )
+
+
+def bpe_tokens_documents(sf_dir: str):
+    """BPE-ish regex pre-tokenizer counts (GPT-2 split pattern; python-re
+    lookahead → rows-only, RE2 oracles can't express it)."""
+    from raycontract.pipelines.textpipe import bpe_token_counts
+
+    return bpe_token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def heavy_hitters_users_q(sf_dir: str):
     from raycontract.pipelines.relational import heavy_hitters_users
 

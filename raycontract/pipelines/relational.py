@@ -120,6 +120,55 @@ def events_hourly(events_ds):
     )
 
 
+def sliding_window_agg(events_ds, window_s: int = 3600, slide_s: int = 1800,
+                       ts_col: str = "ts", value_col: str = "value"):
+    """SLIDING event-time windows (window ``window_s``, hop ``slide_s``,
+    ``slide_s`` must divide ``window_s``): each event contributes to
+    ``window_s/slide_s`` overlapping windows.
+
+    Fan-out + pre-aggregation happen per batch with pure numpy (an event's
+    k window-starts are ``floor(ts/slide)*slide - i*slide``), so the shuffle
+    moves (window_start, partial-sum) rows — O(distinct windows) per batch —
+    never k copies of the events. Returns (window_start_us:int64,
+    n_events:int64, sum_value_cents:int64).
+    """
+    if window_s % slide_s:
+        raise ValueError("slide_s must divide window_s")
+    k = window_s // slide_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table({"window_start_us": pa.array([], type=pa.int64()),
+                          "n_events": pa.array([], type=pa.int64()),
+                          "sum_value_cents": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        ts_us = np.asarray(pc.cast(batch[ts_col].combine_chunks(),
+                                   pa.timestamp("us")).cast(pa.int64()))
+        cents = np.asarray(_cents(batch[value_col]))
+        slide_us = np.int64(slide_s) * 1_000_000
+        base = (ts_us // slide_us) * slide_us
+        # (k, n) window starts per event → flatten, pre-aggregate per window
+        starts = base[None, :] - (np.arange(k, dtype=np.int64)[:, None] * slide_us)
+        flat = starts.ravel()
+        vals = np.tile(cents, k)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        cnts = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, vals)
+        np.add.at(cnts, inv, 1)
+        return pa.table({"window_start_us": pa.array(uniq),
+                         "n_events": pa.array(cnts),
+                         "sum_value_cents": pa.array(sums)})
+
+    partials = events_ds.select_columns([ts_col, value_col]).map_batches(
+        partial, batch_format="pyarrow")
+    return partials.groupby("window_start_us").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value_cents", alias_name="sum_value_cents"),
+    )
+
+
 def sessionize_events(events_ds, gap_minutes: int = 30):
     """Session windows per user: consecutive events ≤ gap apart share a
     session (the classic streaming sessionization, SURVEY §2e 'streaming-

@@ -41,6 +41,38 @@ def text_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.select_columns([id_col, text_col]).map_batches(fn, batch_format="pyarrow")
 
 
+# The GPT-2 pre-tokenization pattern (public: the published BPE papers /
+# tokenizer docs): contraction suffixes, letter runs with optional leading
+# space, digit runs, punctuation runs, whitespace. This is the "BPE-ish"
+# token counter — it counts the PRE-merge word pieces a byte-level BPE
+# would start from (the subsequent merge table is model-specific).
+_BPE_SPLIT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+
+
+class BpeTokenCounter:
+    """Actor-pool stage: regex pre-tokenizer token counts per document
+    (compiled ONCE per actor in ``__init__`` — never per batch)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        import re
+
+        self.re = re.compile(_BPE_SPLIT)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        counts = [len(self.re.findall(t)) if t else 0 for t in texts]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_bpe_tokens": pa.array(counts, type=pa.int64()),
+        })
+
+
+def bpe_token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.select_columns([id_col, text_col]).map_batches(
+        BpeTokenCounter(text_col, id_col), batch_format="pyarrow")
+
+
 class LangId:
     """Stopword-profile language ID (+ CJK codepoint check for zh).
 

@@ -344,7 +344,14 @@ def run_fused_pass(
         tables = [pa.table(t) for t in ray.get(fused.to_arrow_refs()) if t.num_rows]
         if timing:
             print(f"[fused] single-execution scan→driver: {time.time()-t0:.1f}s", flush=True)
-        return _driver_fold_all(tables, unique_specs, max_samples)
+        out = _driver_fold_all(tables, unique_specs, max_samples)
+        try:
+            # surface the Ray execution profile (per-operator wall/cpu/rows)
+            # for observability — consumers read it from stats['_ray_stats']
+            out[0]["_ray_stats"] = fused.stats()[:4000]
+        except Exception:
+            pass
+        return out
 
     if unique_specs:
         # The fused output is tiny relative to the input but inherits the

@@ -150,3 +150,21 @@ def test_drift_by_batch_actor_pool(ray_session):
     assert dists[0] < 0.15          # clean batch passes
     assert dists[1] > 0.5           # shifted batch flagged
     assert [r["passed"] for r in sorted(rows, key=lambda r: r["distance"])] == [True, False]
+
+
+# ------------------------------------------------- r2: BPE-ish tokenizer
+
+
+def test_bpe_token_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycontract.pipelines.textpipe import bpe_token_counts
+
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "text": pa.array(["Hello world, it's 2024!", "", None])})
+    out = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_token_counts(rd.from_arrow(tbl)).take_all()}
+    # "Hello"," world",","," it","'s"," 2024","!" → 7 pieces
+    assert out[1] == 7
+    assert out[2] == 0 and out[3] == 0
