@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_prefix_documents": q.dedup_prefix_documents,
         "neardup_cosine_embeddings": q.neardup_cosine_embeddings,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
+        "neardup_keep_first_embeddings": q.neardup_keep_first_embeddings,
+        "phash_neardup_images": q.phash_neardup_images,
         "repeat_customers_orders": q.repeat_customers_orders,
         "minhash_pairs_documents": q.minhash_pairs_documents,
         "simhash_pairs_documents": q.simhash_pairs_documents,
@@ -104,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": q.dedup_exact_documents_sql(),
         "dedup_prefix_documents": q.dedup_prefix_documents_sql(),
         "neardup_cosine_embeddings": q.neardup_cosine_embeddings_sql(),
+        "neardup_keep_first_embeddings": q.neardup_keep_first_embeddings_sql(),
         "repeat_customers_orders": q.repeat_customers_orders_sql(),
         "knn_cosine_embeddings": q.knn_cosine_embeddings_sql(),
         "text_stats_documents": q.text_stats_documents_sql(),

@@ -588,6 +588,71 @@ def repeat_customers_orders_sql() -> str:
             "GROUP BY o_custkey HAVING count(*) > 5)")
 
 
+def neardup_keep_first_embeddings(sf_dir: str):
+    """End-to-end near-dedup: exact cosine pairs → connected components →
+    keep the min-id representative per cluster. Oracle: recursive-CTE
+    transitive closure in DuckDB."""
+    from raycontract.pipelines.dedup import embedding_neardup_pairs, neardup_keep_first
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.4)
+    return neardup_keep_first(ds, pairs, "vec_id")
+
+
+def neardup_keep_first_embeddings_sql() -> str:
+    return """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id AND
+        list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+), syms AS (
+  SELECT ia AS n, ib AS m FROM pairs UNION SELECT ib, ia FROM pairs
+), reach(n, m) AS (
+  SELECT n, m FROM syms
+  UNION
+  SELECT r.n, s.m FROM reach r JOIN syms s ON r.m = s.n WHERE s.m != r.n
+), comp AS (
+  SELECT n, LEAST(n, MIN(m)) AS c FROM reach GROUP BY n
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT n FROM comp WHERE c < n)
+"""
+
+
+def phash_neardup_images(sf_dir: str):
+    """Image near-dup pairs by perceptual-hash Hamming distance (≤3): the
+    banding machinery shared with simhash, applied to the precomputed phash
+    column. The deterministic fixture gets 30 planted near-dup variants
+    (1-3 phash bits flipped) so each planted pair MUST surface — banding is
+    exact at Hamming ≤ 3."""
+    import pyarrow.parquet as pq
+
+    from raycontract.pipelines.dedup import hash_hamming_pairs
+
+    d = _images_fixture_dir()
+    t = pq.read_table(os.path.join(d, "images.parquet"),
+                      columns=["image_id", "phash"])
+    ids = t["image_id"].to_pylist()
+    ph = np.asarray(t["phash"]).astype(np.int64).view(np.uint64)
+    rng = np.random.default_rng(4242)
+    extra_ids, extra_ph = [], []
+    for j in range(30):
+        src = 40 + j * 7  # clean rows
+        flips = rng.choice(64, size=1 + (j % 3), replace=False)
+        v = ph[src]
+        for b in flips:
+            v = v ^ (np.uint64(1) << np.uint64(int(b)))
+        extra_ids.append(f"{ids[src]}-variant")
+        extra_ph.append(np.int64(v.astype(np.int64)))
+    full = pa.table({
+        "image_id": pa.array(ids + extra_ids),
+        "phash": pa.array(list(np.asarray(t["phash"]).astype(np.int64)) + extra_ph,
+                          type=pa.int64()),
+    })
+    return hash_hamming_pairs(rd.from_arrow(full), "phash", "image_id", max_hamming=3)
+
+
 # -------------------------------------------------------------- similarity
 
 

@@ -361,6 +361,18 @@ class SimHasher:
         })
 
 
+def hash_hamming_pairs(ds, hash_col: str, id_col: str, max_hamming: int = 3):
+    """Near-dup pairs among PRECOMPUTED 64-bit hashes (simhash, image phash,
+    any fingerprint) with Hamming distance ≤ max_hamming — the banding/verify
+    machinery of :func:`simhash_pairs` without the text hashing stage.
+    Exact (no recall loss) for max_hamming ≤ 3 by the pigeonhole guarantee."""
+    sh = ds.select_columns([hash_col, id_col]).map_batches(
+        lambda b: pa.table({id_col: b[id_col], "simhash": b[hash_col]}),
+        batch_format="pyarrow",
+    )
+    return _hamming_banding_pairs(sh, id_col, max_hamming)
+
+
 def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3):
     """Near-dup pairs with simhash Hamming distance ≤ max_hamming.
 
@@ -371,6 +383,10 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3):
     sh = ds.select_columns([text_col, id_col]).map_batches(
         SimHasher(text_col, id_col), batch_format="pyarrow",
     )
+    return _hamming_banding_pairs(sh, id_col, max_hamming)
+
+
+def _hamming_banding_pairs(sh, id_col: str, max_hamming: int):
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -649,6 +665,28 @@ def embedding_neardup_pairs(ds, emb_col: str, id_col: str, threshold: float = 0.
                                        "id_b": pa.array([], type=pa.int64()),
                                        "cosine": pa.array([], type=pa.float64())}))
     return rd.from_arrow(pa.concat_tables(tables))
+
+
+def neardup_keep_first(ds, pairs_ds, id_col: str):
+    """End-to-end near-dedup policy: given the corpus and its near-dup PAIRS,
+    keep the min-id representative of every duplicate cluster.
+
+    pairs → :func:`connected_components` → drop every node whose component
+    label is smaller than itself. The dropped set is tiny relative to the
+    corpus (near-dup fraction), so it broadcasts via ``ray.put`` and the
+    corpus filter is one vectorized map_batches — no join shuffle. Returns a
+    Dataset with one ``{id_col}`` column of kept ids."""
+    cc = connected_components(pairs_ds)
+    dropped = {r["node"] for r in cc.take_all() if r["component"] < r["node"]}
+    ref = ray.put(dropped)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(ref)
+        ids = batch[id_col]
+        mask = pa.array([v not in drop for v in ids.to_pylist()])
+        return pa.table({id_col: ids.filter(mask)})
+
+    return ds.select_columns([id_col]).map_batches(keep, batch_format="pyarrow")
 
 
 def embedding_neardup_pairs_lsh(ds, emb_col: str, id_col: str, threshold: float = 0.9,

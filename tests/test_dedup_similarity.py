@@ -150,3 +150,44 @@ def test_connected_components_via_minhash(docs):
     # docs 0,1,2 (exact dups) and 3 (near-dup) all collapse into one cluster
     assert comp[0] == comp[1] == comp[2] == 0
     assert comp.get(3, 0) == 0
+
+
+# --------------------------------------------------- r2: composed dedup
+
+
+def test_hash_hamming_pairs_precomputed(ray_session):
+    """Banding over precomputed 64-bit hashes (image phash use case)."""
+    from raycontract.pipelines.dedup import hash_hamming_pairs
+
+    base = 0b1011001110001111000011110000111100001111000011110000111100001111
+    hashes = [base, base ^ 0b1, base ^ 0b111, base ^ (0b11111 << 20), 0]
+    t = pa.table({"pid": pa.array(list(range(5)), type=pa.int64()),
+                  "h": pa.array([x - (1 << 64) if x >= (1 << 63) else x
+                                 for x in hashes], type=pa.int64())})
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in hash_hamming_pairs(rd.from_arrow(t), "h", "pid",
+                                         max_hamming=3).take_all()}
+    assert pairs[(0, 1)] == 1 and pairs[(0, 2)] == 3 and (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)  # ham 5 / huge excluded
+
+
+def test_neardup_keep_first_composition(ray_session):
+    """pairs → connected components → keep-first drops exactly the non-min
+    members of every cluster."""
+    from raycontract.pipelines.dedup import neardup_keep_first
+
+    corpus = rd.from_arrow(pa.table({"id": pa.array(list(range(10)), type=pa.int64())}))
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([1, 2, 7], type=pa.int64()),
+        "id_b": pa.array([2, 3, 8], type=pa.int64()),
+    }))
+    kept = sorted(r["id"] for r in neardup_keep_first(corpus, pairs, "id").take_all())
+    assert kept == [0, 1, 4, 5, 6, 7, 9]  # dropped 2,3 (cluster of 1) and 8
+
+
+def test_phash_neardup_images_query(ray_session):
+    from raycontract.entry_queries import phash_neardup_images
+
+    rows = phash_neardup_images("/root/testdata/sf0.001").take_all()
+    assert len(rows) == 30  # exactly the planted bit-flip variants
+    assert all(r["hamming"] <= 3 for r in rows)
