@@ -35,21 +35,28 @@ class ImageFeatures:
         ids = batch[self.id_col]
         blobs = batch[self.bytes_col].to_pylist()
         fmts = batch[self.fmt_col].to_pylist()
-        means, phashes, thumbs, ok = [], [], [], []
-        for b, f in zip(blobs, fmts):
+        means, thumbs, ok = [], [], []
+        smalls32, ok_pos = [], []
+        for i, (b, f) in enumerate(zip(blobs, fmts)):
             try:
                 img = self.codecs.decode_image(b, f)
                 m = img.reshape(-1, 3).mean(axis=0)
                 small = self.codecs._area_resize_gray(img, self.thumb)
                 thumbs.append(small.astype(np.uint8).tobytes())
                 means.append([float(x) for x in m])
-                phashes.append(self.codecs.phash64(img))
+                smalls32.append(self.codecs._area_resize_gray(img, 32))
+                ok_pos.append(i)
                 ok.append(True)
             except Exception:
                 thumbs.append(None)
                 means.append(None)
-                phashes.append(None)
                 ok.append(False)
+        # one batched DCT phash across all decodable images (NOT per row)
+        phashes: list = [None] * len(blobs)
+        if smalls32:
+            for pos, h in zip(ok_pos,
+                              self.codecs.phash64_batch(np.stack(smalls32))):
+                phashes[pos] = int(h)
         return pa.table({
             self.id_col: ids,
             "mean_rgb": pa.array(means, type=pa.list_(pa.float64())),
