@@ -191,6 +191,9 @@ def main(argv=None) -> int:
     pv.add_argument("--violations-full", default=None,
                     help="ALSO extract EVERY violating row (uncapped streaming pass) "
                          "to this directory as partitioned parquet")
+    pv.add_argument("--clean-output", default=None,
+                    help="write the rows passing EVERY constraint to this directory "
+                         "as partitioned parquet (training-data sink)")
     pv.add_argument("--max-errors", type=int, default=20,
                     help="violation-row cap per check (ref DATACONTRACT_MAX_ERRORS=500)")
     pv.add_argument("--publish", default=None,
@@ -346,10 +349,12 @@ def main(argv=None) -> int:
                 from raycontract.output import publish_run
 
                 publish_run(run, args.publish)
-            if args.violations_full:
+            if args.violations_full or args.clean_output:
+                import os as _os
+
                 from raycontract.compile import compile_contract
                 from raycontract.sources.readers import read_model
-                from raycontract.stages.violations import extract_violations
+                from raycontract.stages.violations import extract_clean, extract_violations
 
                 dc = DataContract(data_contract_file=args.contract, server=args.server)
                 plan = compile_contract(dc.spec, dc.get_server())
@@ -357,11 +362,14 @@ def main(argv=None) -> int:
                     if not mp2.constraints:
                         continue
                     ds = read_model(dc.get_server(), model_name, dc.spec.models.get(model_name))
-                    import os as _os
-
-                    n = extract_violations(ds, mp2,
-                                           _os.path.join(args.violations_full, model_name))
-                    print(f"violations[{model_name}]: {n} rows")
+                    if args.violations_full:
+                        n = extract_violations(ds, mp2,
+                                               _os.path.join(args.violations_full, model_name))
+                        print(f"violations[{model_name}]: {n} rows")
+                    if args.clean_output:
+                        n = extract_clean(ds, mp2,
+                                          _os.path.join(args.clean_output, model_name))
+                        print(f"clean[{model_name}]: {n} rows")
             return 0 if run.result.value == "passed" else 1
 
         if args.cmd == "profile":

@@ -34,16 +34,25 @@ class ViolationExtractor(StatsKernel):
             if not specs:
                 continue
             col = batch[name]
+            resolved: dict[tuple, tuple] = {}
             for spec in specs:
-                mask = self._invalid_mask(spec.kind, col, spec.args)
+                if spec.path:  # nested constraint: struct child / list items
+                    if spec.path not in resolved:
+                        resolved[spec.path] = self._resolve_path(col, spec.path)
+                    vcol, parent_idx, parent_valid = resolved[spec.path]
+                else:
+                    vcol, parent_idx, parent_valid = col, None, None
+                mask = self._invalid_mask(spec.kind, vcol, spec.args, parent_valid)
                 filled = mask.combine_chunks().fill_null(False) if isinstance(
                     mask, pa.ChunkedArray) else mask.fill_null(False)
                 idx = np.flatnonzero(np.asarray(filled))
                 if idx.size == 0:
                     continue
                 take = pa.array(idx, type=pa.int64())
-                vals = col.take(take).to_pylist()
-                pkvals = pk_col.take(take).to_pylist() if pk_col is not None else [None] * idx.size
+                vals = vcol.take(take).to_pylist()
+                rows = idx if parent_idx is None else parent_idx[idx]
+                pkvals = (pk_col.take(pa.array(rows, type=pa.int64())).to_pylist()
+                          if pk_col is not None else [None] * idx.size)
                 keys.extend([spec.check_key] * idx.size)
                 pks.extend(str(p) if p is not None else None for p in pkvals)
                 values.extend(_sample_repr(v) for v in vals)
@@ -67,6 +76,55 @@ def extract_violations(ds, plan: ModelPlan, out_dir: Optional[str] = None,
         kwargs["batch_size"] = batch_size
     out = ds.select_columns(cols or None).map_batches(
         ViolationExtractor(plan), **kwargs)
+    if out_dir is not None:
+        out.write_parquet(out_dir)
+        import ray.data as rd
+
+        return rd.read_parquet(out_dir).count()
+    return out
+
+
+class CleanFilter(StatsKernel):
+    """Row filter: keep only rows that violate NO constraint — the
+    training-data sink ('drop everything the contract flags'). A row with a
+    nested list violation is dirty as a whole (element masks map back to
+    their top-level row through the list offsets)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        bad = np.zeros(batch.num_rows, dtype=bool)
+        for name in batch.column_names:
+            specs = self.by_column.get(name)
+            if not specs:
+                continue
+            col = batch[name]
+            resolved: dict[tuple, tuple] = {}
+            for spec in specs:
+                if spec.path:
+                    if spec.path not in resolved:
+                        resolved[spec.path] = self._resolve_path(col, spec.path)
+                    vcol, parent_idx, parent_valid = resolved[spec.path]
+                else:
+                    vcol, parent_idx, parent_valid = col, None, None
+                mask = self._invalid_mask(spec.kind, vcol, spec.args, parent_valid)
+                filled = mask.combine_chunks().fill_null(False) if isinstance(
+                    mask, pa.ChunkedArray) else mask.fill_null(False)
+                idx = np.flatnonzero(np.asarray(filled))
+                if idx.size == 0:
+                    continue
+                bad[idx if parent_idx is None else parent_idx[idx]] = True
+        return batch.filter(pa.array(~bad))
+
+
+def extract_clean(ds, plan: ModelPlan, out_dir: Optional[str] = None,
+                  batch_size: Optional[int] = None):
+    """Full rows passing EVERY constraint (inverse of
+    :func:`extract_violations`) — streamed, never materialized; the natural
+    'contract-validated training set' sink. Returns the lazy Dataset, or the
+    kept-row count when ``out_dir`` is given (partitioned Parquet written)."""
+    kwargs = {"batch_format": "pyarrow"}
+    if batch_size:
+        kwargs["batch_size"] = batch_size
+    out = ds.map_batches(CleanFilter(plan), **kwargs)
     if out_dir is not None:
         out.write_parquet(out_dir)
         import ray.data as rd

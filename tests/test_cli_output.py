@@ -115,3 +115,57 @@ def test_publish_run_json(ray_session, tmp_path):
     assert doc["result"] == run.result.value
     assert len(doc["checks"]) == len(run.checks)
     assert all("key" in c and "result" in c for c in doc["checks"])
+
+
+def test_extract_clean_and_nested_violations(ray_session, tmp_path):
+    """Clean-row sink (inverse of extract_violations) incl. nested-path
+    masks (r2): rows with struct/list violations drop as a whole."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raycontract.compile import compile_contract
+    from raycontract.contract import DataContractSpecification
+    from raycontract.stages.violations import extract_clean, extract_violations
+
+    contract = """
+dataContractSpecification: 1.1.0
+id: clean
+info: {title: t, version: 1.0.0}
+models:
+  m:
+    primaryKey: [id]
+    fields:
+      id: {type: long, required: true}
+      v: {type: long, minimum: 0}
+      addr:
+        type: object
+        fields:
+          zip: {type: string, pattern: "^[0-9]{5}$"}
+      scores:
+        type: array
+        items: {type: long, maximum: 100}
+"""
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "v": pa.array([5, -1, 7, 8], type=pa.int64()),          # row 2 dirty
+        "addr": pa.array([{"zip": "12345"}, {"zip": "11111"},
+                          {"zip": "bad"}, {"zip": "22222"}],     # row 3 dirty
+                         type=pa.struct([pa.field("zip", pa.string())])),
+        "scores": pa.array([[1, 2], [3], [4], [999]],            # row 4 dirty
+                           type=pa.list_(pa.int64())),
+    })
+    spec = DataContractSpecification.from_string(contract)
+    plan = compile_contract(spec, None)
+    mp = plan.models["m"]
+
+    clean = extract_clean(rd.from_arrow(t), mp)
+    kept = sorted(r["id"] for r in clean.take_all())
+    assert kept == [1]  # rows 2/3/4 each violate one constraint
+
+    viols = extract_violations(rd.from_arrow(t), mp).take_all()
+    by_key = {}
+    for r in viols:
+        by_key.setdefault(r["check_key"], []).append(r["pk"])
+    assert by_key["m__v__field_minimum"] == ["2"]
+    assert by_key["m__addr.zip__field_regex"] == ["3"]   # nested pk mapping
+    assert by_key["m__scores[]__field_maximum"] == ["4"]
