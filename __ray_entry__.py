@@ -75,6 +75,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_documents": q.text_stats_documents,
         "bpe_tokens_documents": q.bpe_tokens_documents,
         "langid_documents": q.langid_documents,
+        # curation (PII / split / decontamination)
+        "pii_scan_documents": q.pii_scan_documents,
+        "hash_split_documents": q.hash_split_documents,
+        "decontaminate_documents": q.decontaminate_documents,
         "quality_scores_documents": q.quality_scores_documents,
         "fingerprints_documents": q.fingerprints_documents,
         # drift + multimodal
@@ -110,6 +114,9 @@ def oracle_sql() -> dict[str, str]:
         "repeat_customers_orders": q.repeat_customers_orders_sql(),
         "knn_cosine_embeddings": q.knn_cosine_embeddings_sql(),
         "text_stats_documents": q.text_stats_documents_sql(),
+        "pii_scan_documents": q.pii_scan_documents_sql(),
+        "hash_split_documents": q.hash_split_documents_sql(),
+        "decontaminate_documents": q.decontaminate_documents_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll, quantiles_totalprice,
         # minhash/simhash/ngram pairs, lsh_knn, langid, quality_scores,

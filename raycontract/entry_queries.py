@@ -782,6 +782,104 @@ def ngram_jaccard_documents(sf_dir: str):
         "text", "doc_id", "source", n=3, threshold=0.35)
 
 
+# ---------------------------------------------------------------- curation
+
+
+def _inject_pii(batch: pa.Table) -> pa.Table:
+    """Deterministic PII injection (doc_id%10==3 → email, %10==5 → phone) —
+    replicated verbatim in the oracle SQL so the scan is oracle-exact."""
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        t = t or ""
+        if i % 10 == 3:
+            t = f"{t} contact: user{i}@example.com"
+        elif i % 10 == 5:
+            t = f"{t} call 555-123-4567"
+        out.append(t)
+    return pa.table({"doc_id": batch["doc_id"], "text": pa.array(out)})
+
+
+def pii_scan_documents(sf_dir: str):
+    from raycontract.pipelines.curation import pii_scan
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _inject_pii, batch_format="pyarrow")
+    res = pii_scan(ds)
+    return res.select_columns(["doc_id", "has_email", "has_phone", "has_pii"])
+
+
+def pii_scan_documents_sql() -> str:
+    from raycontract.pipelines.curation import PII_PATTERNS
+
+    email, phone = PII_PATTERNS["email"], PII_PATTERNS["phone"]
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 3 THEN text || ' contact: user' || doc_id || '@example.com'
+              WHEN doc_id % 10 = 5 THEN text || ' call 555-123-4567'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_matches(text, '{email}') AS has_email,
+       regexp_matches(text, '{phone}') AS has_phone,
+       (regexp_matches(text, '{email}') OR regexp_matches(text, '{phone}')
+        OR regexp_matches(text, '{PII_PATTERNS["ipv4"]}')
+        OR regexp_matches(text, '{PII_PATTERNS["ssn"]}')) AS has_pii
+FROM injected
+"""
+
+
+def hash_split_documents(sf_dir: str):
+    """Deterministic train/val/test assignment (Knuth multiplicative hash —
+    reproducible in ANSI SQL, see the oracle)."""
+    from raycontract.pipelines.curation import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return hash_split(ds, "doc_id", [0.8, 0.1, 0.1], ["train", "val", "test"])
+
+
+def hash_split_documents_sql() -> str:
+    b1 = int(0.8 * (1 << 32))
+    b2 = int(0.9 * (1 << 32))
+    return f"""
+SELECT doc_id,
+       CASE WHEN h < {b1} THEN 'train' WHEN h < {b2} THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS h
+      FROM documents)
+"""
+
+
+def decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination: flag documents containing either of two
+    'benchmark' phrases — derived deterministically from the corpus itself
+    (first 20 chars of docs 0 and 7) so the oracle can derive the SAME
+    phrases in SQL."""
+    import duckdb
+
+    from raycontract.pipelines.curation import decontaminate_flags
+
+    con = duckdb.connect()
+    phrases = [r[0] for r in con.execute(
+        "SELECT substr(text, 1, 20) FROM read_parquet(?) "
+        "WHERE doc_id IN (0, 7) ORDER BY doc_id",
+        [os.path.join(sf_dir, "documents.parquet")]).fetchall()]
+    con.close()
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return decontaminate_flags(ds, phrases)
+
+
+def decontaminate_documents_sql() -> str:
+    return """
+WITH phrases AS (SELECT substr(text, 1, 20) AS p FROM documents WHERE doc_id IN (0, 7))
+SELECT d.doc_id,
+       EXISTS (SELECT 1 FROM phrases WHERE contains(d.text, p)) AS contaminated
+FROM documents d
+"""
+
+
 # ----------------------------------------------------------- sketch queries
 
 

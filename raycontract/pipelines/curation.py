@@ -1,0 +1,140 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Beyond the reference's check surface — the standard LLM-corpus curation
+family, each a vectorized ``map_batches`` stage:
+
+- **PII scan/redact**: RE2-compatible email/phone/ipv4/ssn patterns via
+  ``pyarrow.compute`` regex kernels (scan counts are DuckDB-oracle-exact;
+  redaction replaces matches with type tags).
+- **Deterministic split**: Knuth multiplicative hash on the id → stable
+  train/val/test assignment, reproducible in SQL for the oracle.
+- **Decontamination**: benchmark-phrase blocklist broadcast once per actor;
+  documents containing any blocklisted phrase are flagged (substring
+  containment, matching the oracle's ``contains``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+# RE2-compatible (no lookaround) so DuckDB oracles agree bit-for-bit
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_scan(ds, text_col: str = "text", id_col: str = "doc_id",
+             patterns: Optional[dict[str, str]] = None):
+    """Per-document PII hit flags: (id, has_<type>... , has_pii)."""
+    pats = patterns or PII_PATTERNS
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {id_col: batch[id_col]}
+        any_mask = None
+        for name, pat in pats.items():
+            m = pc.match_substring_regex(batch[text_col], pat)
+            m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+            m = m.fill_null(False)
+            cols[f"has_{name}"] = m
+            any_mask = m if any_mask is None else pc.or_(any_mask, m)
+        cols["has_pii"] = any_mask if any_mask is not None else pa.array(
+            [False] * batch.num_rows)
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, text_col]).map_batches(fn, batch_format="pyarrow")
+
+
+def pii_redact(ds, text_col: str = "text", id_col: str = "doc_id",
+               patterns: Optional[dict[str, str]] = None):
+    """Redacted copy of the text column: every PII match replaced with its
+    ``[TYPE]`` tag (vectorized regex replace per pattern)."""
+    pats = patterns or PII_PATTERNS
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch[text_col]
+        for name, pat in pats.items():
+            t = pc.replace_substring_regex(t, pat, f"[{name.upper()}]")
+        return pa.table({id_col: batch[id_col], "text_redacted": t})
+
+    return ds.select_columns([id_col, text_col]).map_batches(fn, batch_format="pyarrow")
+
+
+# 2654435761 = floor(2^32 / phi): Knuth's multiplicative hash constant —
+# reproducible in ANSI SQL with one multiply + modulo (the oracle contract)
+_KNUTH = 2654435761
+_MOD = 1 << 32
+
+
+def hash_split(ds, id_col: str, fractions: Sequence[float],
+               names: Optional[Sequence[str]] = None):
+    """Deterministic dataset split on the id: stable across runs, machines
+    and engines (Knuth multiplicative hash mod 2^32 → cumulative fraction
+    buckets). Returns the input with a ``split`` column; filter downstream
+    (``ds.filter(expr="split == 'train'")``) so the split never shuffles."""
+    names = list(names or [f"split_{i}" for i in range(len(fractions))])
+    if len(names) != len(fractions):
+        raise ValueError("names and fractions must align")
+    total = float(sum(fractions))
+    bounds = []
+    acc = 0.0
+    for f in fractions:
+        acc += f / total
+        bounds.append(int(acc * _MOD))
+    bounds[-1] = _MOD  # guard fp rounding
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = np.asarray(pc.cast(batch[id_col].combine_chunks(), pa.int64()),
+                         dtype=np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        out = np.empty(len(ids), dtype=object)
+        lo = 0
+        for name, hi in zip(names, bounds):
+            out[(h >= lo) & (h < hi)] = name
+            lo = hi
+        return batch.append_column("split", pa.array(out.tolist(), type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class Decontaminator:
+    """Actor-pool stage: flag documents containing ANY blocklisted benchmark
+    phrase (substring containment). The phrase list ships once via
+    ``ray.put`` and is fetched per actor in ``__init__`` — never per batch.
+    For very large blocklists swap the scan for an Aho-Corasick automaton
+    built per actor; plain substring search is exact and fine to ~10^4
+    phrases × typical doc lengths."""
+
+    def __init__(self, phrases_ref, text_col: str, id_col: str):
+        self.phrases: list[str] = ray.get(phrases_ref)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        contaminated = None
+        for p in self.phrases:
+            m = pc.match_substring(batch[self.text_col], p)
+            m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+            m = m.fill_null(False)
+            contaminated = m if contaminated is None else pc.or_(contaminated, m)
+        if contaminated is None:
+            contaminated = pa.array([False] * batch.num_rows)
+        return pa.table({self.id_col: batch[self.id_col],
+                         "contaminated": contaminated})
+
+
+def decontaminate_flags(ds, phrases: Sequence[str], text_col: str = "text",
+                        id_col: str = "doc_id", concurrency=(1, 8)):
+    ref = ray.put(list(phrases))
+    return ds.select_columns([id_col, text_col]).map_batches(
+        Decontaminator, fn_constructor_args=(ref, text_col, id_col),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
