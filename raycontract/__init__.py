@@ -35,8 +35,9 @@ def _settle_fsspec_http() -> None:
 _settle_fsspec_http()
 
 from raycontract.result import Check, ResultEnum, Run
-from raycontract.contract import DataContract
+from raycontract.contract import DataContract, DataContractSpecification
 from raycontract.engine import validate
 
-__all__ = ["Check", "ResultEnum", "Run", "DataContract", "validate"]
-__version__ = "0.1.0"
+__all__ = ["Check", "ResultEnum", "Run", "DataContract",
+           "DataContractSpecification", "validate"]
+__version__ = "0.2.0"
