@@ -106,35 +106,98 @@ def hash_split(ds, id_col: str, fractions: Sequence[float],
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+class AhoCorasick:
+    """Multi-pattern substring automaton (classic published algorithm):
+    goto/fail/output tables built once, then ``contains_any`` scans a text
+    in O(len(text)) regardless of the number of patterns."""
+
+    def __init__(self, patterns: Sequence[str]):
+        self.goto: list[dict[str, int]] = [{}]
+        self.out: list[bool] = [False]
+        self.fail: list[int] = [0]
+        for p in patterns:
+            if not p:
+                continue
+            s = 0
+            for ch in p:
+                nxt = self.goto[s].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.out.append(False)
+                    self.fail.append(0)
+                    nxt = len(self.goto) - 1
+                    self.goto[s][ch] = nxt
+                s = nxt
+            self.out[s] = True
+        # BFS failure links
+        from collections import deque
+
+        q = deque()
+        for s in self.goto[0].values():
+            self.fail[s] = 0
+            q.append(s)
+        while q:
+            r = q.popleft()
+            for ch, s in self.goto[r].items():
+                q.append(s)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[s] = self.goto[f].get(ch, 0) if self.goto[f].get(ch, 0) != s else 0
+                self.out[s] = self.out[s] or self.out[self.fail[s]]
+
+    def contains_any(self, text: str) -> bool:
+        s = 0
+        goto, fail, out = self.goto, self.fail, self.out
+        for ch in text:
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            if out[s]:
+                return True
+        return False
+
+
 class Decontaminator:
     """Actor-pool stage: flag documents containing ANY blocklisted benchmark
     phrase (substring containment). The phrase list ships once via
     ``ray.put`` and is fetched per actor in ``__init__`` — never per batch.
-    For very large blocklists swap the scan for an Aho-Corasick automaton
-    built per actor; plain substring search is exact and fine to ~10^4
-    phrases × typical doc lengths."""
+    Small blocklists use per-phrase Arrow ``match_substring`` kernels
+    (vectorized across the batch); beyond ``automaton_threshold`` phrases an
+    Aho-Corasick automaton (built once per actor) scans each text in
+    O(len(text)) independent of blocklist size — the 10^5-phrase path."""
 
-    def __init__(self, phrases_ref, text_col: str, id_col: str):
+    def __init__(self, phrases_ref, text_col: str, id_col: str,
+                 automaton_threshold: int = 50):
         self.phrases: list[str] = ray.get(phrases_ref)
         self.text_col, self.id_col = text_col, id_col
+        self.ac = (AhoCorasick(self.phrases)
+                   if len(self.phrases) > automaton_threshold else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        contaminated = None
-        for p in self.phrases:
-            m = pc.match_substring(batch[self.text_col], p)
-            m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
-            m = m.fill_null(False)
-            contaminated = m if contaminated is None else pc.or_(contaminated, m)
-        if contaminated is None:
-            contaminated = pa.array([False] * batch.num_rows)
+        if self.ac is not None:
+            texts = batch[self.text_col].to_pylist()
+            contaminated = pa.array([bool(t) and self.ac.contains_any(t)
+                                     for t in texts])
+        else:
+            contaminated = None
+            for p in self.phrases:
+                m = pc.match_substring(batch[self.text_col], p)
+                m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+                m = m.fill_null(False)
+                contaminated = m if contaminated is None else pc.or_(contaminated, m)
+            if contaminated is None:
+                contaminated = pa.array([False] * batch.num_rows)
         return pa.table({self.id_col: batch[self.id_col],
                          "contaminated": contaminated})
 
 
 def decontaminate_flags(ds, phrases: Sequence[str], text_col: str = "text",
-                        id_col: str = "doc_id", concurrency=(1, 8)):
+                        id_col: str = "doc_id", concurrency=(1, 8),
+                        automaton_threshold: int = 50):
     ref = ray.put(list(phrases))
     return ds.select_columns([id_col, text_col]).map_batches(
-        Decontaminator, fn_constructor_args=(ref, text_col, id_col),
+        Decontaminator, fn_constructor_args=(ref, text_col, id_col,
+                                             automaton_threshold),
         batch_format="pyarrow", concurrency=concurrency,
     )

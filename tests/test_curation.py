@@ -72,3 +72,39 @@ def test_decontaminate_flags(ray_session):
     out = {r["doc_id"]: r["contaminated"] for r in
            decontaminate_flags(docs, ["quick brown fox", "benchmark xyz"]).take_all()}
     assert out[1] and out[3] and not out[2]
+
+
+def test_aho_corasick_matches_naive():
+    import random
+
+    from raycontract.pipelines.curation import AhoCorasick
+
+    rng = random.Random(99)
+    alphabet = "abcde"
+    patterns = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 5)))
+                for _ in range(200)]
+    ac = AhoCorasick(patterns)
+    for _ in range(300):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        naive = any(p in text for p in patterns if p)
+        assert ac.contains_any(text) == naive, (text,)
+
+
+def test_decontaminate_automaton_path(ray_session):
+    """>threshold phrases → Aho-Corasick path; same flags as the naive path."""
+    from raycontract.pipelines.curation import decontaminate_flags
+
+    phrases = [f"benchmark phrase number {i}" for i in range(100)] + ["quick brown fox"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["the quick brown fox jumps", "clean document",
+                          "contains benchmark phrase number 42 inline"]),
+    }))
+    out = {r["doc_id"]: r["contaminated"] for r in
+           decontaminate_flags(docs, phrases).take_all()}
+    assert out[1] and out[3] and not out[2]
+    # naive path (small list) agrees
+    out2 = {r["doc_id"]: r["contaminated"] for r in
+            decontaminate_flags(docs, ["quick brown fox",
+                                       "benchmark phrase number 42"]).take_all()}
+    assert out2 == out
