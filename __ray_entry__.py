@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_documents": q.hash_split_documents,
         "decontaminate_documents": q.decontaminate_documents,
         "quality_scores_documents": q.quality_scores_documents,
+        "repetition_scores_documents": q.repetition_scores_documents,
         "fingerprints_documents": q.fingerprints_documents,
         # drift + multimodal
         "drift_documents": q.drift_documents,

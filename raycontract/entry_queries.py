@@ -732,6 +732,14 @@ def quality_scores_documents(sf_dir: str):
     return quality_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def repetition_scores_documents(sf_dir: str):
+    """Gopher-style repetition filters (dup-line / dominating-n-gram
+    fractions) — rows-only (non-SQL-expressible per-doc counters)."""
+    from raycontract.pipelines.textpipe import repetition_scores
+
+    return repetition_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def fingerprints_documents(sf_dir: str):
     from raycontract.pipelines.textpipe import fingerprints
 

@@ -154,6 +154,57 @@ def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+class RepetitionScorer:
+    """Gopher-style repetition filters (published web-corpus heuristics):
+    duplicate-line fraction, duplicate-line CHARACTER fraction, and
+    top-duplicated-n-gram character fraction — the signals that catch
+    boilerplate/navigation pages exact-dedup misses."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id", ngram: int = 3):
+        self.text_col, self.id_col, self.n = text_col, id_col, ngram
+
+    def _doc(self, t: str) -> tuple[float, float, float]:
+        if not t:
+            return 0.0, 0.0, 0.0
+        lines = [l for l in t.splitlines() if l.strip()]
+        dup_line_frac = dup_char_frac = 0.0
+        if lines:
+            from collections import Counter
+
+            c = Counter(lines)
+            dup_lines = sum(v for v in c.values() if v > 1)
+            dup_chars = sum(len(k) * v for k, v in c.items() if v > 1)
+            dup_line_frac = dup_lines / len(lines)
+            dup_char_frac = dup_chars / max(sum(len(l) for l in lines), 1)
+        toks = t.split()
+        top_ngram_frac = 0.0
+        if len(toks) >= self.n:
+            from collections import Counter
+
+            grams = Counter(tuple(toks[i:i + self.n])
+                            for i in range(len(toks) - self.n + 1))
+            g, cnt = grams.most_common(1)[0]
+            if cnt > 1:
+                top_ngram_frac = (cnt * sum(len(w) for w in g)) / max(len(t), 1)
+        return dup_line_frac, dup_char_frac, top_ngram_frac
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        rows = [self._doc(t) for t in texts]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "dup_line_frac": pa.array([r[0] for r in rows], type=pa.float64()),
+            "dup_line_char_frac": pa.array([r[1] for r in rows], type=pa.float64()),
+            "top_ngram_char_frac": pa.array([r[2] for r in rows], type=pa.float64()),
+        })
+
+
+def repetition_scores(ds, text_col: str = "text", id_col: str = "doc_id", ngram: int = 3):
+    return ds.select_columns([id_col, text_col]).map_batches(
+        RepetitionScorer(text_col, id_col, ngram), batch_format="pyarrow",
+    )
+
+
 def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id", window: int = 16):
     """Winnowing-style document fingerprint: min rolling-hash over each
     window → 64-bit doc fingerprint = xor of window minima (rolling hash per

@@ -168,3 +168,25 @@ def test_bpe_token_counts(ray_session):
     # "Hello"," world",","," it","'s"," 2024","!" → 7 pieces
     assert out[1] == 7
     assert out[2] == 0 and out[3] == 0
+
+
+def test_repetition_scores(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycontract.pipelines.textpipe import repetition_scores
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "menu\nmenu\nmenu\ncontent here",      # 3/4 duplicate lines
+            "unique one\nunique two\nunique three",
+            "spam spam spam spam spam spam",        # one dominating 3-gram
+        ]),
+    }))
+    out = {r["doc_id"]: r for r in repetition_scores(docs).take_all()}
+    assert out[1]["dup_line_frac"] == 0.75
+    assert out[1]["dup_line_char_frac"] > 0.4
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[3]["top_ngram_char_frac"] > 0.5
+    assert out[2]["top_ngram_char_frac"] == 0.0
