@@ -13,6 +13,7 @@ caller or it auto-initialises on first /test).
 
 from __future__ import annotations
 
+import hmac
 import json
 import os
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -40,9 +41,10 @@ class _Handler(BaseHTTPRequestHandler):
         if not want:
             return True
         got = self.headers.get("x-api-key")
-        if got != want:
-            self._send(401 if not got else 403,
-                       {"detail": "invalid or missing x-api-key"})
+        # constant-time compare + one indistinguishable 401 for missing AND
+        # wrong keys (no timing / status side channel on the header value)
+        if not hmac.compare_digest((got or "").encode(), want.encode()):
+            self._send(401, {"detail": "invalid or missing x-api-key"})
             return False
         return True
 

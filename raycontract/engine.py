@@ -649,10 +649,15 @@ def _eval_quality(query: str, model_name: str, stats, get_ds):
         return _tdigest_quantile(get_ds(model_name, [col]), col, qv)
     m = _GROUPED_COUNT_RE.match(query)
     if m and m.group(2).lower() == model_name.lower():
-        return _grouped_count_fast_path(get_ds(model_name), model_name,
-                                        keys=m.group(4), select=m.group(1),
-                                        where=m.group(3), op=m.group(5),
-                                        n=int(m.group(6)))
+        keys = _resolve_positional_group_by(m.group(4), m.group(1))
+        if keys is not None:
+            return _grouped_count_fast_path(get_ds(model_name), model_name,
+                                            keys=keys, select=m.group(1),
+                                            where=m.group(3), op=m.group(5),
+                                            n=int(m.group(6)))
+        # unresolvable positional GROUP BY (e.g. positions over computed
+        # select items) would group by literal constants in the per-batch
+        # partial — a silently-wrong verdict; route to the exact fallback.
     m = _AGG_EXPR_RE.match(query)
     if (m and m.group(3).lower() == model_name.lower()
             and not _FORBIDDEN_SQL.search(m.group(2) or "")
@@ -660,6 +665,29 @@ def _eval_quality(query: str, model_name: str, stats, get_ds):
         return _agg_expr_fast_path(get_ds(model_name), fn=m.group(1).lower(),
                                    expr=m.group(2), where=m.group(4))
     return _duckdb_fallback(query, model_name, get_ds)
+
+
+def _resolve_positional_group_by(keys: str, select: str):
+    """GROUP BY 1, 2 refers to select-list POSITIONS; the per-batch partial
+    rebuilds the GROUP BY textually, where a bare integer is a constant —
+    grouping every row into one bucket and silently flipping the HAVING
+    verdict (ADVICE r2). Resolve positions against the select list when its
+    items are plain column names; return None (→ exact fallback) otherwise.
+    Non-positional key lists pass through unchanged."""
+    parts = [k.strip() for k in keys.split(",")]
+    if not any(re.fullmatch(r"\d+", p) for p in parts):
+        return keys
+    sel = [s.strip() for s in select.split(",")]
+    resolved = []
+    for p in parts:
+        if re.fullmatch(r"\d+", p):
+            i = int(p) - 1
+            if not (0 <= i < len(sel)) or not re.fullmatch(r"[\w\.]+", sel[i]):
+                return None
+            resolved.append(sel[i])
+        else:
+            resolved.append(p)
+    return ", ".join(resolved)
 
 
 def _batch_duck(batch, sql: str):

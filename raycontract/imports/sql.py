@@ -91,6 +91,38 @@ def _normalize_ddl(sql: str) -> str:
     return out
 
 
+_CREATE_TABLE_RE = re.compile(r"^\s*CREATE\s+TABLE\b", re.IGNORECASE)
+
+
+def _create_table_statements(sql: str) -> list[str]:
+    """Split the script on statement-level semicolons (quote-aware) and keep
+    only CREATE TABLE statements — CTAS (``CREATE TABLE .. AS SELECT``) is
+    also rejected since its SELECT body can reference external readers."""
+    stmts, buf, quote = [], [], None
+    for ch in sql:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+        elif ch == ";":
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    stmts.append("".join(buf))
+    out = []
+    for s in stmts:
+        if not s.strip():
+            continue
+        if _CREATE_TABLE_RE.match(s) and not re.search(
+                r"\)\s*AS\b|\bAS\s+SELECT\b", s, re.IGNORECASE):
+            out.append(s)
+    return out
+
+
 def import_sql(source: str, dialect: Optional[str] = None) -> DataContractSpecification:
     """``source`` is a path to a .sql file or the DDL text itself."""
     import os
@@ -104,9 +136,15 @@ def import_sql(source: str, dialect: Optional[str] = None) -> DataContractSpecif
     # drop comment lines (incl. our exporter's header)
     sql = "\n".join(l for l in sql.splitlines() if not l.strip().startswith("--"))
 
-    con = duckdb.connect()
+    # The reference importer PARSES the DDL (sqlglot, no execution); executing
+    # a third-party .sql file must not gain side effects here, so (a) the
+    # connection is opened with external access disabled — COPY TO, ATTACH,
+    # INSTALL/LOAD and read_csv()/read_parquet() of local paths all raise —
+    # and (b) the script is pre-filtered to CREATE TABLE statements only.
+    con = duckdb.connect(config={"enable_external_access": False})
     try:
-        con.execute(_normalize_ddl(sql))
+        for stmt in _create_table_statements(_normalize_ddl(sql)):
+            con.execute(stmt)
     except Exception as e:
         raise ValueError(f"cannot parse SQL DDL: {e}") from e
 

@@ -93,10 +93,26 @@ def hash_split(ds, id_col: str, fractions: Sequence[float],
     def fn(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        ids = np.asarray(pc.cast(batch[id_col].combine_chunks(), pa.int64()),
-                         dtype=np.int64)
-        h = (ids.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(_MOD)
-        out = np.empty(len(ids), dtype=object)
+        col = batch[id_col].combine_chunks()
+        if pa.types.is_integer(col.type):
+            ids = np.asarray(pc.cast(col, pa.int64()), dtype=np.int64)
+            h = (ids.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(_MOD)
+        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            # md5 first 4 bytes (big-endian) mod 2^32 — engine-portable and
+            # SQL-reproducible: CAST('0x' || substr(md5(id),1,8) AS UINT32).
+            # hashlib.md5 is C; the per-row loop is the honest cost of
+            # hashing variable-length strings (no Arrow md5 kernel exists).
+            import hashlib
+
+            h = np.fromiter(
+                (int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+                 for s in col.to_pylist()),
+                dtype=np.uint64, count=len(col))
+        else:
+            raise ValueError(
+                f"hash_split id column {id_col!r} must be integer or string, "
+                f"got {col.type}")
+        out = np.empty(len(col), dtype=object)
         lo = 0
         for name, hi in zip(names, bounds):
             out[(h >= lo) & (h < hi)] = name
@@ -104,6 +120,24 @@ def hash_split(ds, id_col: str, fractions: Sequence[float],
         return batch.append_column("split", pa.array(out.tolist(), type=pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_split_sql_expr(id_col: str, fractions: Sequence[float],
+                        names: Optional[Sequence[str]] = None,
+                        string_id: bool = False) -> str:
+    """The ANSI-SQL CASE expression that reproduces :func:`hash_split`'s
+    ``split`` column (the oracle contract for both id types)."""
+    names = list(names or [f"split_{i}" for i in range(len(fractions))])
+    total = float(sum(fractions))
+    if string_id:
+        h = f"CAST(CAST('0x' || substr(md5({id_col}), 1, 8) AS UINT32) AS UBIGINT)"
+    else:
+        h = f"(CAST({id_col} AS UBIGINT) * {_KNUTH}) % {_MOD}"
+    clauses, acc = [], 0.0
+    for name, f in zip(names[:-1], fractions[:-1]):
+        acc += f / total
+        clauses.append(f"WHEN {h} < {int(acc * _MOD)} THEN '{name}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{names[-1]}' END"
 
 
 class AhoCorasick:

@@ -82,8 +82,9 @@ def test_api_key_auth(api_server, monkeypatch):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(api_server + "/lint", CONTRACT)
     assert ei.value.code == 401
+    # wrong key is indistinguishable from missing key (single 401, ADVICE r2)
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(api_server + "/lint", CONTRACT, headers={"x-api-key": "wrong"})
-    assert ei.value.code == 403
+    assert ei.value.code == 401
     status, _ = _post(api_server + "/lint", CONTRACT, headers={"x-api-key": "sekret"})
     assert status == 200
