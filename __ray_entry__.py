@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_documents": q.simhash_pairs_documents,
         "ngram_jaccard_documents": q.ngram_jaccard_documents,
         "dup_clusters_documents": q.dup_clusters_documents,
+        "dup_clusters_minhash_documents": q.dup_clusters_minhash_documents,
+        "hamming_pairs_documents": q.hamming_pairs_documents,
         "heavy_hitters_sketch_events": q.heavy_hitters_sketch_events,
         # similarity search
         "knn_cosine_embeddings": q.knn_cosine_embeddings,
@@ -78,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation (PII / split / decontamination)
         "pii_scan_documents": q.pii_scan_documents,
         "hash_split_documents": q.hash_split_documents,
+        "hash_split_string_documents": q.hash_split_string_documents,
         "decontaminate_documents": q.decontaminate_documents,
         "quality_scores_documents": q.quality_scores_documents,
         "repetition_scores_documents": q.repetition_scores_documents,
@@ -115,11 +118,17 @@ def oracle_sql() -> dict[str, str]:
         "repeat_customers_orders": q.repeat_customers_orders_sql(),
         "knn_cosine_embeddings": q.knn_cosine_embeddings_sql(),
         "text_stats_documents": q.text_stats_documents_sql(),
+        "bpe_tokens_documents": q.bpe_tokens_documents_sql(),
+        "ngram_jaccard_documents": q.ngram_jaccard_documents_sql(),
+        "dup_clusters_documents": q.dup_clusters_documents_sql(),
+        "hamming_pairs_documents": q.hamming_pairs_documents_sql(),
         "pii_scan_documents": q.pii_scan_documents_sql(),
         "hash_split_documents": q.hash_split_documents_sql(),
+        "hash_split_string_documents": q.hash_split_string_documents_sql(),
         "decontaminate_documents": q.decontaminate_documents_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll, quantiles_totalprice,
-        # minhash/simhash/ngram pairs, lsh_knn, langid, quality_scores,
-        # fingerprints, drift_documents, image_features_sample
+        # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images,
+        # lsh_knn/ivf_knn, langid, quality_scores, repetition_scores,
+        # fingerprints, drift_documents, image/audio_features_sample
     }

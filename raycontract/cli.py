@@ -228,7 +228,7 @@ def main(argv=None) -> int:
     pi.add_argument("--format", required=True,
                     choices=["parquet", "csv", "odcs", "sql", "avro", "jsonschema",
                              "bigquery", "dbt", "unity", "protobuf", "dbml", "spark",
-                             "iceberg"])
+                             "iceberg", "glue"])
     pi.add_argument("--source", required=True)
 
     pinit = sub.add_parser("init", help="write a starter data contract YAML")
@@ -286,6 +286,7 @@ def main(argv=None) -> int:
             "dbml": "raycontract.imports.dbml:import_dbml",
             "spark": "raycontract.imports.spark:import_spark",
             "iceberg": "raycontract.imports.iceberg:import_iceberg",
+            "glue": "raycontract.imports.glue:import_glue",
         }
         import importlib
 

@@ -148,6 +148,8 @@ class Server:
     format: Optional[str] = None  # parquet | json | csv | delta | lance
     path: Optional[str] = None
     location: Optional[str] = None
+    account: Optional[str] = None  # warehouse/catalog account (glue CatalogId)
+    database: Optional[str] = None
     delimiter: Optional[str] = None  # for json: new_line | array
     dataProductId: Optional[str] = None
     config: dict[str, Any] = dc_field(default_factory=dict)
@@ -222,7 +224,8 @@ class DataContractSpecification:
 
     @staticmethod
     def from_dict(d: dict, validate: bool = False,
-                  base_dir: Optional[str] = None) -> "DataContractSpecification":
+                  base_dir: Optional[str] = None,
+                  base_url: Optional[str] = None) -> "DataContractSpecification":
         if validate:
             # JSON-Schema-shaped structural gate BEFORE hydration
             # (≅ reference lint/resolve.py:283-305; the reference applies it
@@ -231,7 +234,7 @@ class DataContractSpecification:
             from raycontract.schema_validate import validate_contract_dict
 
             validate_contract_dict(d)
-        d = _inline_refs(d, base_dir=base_dir)
+        d = _inline_refs(d, base_dir=base_dir, base_url=base_url)
         spec = DataContractSpecification()
         spec.dataContractSpecification = d.get("dataContractSpecification")
         spec.id = d.get("id")
@@ -250,7 +253,8 @@ class DataContractSpecification:
 
     @staticmethod
     def from_string(text: str, validate: bool = False,
-                    base_dir: Optional[str] = None) -> "DataContractSpecification":
+                    base_dir: Optional[str] = None,
+                    base_url: Optional[str] = None) -> "DataContractSpecification":
         d = yaml.safe_load(text)
         # ODCS v3 auto-detect ≅ reference resolve.py:248-252
         if isinstance(d, dict):
@@ -258,7 +262,8 @@ class DataContractSpecification:
 
             if is_odcs(d):
                 return import_odcs_from_dict(d)
-        return DataContractSpecification.from_dict(d, validate=validate, base_dir=base_dir)
+        return DataContractSpecification.from_dict(d, validate=validate,
+                                                   base_dir=base_dir, base_url=base_url)
 
     @staticmethod
     def from_file(path: str, validate: bool = False) -> "DataContractSpecification":
@@ -270,27 +275,51 @@ class DataContractSpecification:
                 base_dir=os.path.dirname(os.path.abspath(path)))
 
 
-def _inline_refs(d: dict, base_dir: Optional[str] = None) -> dict:
+def fetch_url(url: str, timeout: float = 10.0) -> str:
+    """GET a contract / definition document over http(s) — ≅ the reference's
+    ``lint/urls.py:1-60`` (fetch_resource). stdlib urllib so tests can
+    monkeypatch ``urllib.request.urlopen``; the sandbox has no network, so
+    every call either hits a test mock or raises loudly."""
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={"User-Agent": "raycontract"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.read().decode("utf-8")
+
+
+def _inline_refs(d: dict, base_dir: Optional[str] = None,
+                 base_url: Optional[str] = None) -> dict:
     """Inline ``$ref`` definitions (reference resolve.py:75-191): local
-    ``#/definitions/...`` pointers plus file refs — ``file://...#/ptr``,
+    ``#/definitions/...`` pointers, file refs — ``file://...#/ptr``,
     relative or absolute ``path.yaml#/ptr`` resolved against ``base_dir``
-    (the contract file's directory). http refs stay unsupported (offline)."""
+    (the contract file's directory) — and ``http(s)://`` refs fetched via
+    :func:`fetch_url` (relative refs resolve against ``base_url`` when the
+    contract itself came from a URL)."""
     import os
 
     defs = d.get("definitions") or {}
     file_cache: dict[str, Any] = {}
 
     def _load_file(path: str):
-        if path.startswith("file://"):
+        from urllib.parse import urljoin
+
+        if path.startswith(("http://", "https://")):
+            pass  # absolute URL
+        elif path.startswith("file://"):
             path = path[len("file://"):]
-        if not os.path.isabs(path):
+        elif not os.path.isabs(path) and base_url is not None:
+            path = urljoin(base_url, path)
+        elif not os.path.isabs(path):
             if base_dir is None:
                 raise ValueError(
                     f"relative file $ref {path!r} needs a contract file location")
             path = os.path.join(base_dir, path)
         if path not in file_cache:
-            with open(path) as fh:
-                file_cache[path] = yaml.safe_load(fh)
+            if path.startswith(("http://", "https://")):
+                file_cache[path] = yaml.safe_load(fetch_url(path))
+            else:
+                with open(path) as fh:
+                    file_cache[path] = yaml.safe_load(fh)
         return file_cache[path]
 
     def _pointer(doc, ptr: str, ref: str):
@@ -315,9 +344,8 @@ def _inline_refs(d: dict, base_dir: Optional[str] = None) -> dict:
                         if part not in target:
                             raise ValueError(f"unresolved $ref: {ref}")
                         target = target[part]
-                elif ref.startswith("http://") or ref.startswith("https://"):
-                    raise ValueError(f"unsupported $ref (http unavailable offline): {ref}")
-                elif "#" in ref or ref.startswith("file://") or ref.endswith((".yaml", ".yml", ".json")):
+                elif ("#" in ref or ref.startswith(("file://", "http://", "https://"))
+                        or ref.endswith((".yaml", ".yml", ".json"))):
                     path, _, ptr = ref.partition("#")
                     doc = _load_file(path)
                     target = _pointer(doc, ptr, ref) if ptr else doc
@@ -360,13 +388,23 @@ class DataContract:
         elif data_contract_file is not None:
             import os
 
-            with open(data_contract_file) as fh:
-                text = fh.read()
-            d = yaml.safe_load(text)
-            if isinstance(d, dict):
-                self.raw_dict = d
-            self.spec = DataContractSpecification.from_string(
-                text, base_dir=os.path.dirname(os.path.abspath(data_contract_file)))
+            if data_contract_file.startswith(("http://", "https://")):
+                # remote contract (reference lint/urls.py: `datacontract test
+                # https://...`); relative $refs resolve against the URL
+                text = fetch_url(data_contract_file)
+                d = yaml.safe_load(text)
+                if isinstance(d, dict):
+                    self.raw_dict = d
+                self.spec = DataContractSpecification.from_string(
+                    text, base_url=data_contract_file)
+            else:
+                with open(data_contract_file) as fh:
+                    text = fh.read()
+                d = yaml.safe_load(text)
+                if isinstance(d, dict):
+                    self.raw_dict = d
+                self.spec = DataContractSpecification.from_string(
+                    text, base_dir=os.path.dirname(os.path.abspath(data_contract_file)))
         else:
             raise ValueError("one of data_contract_file/str/spec required")
         self.server_name = server

@@ -460,11 +460,23 @@ def events_sliding_windows_sql() -> str:
 
 
 def bpe_tokens_documents(sf_dir: str):
-    """BPE-ish regex pre-tokenizer counts (GPT-2 split pattern; python-re
-    lookahead → rows-only, RE2 oracles can't express it)."""
-    from raycontract.pipelines.textpipe import bpe_token_counts
+    """BPE-ish regex pre-tokenizer counts — the RE2 variant of the GPT-2
+    split pattern (no trailing-whitespace lookahead), evaluated by Arrow's
+    RE2 engine in one vectorized kernel. DuckDB's regexp engine is the SAME
+    RE2, so the oracle (len(regexp_extract_all(...))) is exact (VERDICT r2
+    next-step #1). The python-re GPT-2 counter with the lookahead remains in
+    textpipe.bpe_token_counts for library users."""
+    from raycontract.pipelines.textpipe import bpe_token_counts_re2
 
-    return bpe_token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return bpe_token_counts_re2(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def bpe_tokens_documents_sql() -> str:
+    from raycontract.pipelines.textpipe import BPE_SPLIT_RE2
+
+    pat = BPE_SPLIT_RE2.replace("'", "''")
+    return (f"SELECT doc_id, CAST(coalesce(len(regexp_extract_all(text, '{pat}')), 0) "
+            "AS BIGINT) AS n_bpe_tokens FROM documents")
 
 
 def heavy_hitters_users_q(sf_dir: str):
@@ -653,6 +665,66 @@ def phash_neardup_images(sf_dir: str):
     return hash_hamming_pairs(rd.from_arrow(full), "phash", "image_id", max_hamming=3)
 
 
+def hamming_pairs_documents(sf_dir: str):
+    """Oracle-paired twin of phash_neardup_images (VERDICT r2 next-step #1):
+    the SAME hash_hamming_pairs banding machinery, over a 60-bit fingerprint
+    BOTH engines can derive — md5(text) head — plus planted variants with
+    1-3 deterministic bit flips (doc_id-derived positions, so DuckDB
+    reproduces them with xor/<<). The oracle is the brute-force
+    bit_count(xor(a,b)) <= 3 self-join; banding is exact at Hamming ≤ 3, so
+    rows must match exactly."""
+    import hashlib
+
+    from raycontract.pipelines.dedup import hash_hamming_pairs
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks()
+        texts = batch["text"].to_pylist()
+        h = np.fromiter(
+            (int(hashlib.md5((t or "").encode()).hexdigest()[:15], 16) for t in texts),
+            dtype=np.int64, count=len(texts))
+        did = np.asarray(ids, dtype=np.int64)
+        base = pa.table({"id": pa.array(did), "h": pa.array(h)})
+        # planted near-dups: docs with doc_id % 16 == 1 get a variant row
+        # (id + 1_000_000) with f = 1 + doc_id % 3 distinct bits flipped at
+        # positions (doc_id + 13j) % 60
+        sel = did % 16 == 1
+        vd, vh = did[sel], h[sel].copy()
+        vh ^= np.int64(1) << (vd % 60)
+        m1 = vd % 3 >= 1
+        vh[m1] ^= np.int64(1) << ((vd[m1] + 13) % 60)
+        m2 = vd % 3 == 2
+        vh[m2] ^= np.int64(1) << ((vd[m2] + 26) % 60)
+        var = pa.table({"id": pa.array(vd + 1_000_000), "h": pa.array(vh)})
+        return pa.concat_tables([base, var])
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint, batch_format="pyarrow")
+    return hash_hamming_pairs(ds, "h", "id", max_hamming=3)
+
+
+def hamming_pairs_documents_sql() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id AS id,
+         CAST(CAST('0x' || substr(md5(coalesce(text, '')), 1, 15) AS UBIGINT) AS BIGINT) AS h
+  FROM documents
+), variants AS (
+  SELECT id + 1000000 AS id,
+         xor(xor(xor(h, 1::BIGINT << (id % 60)),
+                 CASE WHEN id % 3 >= 1 THEN 1::BIGINT << ((id + 13) % 60) ELSE 0 END),
+             CASE WHEN id % 3 = 2 THEN 1::BIGINT << ((id + 26) % 60) ELSE 0 END) AS h
+  FROM base WHERE id % 16 = 1
+), allrows AS (
+  SELECT * FROM base UNION ALL SELECT * FROM variants
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+FROM allrows a JOIN allrows b ON a.id < b.id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
 # -------------------------------------------------------------- similarity
 
 
@@ -754,7 +826,39 @@ def minhash_pairs_documents(sf_dir: str):
 
 
 def dup_clusters_documents(sf_dir: str):
-    """Near-dup clusters: minhash-LSH pairs → connected components."""
+    """Near-dup clusters over EXACT n-gram-Jaccard pairs → connected
+    components. Oracle-paired (VERDICT r2 next-step #1): the pair set is
+    SQL-derivable (same CTE as ngram_jaccard) and the transitive closure is
+    a recursive CTE — the same pattern as neardup_keep_first's oracle. The
+    minhash-LSH variant (approximate pairs, rows-only) is
+    dup_clusters_minhash_documents."""
+    from raycontract.pipelines.dedup import connected_components, \
+        ngram_jaccard_pairs_within_groups
+
+    pairs = ngram_jaccard_pairs_within_groups(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]),
+        "text", "doc_id", "source", n=3, threshold=0.35)
+    return connected_components(pairs)
+
+
+def dup_clusters_documents_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a AS ia, id_b AS ib FROM ({_NGRAM_ORACLE})
+), syms AS (
+  SELECT ia AS n, ib AS m FROM pairs UNION SELECT ib, ia FROM pairs
+), reach(n, m) AS (
+  SELECT n, m FROM syms
+  UNION
+  SELECT r.n, s.m FROM reach r JOIN syms s ON r.m = s.n WHERE s.m != r.n
+)
+SELECT n AS node, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n
+"""
+
+
+def dup_clusters_minhash_documents(sf_dir: str):
+    """Near-dup clusters: minhash-LSH pairs → connected components
+    (approximate pair recall → rows-only by design)."""
     from raycontract.pipelines.dedup import connected_components, minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
@@ -788,6 +892,30 @@ def ngram_jaccard_documents(sf_dir: str):
     return ngram_jaccard_pairs_within_groups(
         _read(sf_dir, "documents", ["doc_id", "text", "source"]),
         "text", "doc_id", "source", n=3, threshold=0.35)
+
+
+# char-3-gram sets per doc, exactly the Python slicing semantics
+# ({t[i:i+3] for i in range(max(len(t)-2, 1))}, 1-based in SQL); Jaccard is
+# int/int IEEE division on both sides → bit-exact (VERDICT r2 next-step #1)
+_NGRAM_ORACLE = """
+WITH g AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                                      i -> substr(text, i, 3))) AS grams
+  FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+       / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) AS jaccard
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.35
+"""
+
+
+def ngram_jaccard_documents_sql() -> str:
+    return _NGRAM_ORACLE
 
 
 # ---------------------------------------------------------------- curation
@@ -858,6 +986,30 @@ FROM (SELECT doc_id,
              (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS h
       FROM documents)
 """
+
+
+def hash_split_string_documents(sf_dir: str):
+    """String-id deterministic split (ADVICE r2: the md5-head hash path) —
+    ids are 'doc-<doc_id>' strings; oracle uses the same md5 expression."""
+    from raycontract.pipelines.curation import hash_split
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": pc.binary_join_element_wise(
+            pa.array(["doc-"] * batch.num_rows),
+            pc.cast(batch["doc_id"], pa.string()), "")})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        stringify, batch_format="pyarrow")
+    return hash_split(ds, "id", [0.8, 0.1, 0.1], ["train", "val", "test"])
+
+
+def hash_split_string_documents_sql() -> str:
+    from raycontract.pipelines.curation import hash_split_sql_expr
+
+    expr = hash_split_sql_expr("id", [0.8, 0.1, 0.1], ["train", "val", "test"],
+                               string_id=True)
+    return (f"SELECT id, {expr} AS split FROM "
+            "(SELECT 'doc-' || doc_id AS id FROM documents)")
 
 
 def decontaminate_documents(sf_dir: str):

@@ -73,6 +73,28 @@ def bpe_token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
         BpeTokenCounter(text_col, id_col), batch_format="pyarrow")
 
 
+# RE2-compatible variant: GPT-2 split minus the `\s+(?!\S)` lookahead (RE2
+# has no lookaround). Counting runs as ONE vectorized Arrow kernel
+# (pc.count_substring_regex — Arrow embeds RE2, the same engine as DuckDB's
+# regexp functions, so an oracle using this pattern is engine-exact).
+BPE_SPLIT_RE2 = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_counts_re2(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Vectorized RE2 pre-tokenizer counts (see BPE_SPLIT_RE2). Differs from
+    :func:`bpe_token_counts` only on runs of whitespace preceding a token
+    (the lookahead case); fully zero-copy Arrow, no actor state needed."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts = pc.count_substring_regex(batch[text_col], BPE_SPLIT_RE2)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_bpe_tokens": pc.cast(counts.fill_null(0), pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(fn, batch_format="pyarrow")
+
+
 class LangId:
     """Stopword-profile language ID (+ CJK codepoint check for zh).
 

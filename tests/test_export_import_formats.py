@@ -600,10 +600,18 @@ models:
     assert s2.models["m"].fields["oid"].pattern == "^B[0-9]+$"
 
 
-def test_http_ref_rejected():
+def test_http_ref_fails_loudly_without_network(monkeypatch):
+    """http $refs ARE supported (round 3, test_remote_refs.py) — but with no
+    reachable host the failure must be loud, never a silently-empty field."""
+    import urllib.request
+
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="http unavailable"):
+    def no_network(req, timeout=None):
+        raise urllib.error.URLError("no network in sandbox")
+
+    monkeypatch.setattr(urllib.request, "urlopen", no_network)
+    with _pytest.raises(Exception):
         DataContractSpecification.from_string("""
 dataContractSpecification: 1.1.0
 id: h
