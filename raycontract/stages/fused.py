@@ -109,6 +109,100 @@ def _fold_image_parts(image_parts: list, max_samples: int):
     return image_agg
 
 
+def _compact_image_parts(parts: list, max_samples: int) -> dict:
+    """Fold image partials into ONE partial-SHAPED dict (re-mergeable by
+    ``_fold_image_parts`` / this function, unlike _fold_image_parts' final
+    output which flattens counters into the top level)."""
+    acc: dict = {"rows": 0, "counters": {}, "samples": []}
+    for p in parts:
+        p = pickle.loads(p) if isinstance(p, (bytes, bytearray)) else p
+        acc["rows"] += p["rows"]
+        for k, v in p["counters"].items():
+            acc["counters"][k] = acc["counters"].get(k, 0) + v
+        if len(acc["samples"]) < max_samples:
+            acc["samples"].extend(p["samples"][: max_samples - len(acc["samples"])])
+    return acc
+
+
+def _dup_range_reduce_task(block_refs, lo: int, hi: int, max_samples: int) -> dict:
+    """One range of the distributed duplicate fold: scan every fused block,
+    keep dup partial rows whose int64 content-hash key falls in [lo, hi], and
+    group them. Ranges are disjoint, so every per-column stat (distinct
+    count, duplicate values/rows, samples) is additive across tasks — the
+    driver merge is O(ranges), never O(keys)."""
+    import polars as pl
+    import ray
+
+    parts = []
+    for t in ray.get(list(block_refs)):
+        t = pa.table(t)
+        m = pc.and_(
+            pc.not_equal(t["kind"], "p"),
+            pc.and_(pc.greater_equal(t["key"], lo), pc.less_equal(t["key"], hi)),
+        )
+        s = t.filter(m).select(["kind", "key", "cnt"])
+        if s.num_rows:
+            parts.append(s)
+    if not parts:
+        return {}
+    agg = pl.from_arrow(pa.concat_tables(parts)).group_by(["kind", "key"]).agg(
+        pl.col("cnt").sum().alias("n"))
+    out: dict[str, dict[str, Any]] = {}
+    for (kind,), sub in agg.group_by(["kind"]):
+        dups = sub.filter(pl.col("n") > 1)
+        out[str(kind)[2:]] = {
+            "distinct_count": sub.height,
+            "duplicate_values": dups.height,
+            "duplicate_rows": int(dups["n"].sum() or 0) - dups.height,
+            "samples": dups["key"].head(max_samples).to_list(),
+        }
+    return out
+
+
+def _distributed_dup_reduce(block_refs: list, max_samples: int) -> dict:
+    """Launch the per-range reduce tasks over the (already materialized, tiny)
+    fused blocks and merge their disjoint results. Replaces the former
+    driver-side polars group-by over ALL keys: the driver no longer touches a
+    row of dup partials, so this tail stays O(ranges) at any key cardinality
+    — the same shape that a multi-node run needs (each task reads the block
+    set from the object store; dup partials are ~16 B/row, so the R× read
+    amplification is bounded and local-node reads are zero-copy)."""
+    futs = _launch_dup_reduce(block_refs, max_samples)
+    return _merge_dup_reduce(futs, max_samples)
+
+
+def _launch_dup_reduce(block_refs: list, max_samples: int) -> list:
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nranges = max(2, min(16, ncpu // 2))
+    step = (1 << 64) // nranges
+    reduce_remote = ray.remote(num_cpus=1)(_dup_range_reduce_task)
+    futs = []
+    for i in range(nranges):
+        lo = -(1 << 63) + i * step
+        hi = (1 << 63) - 1 if i == nranges - 1 else -(1 << 63) + (i + 1) * step - 1
+        futs.append(reduce_remote.remote(block_refs, lo, hi, max_samples))
+    return futs
+
+
+def _merge_dup_reduce(futs: list, max_samples: int) -> dict:
+    import ray
+
+    merged: dict[str, dict[str, Any]] = {}
+    for part in ray.get(futs):
+        for col, d in part.items():
+            m = merged.setdefault(col, {
+                "distinct_count": 0, "duplicate_values": 0, "duplicate_rows": 0,
+                "samples": [], "by_content_hash": True})
+            m["distinct_count"] += d["distinct_count"]
+            m["duplicate_values"] += d["duplicate_values"]
+            m["duplicate_rows"] += d["duplicate_rows"]
+            if len(m["samples"]) < max_samples:
+                m["samples"].extend(d["samples"][: max_samples - len(m["samples"])])
+    return merged
+
+
 def _driver_fold_all(tables: list[pa.Table], unique_specs, max_samples: int):
     """Driver-side fold of the complete fused output (payloads + partials)."""
     stats_parts, image_parts = [], []
@@ -128,29 +222,6 @@ def _driver_fold_all(tables: list[pa.Table], unique_specs, max_samples: int):
             "distinct_count": 0, "duplicate_values": 0, "duplicate_rows": 0,
             "samples": [], "by_content_hash": True})
     return stats, image_agg, dup_stats
-
-
-def _polars_dup_fold_raw(tables: list[pa.Table], max_samples: int) -> dict[str, dict[str, Any]]:
-    """Like _polars_dup_fold but over already-filtered (kind,key,cnt) tables."""
-    import polars as pl
-
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        return {}
-    df = pl.from_arrow(pa.concat_tables(tables))
-    agg = df.group_by(["kind", "key"]).agg(pl.col("cnt").sum().alias("n"))
-    out: dict[str, dict[str, Any]] = {}
-    for (kind,), sub in agg.group_by(["kind"]):
-        dups = sub.filter(pl.col("n") > 1)
-        col = str(kind)[2:]
-        out[col] = {
-            "distinct_count": sub.height,
-            "duplicate_values": dups.height,
-            "duplicate_rows": int(dups["n"].sum() or 0) - dups.height,
-            "samples": dups["key"].head(max_samples).to_list(),
-            "by_content_hash": True,
-        }
-    return out
 
 
 def _polars_dup_fold(tables: list[pa.Table], max_samples: int) -> dict[str, dict[str, Any]]:
@@ -341,17 +412,79 @@ def run_fused_pass(
     # driver-side consumption and LOSES ~2x; the post-scan driver fold is only
     # ~1.3s/1M rows, so one-shot refs + fold is the faster shape)
     if input_rows is not None and input_rows * max(1, len(unique_specs)) <= driver_fold_limit:
-        tables = [pa.table(t) for t in ray.get(fused.to_arrow_refs()) if t.num_rows]
+        if os.environ.get("RAYCONTRACT_ONESHOT_FOLD"):
+            # A/B escape hatch: the pre-r3 one-shot shape (full scan, then
+            # fold every block on the driver) for interleaved benchmarking.
+            tables = [pa.table(t) for t in ray.get(fused.to_arrow_refs()) if t.num_rows]
+            if timing:
+                print(f"[fused] single-execution scan→driver: {time.time()-t0:.1f}s", flush=True)
+            out = _driver_fold_all(tables, unique_specs, max_samples)
+            try:
+                out[0]["_ray_stats"] = fused.stats()[:4000]
+            except Exception:
+                pass
+            return out
+        # STREAMING driver fold (VERDICT r2 next-step #4): consume block REFS
+        # as the streaming executor finishes them (iter_internal_ref_bundles
+        # yields refs, not data — unlike the rejected iter_batches fold it
+        # applies no consumer backpressure to the scan, since each fused
+        # block is tiny) and do the per-block splitting/unpickling inside the
+        # scan window. Only the final merge_partials + one polars groupby
+        # remain as a post-scan tail.
+        stats_parts: list = []
+        image_parts: list = []
+        dup_block_refs: list = []
+        # Incremental compaction: while the loop below is blocked in ray.get
+        # the driver is idle, so folding the accumulated payload partials
+        # INSIDE the scan window (in O(threshold) slices) removes them from
+        # the post-scan tail. merge_partials/_compact_image_parts accept
+        # their own output, so repeated folding is lossless. Duplicate
+        # partials never touch the driver: the block refs are kept alive and
+        # handed to the distributed range reduce after the scan.
+        compact_every = int(os.environ.get("RAYCONTRACT_COMPACT_EVERY", "64"))
+
+        def _consume_block(t: pa.Table):
+            if t.num_rows == 0:
+                return
+            for payload in t.filter(pc.equal(t["kind"], "p"))["payload"].to_pylist():
+                d = pickle.loads(payload)
+                stats_parts.append(d["stats"])
+                if "image" in d:
+                    image_parts.append(d["image"])
+            if compact_every and len(stats_parts) >= compact_every:
+                stats_parts[:] = [merge_partials(stats_parts, max_samples=max_samples)]
+                if len(image_parts) > 1:
+                    image_parts[:] = [_compact_image_parts(image_parts, max_samples)]
+
+        for bundle in fused.iter_internal_ref_bundles():
+            refs = list(bundle.block_refs)
+            if unique_specs:
+                dup_block_refs.extend(refs)
+            for block in ray.get(refs):
+                _consume_block(pa.table(block))
         if timing:
-            print(f"[fused] single-execution scan→driver: {time.time()-t0:.1f}s", flush=True)
-        out = _driver_fold_all(tables, unique_specs, max_samples)
+            print(f"[fused] streaming scan+fold: {time.time()-t0:.1f}s", flush=True)
+            t0 = time.time()
+        # launch the range-reduce tasks first so they run while the driver
+        # folds its own (already-compacted) payload partials
+        dup_futs = _launch_dup_reduce(dup_block_refs, max_samples) if unique_specs else []
+        stats = merge_partials(stats_parts, max_samples=max_samples)
+        image_agg = _fold_image_parts(image_parts, max_samples)
+        merged = _merge_dup_reduce(dup_futs, max_samples) if unique_specs else {}
+        dup_stats = {}
+        for u in unique_specs:
+            dup_stats[u.column] = merged.get(u.column, {
+                "distinct_count": 0, "duplicate_values": 0, "duplicate_rows": 0,
+                "samples": [], "by_content_hash": True})
+        if timing:
+            print(f"[fused] merge tail: {time.time()-t0:.1f}s", flush=True)
         try:
             # surface the Ray execution profile (per-operator wall/cpu/rows)
             # for observability — consumers read it from stats['_ray_stats']
-            out[0]["_ray_stats"] = fused.stats()[:4000]
+            stats["_ray_stats"] = fused.stats()[:4000]
         except Exception:
             pass
-        return out
+        return stats, image_agg, dup_stats
 
     if unique_specs:
         # The fused output is tiny relative to the input but inherits the

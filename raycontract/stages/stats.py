@@ -243,6 +243,10 @@ def merge_partials(payloads: list[bytes], max_samples: int = 20) -> dict[str, An
     ``max_samples`` caps merged violation samples per check — threaded from
     the CLI's ``--max-errors`` (≅ the reference's DATACONTRACT_MAX_ERRORS
     convention), not a hardcoded literal.
+
+    Accepts raw pickled partials (bytes) OR already-merged dicts (its own
+    output), so callers can fold incrementally: the merged dict is itself a
+    valid partial (sketch values may be live objects — handled below).
     """
     from raycontract.functions.sketches import (
         CategoricalCounts,
@@ -254,7 +258,7 @@ def merge_partials(payloads: list[bytes], max_samples: int = 20) -> dict[str, An
     merged: dict[str, Any] = {"row_count": 0, "columns": {}, "checks": {}}
     sketches: dict[tuple, Any] = {}
     for raw in payloads:
-        p = pickle.loads(raw)
+        p = pickle.loads(raw) if isinstance(raw, (bytes, bytearray)) else raw
         merged["row_count"] += p["row_count"]
         for col, cs in p["columns"].items():
             m = merged["columns"].setdefault(
