@@ -99,6 +99,48 @@ def read_model(
         # (one message per line), reproducing exactly those semantics.
         ds = rd.read_json(path, **kwargs)
         return ds.select_columns(columns) if columns else ds
+    if fmt == "avro":
+        # Kafka avro wire format (reference kafka.py:90-95: strip the 5-byte
+        # Confluent schema-registry header from each message and decode the
+        # avro body with the schema derived FROM THE CONTRACT MODEL). Offline
+        # analog: the path points at length-prefixed binary topic-dump files;
+        # each file is one read task, the ragged per-message decode runs in
+        # an actor pool with the contract-derived decoder compiled once per
+        # actor (functions/avro_binary.py).
+        if model is None:
+            raise ValueError("format 'avro' needs the contract model — it is the schema authority")
+        import pyarrow as pa
+
+        from raycontract.export.avro import to_avro_schema
+
+        avro_schema = to_avro_schema(model_name, model)
+        try:
+            arrow_schema = pa.schema(
+                [(n, contract_field_to_arrow(f)) for n, f in model.fields.items()])
+        except ValueError:
+            arrow_schema = None
+
+        class AvroWireDump:
+            def __init__(self):
+                from raycontract.functions.avro_binary import compile_decoder
+
+                self.decoder = compile_decoder(avro_schema)
+
+            def __call__(self, batch: "pa.Table") -> "pa.Table":
+                from raycontract.functions.avro_binary import (
+                    decode_wire_message,
+                    iter_frames,
+                )
+
+                rows = []
+                for blob in batch["bytes"]:
+                    for msg in iter_frames(blob.as_py()):
+                        rows.append(decode_wire_message(msg, self.decoder))
+                return pa.Table.from_pylist(rows, schema=arrow_schema)
+
+        ds = rd.read_binary_files(path, **kwargs).map_batches(
+            AvroWireDump, batch_size=1, batch_format="pyarrow", concurrency=(1, 8))
+        return ds.select_columns(columns) if columns else ds
     raise ValueError(f"unsupported server format: {fmt!r}")
 
 

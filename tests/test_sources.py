@@ -94,3 +94,64 @@ def test_kafka_dump_snapshot_server(ray_session, tmp_path):
     # (a `type: kafka, format: json` server flows through the json branch
     # with type-checks skipped, exactly like the reference; `format: kafka`
     # is the explicit dump spelling tested here)
+
+
+# --- kafka avro wire format (reference kafka.py:90-95) ----------------------
+
+def test_avro_binary_known_byte_vectors():
+    """Decoder checked against hand-computed Avro-spec byte sequences (not
+    against our own encoder): zigzag longs, string framing, nullable union."""
+    from raycontract.functions.avro_binary import compile_decoder
+
+    # long: zigzag(1)=2, zigzag(-2)=3, zigzag(64)=128 -> varint 0x80 0x01
+    dec = compile_decoder("long")
+    assert dec(b"\x02", 0) == (1, 1)
+    assert dec(b"\x03", 0) == (-2, 1)
+    assert dec(b"\x80\x01", 0) == (64, 2)
+    # string: length zigzag(3)=6 then utf-8 bytes
+    dec = compile_decoder("string")
+    assert dec(b"\x06foo", 0) == ("foo", 4)
+    # union ["null","long"]: index 1 (zigzag=2) then zigzag(7)=14
+    dec = compile_decoder(["null", "long"])
+    assert dec(b"\x02\x0e", 0) == (7, 2)
+    assert dec(b"\x00", 0) == (None, 1)
+    # record {a: long, b: string}
+    dec = compile_decoder({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]})
+    assert dec(b"\x04\x02x", 0) == ({"a": 2, "b": "x"}, 3)
+    # array of long: block count 2, items 1,2, end block 0
+    dec = compile_decoder({"type": "array", "items": "long"})
+    assert dec(b"\x04\x02\x04\x00", 0) == ([1, 2], 4)
+
+
+def test_kafka_avro_wire_server(ray_session, tmp_path):
+    """type: kafka + format: avro reads a length-prefixed Confluent
+    wire-format topic dump, decoding with the CONTRACT-derived schema (the
+    reference's from_avro(substring(value,6)) semantics)."""
+    import struct
+
+    from raycontract.export.avro import to_avro_schema
+    from raycontract.functions.avro_binary import encode_wire_message
+    from raycontract.contract import DataContractSpecification
+
+    c = CONTRACT_TMPL.format(fmt="avro", path=tmp_path / "m.dump", delim="")
+    spec = DataContractSpecification.from_string(c)
+    schema = to_avro_schema("m", spec.models["m"])
+    blob = bytearray()
+    for r in ROWS:
+        msg = encode_wire_message(r, schema)
+        blob += struct.pack(">I", len(msg)) + msg
+    (tmp_path / "m.dump").write_bytes(bytes(blob))
+
+    c = c.replace("type: local", "type: kafka")
+    run = DataContract(data_contract_str=c).test()
+    _expect(run)
+
+
+def test_kafka_avro_rejects_bad_magic(ray_session, tmp_path):
+    import struct
+
+    (tmp_path / "m.dump").write_bytes(struct.pack(">I", 3) + b"\x01ab")
+    c = CONTRACT_TMPL.format(fmt="avro", path=tmp_path / "m.dump", delim="")
+    run = DataContract(data_contract_str=c).test()
+    assert run.result == ResultEnum.error
