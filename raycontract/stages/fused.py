@@ -136,6 +136,9 @@ def _dup_range_reduce_task(block_refs, lo: int, hi: int, max_samples: int) -> di
     parts = []
     for t in ray.get(list(block_refs)):
         t = pa.table(t)
+        # an empty input dataset yields schema-less empty blocks
+        if t.num_rows == 0 or "kind" not in t.schema.names:
+            continue
         m = pc.and_(
             pc.not_equal(t["kind"], "p"),
             pc.and_(pc.greater_equal(t["key"], lo), pc.less_equal(t["key"], hi)),
