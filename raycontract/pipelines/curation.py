@@ -230,8 +230,9 @@ def decontaminate_flags(ds, phrases: Sequence[str], text_col: str = "text",
                         id_col: str = "doc_id", concurrency=(1, 8),
                         automaton_threshold: int = 50):
     ref = ray.put(list(phrases))
+    # max_restarts=0 (ray#53727): ObjectRef constructor arg, restart would fail.
     return ds.select_columns([id_col, text_col]).map_batches(
         Decontaminator, fn_constructor_args=(ref, text_col, id_col,
                                              automaton_threshold),
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=concurrency, max_restarts=0,
     )

@@ -89,8 +89,9 @@ def top_customers_by_revenue(orders_ds, customer_ds, k: int = 10):
                 "revenue_cents": batch["revenue_cents"],
             })
 
+    # max_restarts=0 (ray#53727): ObjectRef constructor arg, restart would fail.
     return top.map_batches(AttachName, fn_constructor_args=(ref,), batch_format="pyarrow",
-                           concurrency=1)
+                           concurrency=1, max_restarts=0)
 
 
 def events_hourly(events_ds):

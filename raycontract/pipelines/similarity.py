@@ -59,9 +59,12 @@ def knn_brute_force(ds, query_ids: list[int], query_matrix: np.ndarray,
     rank 1-based, ties broken by id ascending (deterministic)."""
     Q = _normalize(np.asarray(query_matrix, dtype=np.float64))
     qref = ray.put((list(query_ids), Q))
+    # max_restarts=0 (ray#53727): the constructor arg is an ObjectRef whose
+    # value the driver keeps alive for the stage's lifetime; a lost-object
+    # restart cannot succeed anyway, so opt out of restarts deliberately.
     cands = ds.select_columns([id_col, emb_col]).map_batches(
         _BruteScorer, fn_constructor_args=(qref, emb_col, id_col, k),
-        batch_format="pyarrow", concurrency=(1, 8),
+        batch_format="pyarrow", concurrency=(1, 8), max_restarts=0,
     )
 
     def final_topk(group: pa.Table) -> pa.Table:

@@ -193,7 +193,9 @@ def drift_by_batch(ds, spec: DriftSpec, batch_size: int = 8192, concurrency=(1, 
     import ray as _ray
 
     baseline_ref = _ray.put(load_profile(spec.baseline_path))
+    # max_restarts=0 (ray#53727): ObjectRef constructor arg, restart would fail.
     return ds.select_columns([spec.column]).map_batches(
         DriftComparator, fn_constructor_args=(baseline_ref, spec),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        max_restarts=0,
     )
