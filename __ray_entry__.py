@@ -83,8 +83,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_string_documents": q.hash_split_string_documents,
         "decontaminate_documents": q.decontaminate_documents,
         "quality_scores_documents": q.quality_scores_documents,
+        "quality_counts_documents": q.quality_counts_documents,
         "repetition_scores_documents": q.repetition_scores_documents,
+        "repetition_lines_documents": q.repetition_lines_documents,
         "fingerprints_documents": q.fingerprints_documents,
+        "winnow_fingerprints_documents": q.winnow_fingerprints_documents,
         # drift + multimodal
         "drift_documents": q.drift_documents,
         "image_features_sample": q.image_features_sample,
@@ -126,9 +129,16 @@ def oracle_sql() -> dict[str, str]:
         "hash_split_documents": q.hash_split_documents_sql(),
         "hash_split_string_documents": q.hash_split_string_documents_sql(),
         "decontaminate_documents": q.decontaminate_documents_sql(),
+        "langid_documents": q.langid_documents_sql(),
+        "quality_counts_documents": q.quality_counts_documents_sql(),
+        "repetition_lines_documents": q.repetition_lines_documents_sql(),
+        "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll, quantiles_totalprice,
-        # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images,
-        # lsh_knn/ivf_knn, langid, quality_scores, repetition_scores,
-        # fingerprints, drift_documents, image/audio_features_sample
+        # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images
+        # (banding machinery oracle-paired via hamming_pairs_documents),
+        # lsh_knn/ivf_knn, quality_scores/repetition_scores (float surface;
+        # integer measurements oracle-paired via the _counts/_lines twins),
+        # fingerprints (oracle-paired via the winnow md5 twin),
+        # drift_documents, image/audio_features_sample
     }

@@ -825,6 +825,168 @@ def fingerprints_documents(sf_dir: str):
     return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def langid_documents_sql() -> str:
+    """DuckDB twin of LangId: same lowercase + whitespace-split token SET,
+    same per-language stopword-intersection score, same (score, lang)
+    tie-break (largest lang name wins), same zh CJK-codepoint short-circuit
+    on the first 200 chars, same 'en' fallback when every score is 0."""
+    from raycontract.pipelines.textpipe import _STOPWORDS
+
+    vals = ", ".join(f"('{lang}', '{w}')" for lang in sorted(_STOPWORDS)
+                     for w in sorted(_STOPWORDS[lang]))
+    return f"""
+WITH lw(lang, w) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS w
+  FROM documents
+  WHERE text IS NOT NULL
+    AND NOT regexp_matches(substr(lower(text), 1, 200), '[一-鿿]')),
+sc AS (SELECT doc_id, lang, count(*) AS c FROM tok JOIN lw USING (w) GROUP BY doc_id, lang),
+best AS (SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang DESC) AS rn
+           FROM sc) WHERE rn = 1)
+SELECT d.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL
+       WHEN regexp_matches(substr(lower(d.text), 1, 200), '[一-鿿]') THEN 'zh'
+       ELSE coalesce(b.lang, 'en') END AS pred_lang
+FROM documents d LEFT JOIN best b USING (doc_id)
+"""
+
+
+def quality_counts_documents(sf_dir: str):
+    """Oracle-paired integer surface of QualityScorer: exact char / token /
+    stopword-token counts (the measurements the composite quality_score is
+    derived from), emitted as int64 so the value-hash is rounding-free."""
+    from raycontract.pipelines.textpipe import quality_scores
+
+    return quality_scores(_read(sf_dir, "documents", ["doc_id", "text"])).select_columns(
+        ["doc_id", "n_chars_calc", "n_tokens", "n_ws_tokens", "n_stop_tokens"])
+
+
+def quality_counts_documents_sql() -> str:
+    from raycontract.pipelines.textpipe import _STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in sorted(set(
+        w for sw in _STOPWORDS.values() for w in sw)))
+    return f"""
+SELECT doc_id,
+  CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars_calc,
+  CAST(coalesce(length(text) - length(replace(text, ' ', '')) + 1, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(length(list_filter(string_split_regex(lower(text), '\\s+'),
+       x -> x <> '')), 0) AS BIGINT) AS n_ws_tokens,
+  CAST(coalesce(length(list_filter(string_split_regex(lower(text), '\\s+'),
+       x -> list_contains([{words}], x))), 0) AS BIGINT) AS n_stop_tokens
+FROM documents
+"""
+
+
+def repetition_lines_documents(sf_dir: str):
+    """Oracle-paired twin of repetition_scores_documents: the documents table
+    has no newlines, so BOTH engines deterministically build a multi-line
+    text per doc (four 60-char chunks joined by newline; docs with
+    doc_id%3==0 repeat chunk 1, doc_id%5==0 repeat chunk 2 twice — planting
+    real duplicate lines), then the SAME RepetitionScorer runs and its exact
+    integer line counters are compared (Gopher dup-line fractions =
+    dup_lines/n_lines, dup_line_chars/n_line_chars)."""
+    from raycontract.pipelines.textpipe import repetition_scores
+
+    def build(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch["text"], "")
+        cs = [pc.utf8_slice_codeunits(t, i, i + 60) for i in (0, 60, 120, 180)]
+        base = pc.binary_join_element_wise(*cs, "\n")
+        did = np.asarray(batch["doc_id"])
+        empty = pa.array([""] * len(did))
+        ext3 = pc.if_else(pa.array(did % 3 == 0),
+                          pc.binary_join_element_wise(empty, cs[0], "\n"), empty)
+        ext5 = pc.if_else(pa.array(did % 5 == 0),
+                          pc.binary_join_element_wise(empty, cs[1], cs[1], "\n"), empty)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pc.binary_join_element_wise(base, ext3, ext5, "")})
+
+    built = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        build, batch_format="pyarrow")
+    return repetition_scores(built).select_columns(
+        ["doc_id", "n_lines", "n_line_chars", "dup_lines", "dup_line_chars"])
+
+
+def repetition_lines_documents_sql() -> str:
+    return """
+WITH built AS (
+  SELECT doc_id,
+    concat_ws(chr(10), substr(coalesce(text,''),1,60), substr(coalesce(text,''),61,60),
+              substr(coalesce(text,''),121,60), substr(coalesce(text,''),181,60))
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || substr(coalesce(text,''),1,60) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || substr(coalesce(text,''),61,60)
+                                   || chr(10) || substr(coalesce(text,''),61,60) ELSE '' END AS t2
+  FROM documents),
+lines AS (
+  SELECT doc_id, line FROM (SELECT doc_id, unnest(string_split(t2, chr(10))) AS line FROM built)
+  WHERE trim(line, ' ' || chr(9) || chr(13) || chr(12) || chr(11)) <> ''),
+per_line AS (SELECT doc_id, line, count(*) AS c, length(line) AS L FROM lines GROUP BY doc_id, line),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, CAST(sum(L*c) AS BIGINT) AS n_line_chars,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_lines,
+         CAST(sum(CASE WHEN c > 1 THEN L*c ELSE 0 END) AS BIGINT) AS dup_line_chars
+  FROM per_line GROUP BY doc_id)
+SELECT d.doc_id, coalesce(n_lines, 0) AS n_lines, coalesce(n_line_chars, 0) AS n_line_chars,
+       coalesce(dup_lines, 0) AS dup_lines, coalesce(dup_line_chars, 0) AS dup_line_chars
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def winnow_fingerprints_documents(sf_dir: str):
+    """Oracle-paired twin of fingerprints_documents: the SAME winnowing
+    operator (sliding-window minima + xor of distinct minima,
+    textpipe.fingerprints) with an injected md5 char-shingle hasher both
+    engines compute bit-identically (low 64 bits of md5, masked to 60 bits
+    so BIGINT stays positive; DuckDB: md5_number_lower & mask)."""
+    import hashlib
+
+    from raycontract.pipelines.textpipe import fingerprints
+
+    MASK = np.uint64((1 << 60) - 1)
+
+    def md5_char_shingles(t) -> np.ndarray:
+        t = t or ""
+        if len(t) < 8:
+            vals = [int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16], "little")]
+        else:
+            vals = [int.from_bytes(hashlib.md5(t[i:i + 8].encode("utf-8")).digest()[8:16], "little")
+                    for i in range(len(t) - 7)]
+        return np.array(vals, dtype=np.uint64) & MASK
+
+    return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        shingle_hasher=md5_char_shingles)
+
+
+def winnow_fingerprints_documents_sql() -> str:
+    return """
+WITH pos AS (
+  SELECT doc_id, coalesce(text,'') AS txt,
+         unnest(generate_series(1, length(coalesce(text,'')) - 7)) AS i,
+         length(coalesce(text,'')) - 7 AS s
+  FROM documents WHERE length(coalesce(text,'')) >= 8),
+sh AS (
+  SELECT doc_id, i, s,
+         CAST(md5_number_lower(substr(txt, CAST(i AS INTEGER), 8)) & 1152921504606846975 AS BIGINT) AS h
+  FROM pos),
+wm AS (
+  SELECT doc_id, s, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+  FROM sh),
+fp_big AS (SELECT doc_id, bit_xor(DISTINCT m) AS fingerprint FROM wm WHERE s > 16 AND i <= s - 15 GROUP BY doc_id),
+fp_small AS (SELECT doc_id, min(h) AS fingerprint FROM sh WHERE s <= 16 GROUP BY doc_id),
+fp_tiny AS (
+  SELECT doc_id, CAST(md5_number_lower(coalesce(text,'')) & 1152921504606846975 AS BIGINT) AS fingerprint
+  FROM documents WHERE length(coalesce(text,'')) < 8)
+SELECT doc_id, fingerprint FROM fp_big
+UNION ALL SELECT doc_id, fingerprint FROM fp_small
+UNION ALL SELECT doc_id, fingerprint FROM fp_tiny
+"""
+
+
 def minhash_pairs_documents(sf_dir: str):
     from raycontract.pipelines.dedup import minhash_lsh_pairs
 

@@ -150,12 +150,18 @@ class QualityScorer:
         )
         texts = pc.utf8_lower(t).to_pylist()
         stop_ratio = []
+        n_ws_tokens, n_stop_tokens = [], []
         for s in texts:
             if not s:
                 stop_ratio.append(0.0)
+                n_ws_tokens.append(0)
+                n_stop_tokens.append(0)
                 continue
             toks = s.split()
-            stop_ratio.append(sum(1 for w in toks if w in self.stop) / max(len(toks), 1))
+            n_stop = sum(1 for w in toks if w in self.stop)
+            n_ws_tokens.append(len(toks))
+            n_stop_tokens.append(n_stop)
+            stop_ratio.append(n_stop / max(len(toks), 1))
         nc = np.asarray(pc.cast(n_chars, pa.float64()))
         length_score = np.clip(nc / 500.0, 0, 1)
         punct_ratio = np.asarray(pc.cast(n_punct, pa.float64())) / np.maximum(nc, 1)
@@ -163,8 +169,13 @@ class QualityScorer:
         quality = 0.5 * length_score + 0.3 * np.clip(sr * 4, 0, 1) + 0.2 * (1 - np.clip(punct_ratio * 10, 0, 1))
         return pa.table({
             self.id_col: batch[self.id_col],
-            "n_chars_calc": pc.cast(n_chars, pa.int64()),
-            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_chars_calc": pc.cast(n_chars, pa.int64()).fill_null(0),
+            "n_tokens": pc.cast(n_tokens, pa.int64()).fill_null(0),
+            # integer measurements alongside the composite score: exact,
+            # SQL-reproducible (the oracle-paired surface) and directly usable
+            # by downstream threshold filters without float-rounding concerns
+            "n_ws_tokens": pa.array(n_ws_tokens, type=pa.int64()),
+            "n_stop_tokens": pa.array(n_stop_tokens, type=pa.int64()),
             "stop_ratio": pa.array(sr, type=pa.float64()),
             "quality_score": pa.array(quality, type=pa.float64()),
         })
@@ -185,19 +196,21 @@ class RepetitionScorer:
     def __init__(self, text_col: str = "text", id_col: str = "doc_id", ngram: int = 3):
         self.text_col, self.id_col, self.n = text_col, id_col, ngram
 
-    def _doc(self, t: str) -> tuple[float, float, float]:
+    def _doc(self, t: str) -> tuple:
         if not t:
-            return 0.0, 0.0, 0.0
+            return 0.0, 0.0, 0.0, 0, 0, 0, 0
         lines = [l for l in t.splitlines() if l.strip()]
         dup_line_frac = dup_char_frac = 0.0
+        dup_lines = dup_chars = n_line_chars = 0
         if lines:
             from collections import Counter
 
             c = Counter(lines)
             dup_lines = sum(v for v in c.values() if v > 1)
             dup_chars = sum(len(k) * v for k, v in c.items() if v > 1)
+            n_line_chars = sum(len(l) for l in lines)
             dup_line_frac = dup_lines / len(lines)
-            dup_char_frac = dup_chars / max(sum(len(l) for l in lines), 1)
+            dup_char_frac = dup_chars / max(n_line_chars, 1)
         toks = t.split()
         top_ngram_frac = 0.0
         if len(toks) >= self.n:
@@ -208,7 +221,8 @@ class RepetitionScorer:
             g, cnt = grams.most_common(1)[0]
             if cnt > 1:
                 top_ngram_frac = (cnt * sum(len(w) for w in g)) / max(len(t), 1)
-        return dup_line_frac, dup_char_frac, top_ngram_frac
+        return (dup_line_frac, dup_char_frac, top_ngram_frac,
+                len(lines), n_line_chars, dup_lines, dup_chars)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -218,6 +232,12 @@ class RepetitionScorer:
             "dup_line_frac": pa.array([r[0] for r in rows], type=pa.float64()),
             "dup_line_char_frac": pa.array([r[1] for r in rows], type=pa.float64()),
             "top_ngram_char_frac": pa.array([r[2] for r in rows], type=pa.float64()),
+            # exact integer numerators/denominators of the line metrics —
+            # SQL-reproducible (oracle-paired) and float-rounding-free
+            "n_lines": pa.array([r[3] for r in rows], type=pa.int64()),
+            "n_line_chars": pa.array([r[4] for r in rows], type=pa.int64()),
+            "dup_lines": pa.array([r[5] for r in rows], type=pa.int64()),
+            "dup_line_chars": pa.array([r[6] for r in rows], type=pa.int64()),
         })
 
 
@@ -227,17 +247,24 @@ def repetition_scores(ds, text_col: str = "text", id_col: str = "doc_id", ngram:
     )
 
 
-def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id", window: int = 16):
+def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id", window: int = 16,
+                 shingle_hasher=None):
     """Winnowing-style document fingerprint: min rolling-hash over each
     window → 64-bit doc fingerprint = xor of window minima (rolling hash per
-    Rabin-Karp; Schleimer et al. winnowing)."""
+    Rabin-Karp; Schleimer et al. winnowing).
+
+    ``shingle_hasher``: text → np.uint64 array of shingle hashes. Default is
+    the fast byte-rolling :func:`~raycontract.pipelines.dedup._shingle_hashes`
+    (k=8); the oracle-paired twin injects an md5-based char-shingle hasher
+    that DuckDB reproduces exactly (``md5_number_lower``)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         from raycontract.pipelines.dedup import _shingle_hashes
 
+        hasher = shingle_hasher or (lambda t: _shingle_hashes(t, 8))
         outs = []
         for t in batch[text_col].to_pylist():
-            sh = _shingle_hashes(t, 8)
+            sh = hasher(t)
             if sh.size == 0:
                 outs.append(0)
                 continue
