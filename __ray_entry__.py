@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_user_events": q.duplicate_user_events_q,
         "approx_distinct_hll": q.approx_distinct_hll,
         "quantiles_totalprice": q.quantiles_totalprice,
+        "exact_quantiles_totalprice": q.exact_quantiles_totalprice,
         # relational (pre-aggregated groupbys, broadcast join, top-k, windows)
         "pricing_summary": q.pricing_summary_q,
         "top_customers_by_revenue": q.top_customers_q,
@@ -107,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "nested_violations_orders": q.nested_violations_orders_sql(),
         "distinct_counts": q.distinct_counts_sql(),
         "duplicate_user_events": q.duplicate_user_events_sql(),
+        "exact_quantiles_totalprice": q.exact_quantiles_totalprice_sql(),
         "pricing_summary": q.pricing_summary_sql(),
         "top_customers_by_revenue": q.top_customers_sql(),
         "events_hourly": q.events_hourly_sql(),

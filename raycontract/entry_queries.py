@@ -1234,6 +1234,27 @@ def quantiles_totalprice(sf_dir: str) -> pa.Table:
                      "value": pa.array(vals, type=pa.float64())})
 
 
+def exact_quantiles_totalprice(sf_dir: str) -> pa.Table:
+    """EXACT distributed quantiles (iterative radix-histogram selection) —
+    the precise counterpart of the t-digest path above, DuckDB
+    ``quantile_disc`` semantics so it oracle-pairs exactly."""
+    from raycontract.pipelines.relational import exact_quantiles
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    res = exact_quantiles(ds, "o_totalprice", qs=qs)
+    return pa.table({"q": pa.array([q for q, _ in res], type=pa.float64()),
+                     "value": pa.array([v for _, v in res], type=pa.float64())})
+
+
+def exact_quantiles_totalprice_sql() -> str:
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q,"
+        f" CAST(quantile_disc(o_totalprice, {q}) AS DOUBLE) AS value FROM orders"
+        for q in qs)
+
+
 def drift_documents(sf_dir: str) -> pa.Table:
     """Drift demo: baseline = docs with doc_id < half, current = full table.
     Same distribution → expected to pass; the shifted-negative case is

@@ -274,3 +274,133 @@ def duplicate_user_events(events_ds):
         return batch.filter(pc.greater(batch["n_events"], 1))
 
     return agg.map_batches(keep_dups, batch_format="pyarrow")
+
+
+def exact_quantiles(ds, column: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+                    buckets: int = 4096, collect_limit: int = 1_000_000,
+                    max_rounds: int = 8):
+    """EXACT distributed quantiles by iterative radix-histogram selection —
+    the complement of the t-digest sketch (``functions/sketches.py``): where
+    the sketch trades exactness for one pass, this spends O(log_B(N/limit))
+    narrow column scans and returns the precise order statistic.
+
+    DuckDB-compatible semantics: quantile q = the value at 1-based rank
+    ``ceil(q*N)`` over the non-null values ascending (``quantile_disc``).
+
+    Scale shape (designed for 10^12 rows): every pass is a vectorized
+    ``map_batches`` over the single projected column; each round narrows each
+    quantile's value range to one histogram bucket (counts shuffled to the
+    driver are ≤ buckets×blocks tiny ints); rows are only ever collected once
+    a range holds ≤ ``collect_limit`` values. Skewed/duplicate-heavy columns
+    terminate via the equal-bounds fast path (a bucket that cannot subdivide
+    is a run of one repeated value — answered directly, no collection).
+
+    Returns a list of (q, value) in input order.
+    """
+    import math
+
+    proj = ds.select_columns([column])
+
+    def mmc(batch: pa.Table) -> pa.Table:
+        v = batch[column].drop_null()
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([None], type=pa.float64()),
+                             "mx": pa.array([None], type=pa.float64()),
+                             "n": pa.array([0], type=pa.int64())})
+        return pa.table({"mn": pa.array([pc.min(v).as_py()], type=pa.float64()),
+                         "mx": pa.array([pc.max(v).as_py()], type=pa.float64()),
+                         "n": pa.array([len(v)], type=pa.int64())})
+
+    parts = proj.map_batches(mmc, batch_format="pyarrow").take_all()
+    total = sum(p["n"] for p in parts)
+    if total == 0:
+        return [(q, None) for q in qs]
+    lo0 = min(p["mn"] for p in parts if p["mn"] is not None)
+    hi0 = max(p["mx"] for p in parts if p["mx"] is not None)
+
+    # state per quantile: (k_rem 0-based rank within [lo, hi], lo, hi,
+    # right_closed, done_value)
+    state = []
+    for q in qs:
+        k = max(0, math.ceil(q * total) - 1)  # DuckDB quantile_disc rank
+        state.append({"k": k, "lo": lo0, "hi": hi0, "closed": True, "val": None})
+
+    for _ in range(max_rounds):
+        active = [s for s in state if s["val"] is None]
+        if not active:
+            break
+        # ranges that cannot subdivide are runs of a single repeated value
+        for s in active:
+            if s["lo"] == s["hi"]:
+                s["val"] = s["lo"]
+        active = [s for s in state if s["val"] is None]
+        if not active:
+            break
+        ranges = [(s["lo"], s["hi"], s["closed"]) for s in active]
+
+        def hist(batch: pa.Table, _ranges=tuple(ranges), _B=buckets) -> pa.Table:
+            v = np.asarray(pc.cast(batch[column].drop_null(), pa.float64()))
+            out_r, out_b, out_c = [], [], []
+            for ri, (rlo, rhi, rclosed) in enumerate(_ranges):
+                m = (v >= rlo) & ((v <= rhi) if rclosed else (v < rhi))
+                if not m.any():
+                    continue
+                counts, _ = np.histogram(v[m], bins=_B, range=(rlo, rhi))
+                nz = np.nonzero(counts)[0]
+                out_r.extend([ri] * len(nz))
+                out_b.extend(nz.tolist())
+                out_c.extend(counts[nz].tolist())
+            return pa.table({"r": pa.array(out_r, type=pa.int32()),
+                             "b": pa.array(out_b, type=pa.int32()),
+                             "c": pa.array(out_c, type=pa.int64())})
+
+        import polars as pl
+
+        hp = pa.concat_tables(
+            [pa.table(t) for t in ray.get(
+                proj.map_batches(hist, batch_format="pyarrow").to_arrow_refs())
+             if t.num_rows])
+        folded = (pl.from_arrow(hp).group_by(["r", "b"]).agg(pl.col("c").sum())
+                  if hp.num_rows else None)
+        for ri, s in enumerate(active):
+            counts = np.zeros(buckets, dtype=np.int64)
+            if folded is not None:
+                sub = folded.filter(pl.col("r") == ri)
+                counts[sub["b"].to_numpy()] = sub["c"].to_numpy()
+            cum = np.cumsum(counts)
+            idx = int(np.searchsorted(cum, s["k"] + 1))
+            edges = np.linspace(s["lo"], s["hi"], buckets + 1)
+            s["k"] -= int(cum[idx - 1]) if idx > 0 else 0
+            new_lo, new_hi = float(edges[idx]), float(edges[idx + 1])
+            s["closed"] = s["closed"] and (idx == buckets - 1)
+            in_bucket = int(counts[idx])
+            if new_lo == s["lo"] and new_hi == s["hi"]:
+                # float underflow: range no longer subdivides
+                s["val"] = new_lo if in_bucket else s["lo"]
+                continue
+            s["lo"], s["hi"] = new_lo, new_hi
+            if in_bucket <= collect_limit:
+                s["val"] = _collect_rank(proj, column, s)
+    for s in state:
+        if s["val"] is None:  # max_rounds exhausted — collect what remains
+            s["val"] = _collect_rank(proj, column, s)
+    return [(q, s["val"]) for q, s in zip(qs, state)]
+
+
+def _collect_rank(proj, column: str, s: dict):
+    """Gather the ≤collect_limit values inside one narrowed range and pick
+    the exact k-th smallest on the driver."""
+    rlo, rhi, rclosed, k = s["lo"], s["hi"], s["closed"], s["k"]
+
+    def grab(batch: pa.Table, _lo=rlo, _hi=rhi, _closed=rclosed) -> pa.Table:
+        v = np.asarray(pc.cast(batch[column].drop_null(), pa.float64()))
+        m = (v >= _lo) & ((v <= _hi) if _closed else (v < _hi))
+        return pa.table({"v": pa.array(v[m], type=pa.float64())})
+
+    vals = np.concatenate(
+        [np.asarray(pa.table(t)["v"]) for t in ray.get(
+            proj.map_batches(grab, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows] or [np.empty(0)])
+    if vals.size == 0:
+        return None
+    return float(np.partition(vals, min(k, vals.size - 1))[min(k, vals.size - 1)])

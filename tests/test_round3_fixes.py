@@ -211,3 +211,53 @@ def test_neardup_keep_first_filter_is_vectorized():
     assert "take_all" not in src
     assert "to_pylist" not in src
     assert "not in drop" not in src  # the old per-row membership test
+
+
+# ------------------------------------------------- exact distributed quantiles
+
+
+class TestExactQuantiles:
+    """exact_quantiles = DuckDB quantile_disc on every shape, including the
+    ones that break naive histogram selection (duplicate runs, heavy skew)."""
+
+    QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+    def _check(self, values, qs=QS, **kw):
+        import duckdb
+
+        from raycontract.pipelines.relational import exact_quantiles
+
+        t = pa.table({"v": pa.array(values, type=pa.float64())})
+        got = exact_quantiles(rd.from_arrow(t), "v", qs=qs, **kw)
+        con = duckdb.connect()
+        con.register("t", t)
+        for q, val in got:
+            exp = con.execute(
+                f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+            assert val == exp, (q, val, exp)
+
+    def test_uniform(self, ray_session):
+        rng = np.random.default_rng(7)
+        self._check(rng.uniform(-100, 100, 20_000).tolist())
+
+    def test_duplicate_heavy(self, ray_session):
+        # 95% of rows share one value: the repeated-run fast path
+        vals = [42.0] * 19_000 + list(np.random.default_rng(1).normal(0, 1, 1_000))
+        self._check(vals)
+
+    def test_skewed_lognormal(self, ray_session):
+        rng = np.random.default_rng(3)
+        self._check(np.exp(rng.normal(0, 4, 10_000)).tolist())
+
+    def test_tiny_and_constant(self, ray_session):
+        self._check([5.0])
+        self._check([3.0, 3.0, 3.0, 3.0])
+
+    def test_with_nulls(self, ray_session):
+        self._check([1.0, None, 2.0, None, 3.0, 4.0, None, 5.0])
+
+    def test_forced_multi_round(self, ray_session):
+        # collect_limit=8 forces several histogram-narrowing rounds
+        rng = np.random.default_rng(11)
+        self._check(rng.uniform(0, 1, 5_000).tolist(),
+                    buckets=16, collect_limit=8)
