@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freshness_retention_events": q.freshness_retention_events,
         "row_counts": q.row_counts,
         "nested_violations_orders": q.nested_violations_orders,
+        "jsonschema_violations_documents": q.jsonschema_violations_documents,
         # uniqueness / distinct (shuffle + sketch paths)
         "distinct_counts": q.distinct_counts,
         "duplicate_user_events": q.duplicate_user_events_q,
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "freshness_retention_events": q.freshness_retention_events_sql(),
         "row_counts": q.row_counts_sql(),
         "nested_violations_orders": q.nested_violations_orders_sql(),
+        "jsonschema_violations_documents": q.jsonschema_violations_documents_sql(),
         "distinct_counts": q.distinct_counts_sql(),
         "duplicate_user_events": q.duplicate_user_events_sql(),
         "exact_quantiles_totalprice": q.exact_quantiles_totalprice_sql(),

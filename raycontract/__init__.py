@@ -37,7 +37,9 @@ _settle_fsspec_http()
 from raycontract.result import Check, ResultEnum, Run
 from raycontract.contract import DataContract, DataContractSpecification
 from raycontract.engine import validate
+from raycontract.stages.jsonrows import compile_jsonschema, validate_json_rows
 
 __all__ = ["Check", "ResultEnum", "Run", "DataContract",
-           "DataContractSpecification", "validate"]
+           "DataContractSpecification", "validate",
+           "compile_jsonschema", "validate_json_rows"]
 __version__ = "0.2.0"

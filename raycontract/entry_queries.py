@@ -1234,6 +1234,48 @@ def quantiles_totalprice(sf_dir: str) -> pa.Table:
                      "value": pa.array(vals, type=pa.float64())})
 
 
+def jsonschema_violations_documents(sf_dir: str):
+    """Generic row-wise JSON-Schema engine (stages/jsonrows.py) over the
+    documents table: enum + minLength + maximum + pattern keywords,
+    collect='all' so every violated keyword yields one row — each rule is
+    SQL-expressible, making the per-row interpreter itself oracle-testable."""
+    from raycontract.stages.jsonrows import validate_json_rows
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "doc_id": {"type": "integer", "minimum": 0, "primaryKey": True},
+            "lang": {"enum": ["en", "de", "fr", "es"]},
+            "text": {"type": "string", "minLength": 100},
+            "n_chars": {"maximum": 500},
+            "source": {"pattern": "^src[0-9]$"},
+        },
+    }
+    ds = _read(sf_dir, "documents")
+    out = validate_json_rows(ds, schema, model_name="documents", collect="all")
+    return out.select_columns(["pk", "path", "message"])
+
+
+def jsonschema_violations_documents_sql() -> str:
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS pk, 'data.lang' AS path,
+       'data.lang must be one of [''en'', ''de'', ''fr'', ''es'']' AS message
+FROM documents WHERE lang NOT IN ('en', 'de', 'fr', 'es')
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'data.text',
+       'data.text must be longer than or equal to 100 characters'
+FROM documents WHERE length(text) < 100
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'data.n_chars',
+       'data.n_chars must be smaller than or equal to 500'
+FROM documents WHERE n_chars > 500
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'data.source',
+       'data.source must match pattern ^src[0-9]$'
+FROM documents WHERE NOT regexp_matches(source, '^src[0-9]$')
+"""
+
+
 def exact_quantiles_totalprice(sf_dir: str) -> pa.Table:
     """EXACT distributed quantiles (iterative radix-histogram selection) —
     the precise counterpart of the t-digest path above, DuckDB

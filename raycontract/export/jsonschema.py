@@ -52,6 +52,10 @@ def to_property(field: Field) -> dict:
         prop["format"] = json_format
     if field.unique:
         prop["unique"] = True
+    if getattr(field, "primaryKey", None):
+        # passthrough so row validators can annotate violations with the pk
+        # (reference jsonschema_converter.py:53-54 / check_jsonschema.py:21-38)
+        prop["primaryKey"] = True
     if json_type == "object":
         prop["properties"] = {n: to_property(f) for n, f in field.fields.items()}
         prop["required"] = [n for n, f in field.fields.items() if f.required is True]
