@@ -56,6 +56,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_windows": q.events_sliding_windows,
         "sessionize_events": q.sessionize_events_q,
         "heavy_hitters_users": q.heavy_hitters_users_q,
+        "asof_join_events_orders": q.asof_join_events_orders,
+        "range_join_orders_bands": q.range_join_orders_bands,
+        "orders_with_nation": q.orders_with_nation,
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
         "dedup_prefix_documents": q.dedup_prefix_documents,
@@ -117,6 +120,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_windows": q.events_sliding_windows_sql(),
         "sessionize_events": q.sessionize_events_sql(),
         "heavy_hitters_users": q.heavy_hitters_users_sql(),
+        "asof_join_events_orders": q.asof_join_events_orders_sql(),
+        "range_join_orders_bands": q.range_join_orders_bands_sql(),
+        "orders_with_nation": q.orders_with_nation_sql(),
         "heavy_hitters_sketch_events": q.heavy_hitters_sketch_events_sql(),
         "dedup_exact_documents": q.dedup_exact_documents_sql(),
         "dedup_prefix_documents": q.dedup_prefix_documents_sql(),

@@ -1234,6 +1234,83 @@ def quantiles_totalprice(sf_dir: str) -> pa.Table:
                      "value": pa.array(vals, type=pa.float64())})
 
 
+def asof_join_events_orders(sf_dir: str):
+    """As-of join (pipelines/joins.py): each event picks the latest order of
+    the same customer at-or-before the event time — one key-hash shuffle,
+    vectorized sorted-merge per group. Ties on order date break to the max
+    o_orderkey, mirrored in the oracle's pre-dedup CTE."""
+    from raycontract.pipelines.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    out = asof_join(events, orders, on=("user_id", "o_custkey"), left_ts="ts",
+                    right_ts="o_orderdate", right_cols=["o_orderkey"])
+    return out.select_columns(["event_id", "user_id", "o_orderkey"])
+
+
+def asof_join_events_orders_sql() -> str:
+    return """
+WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, r.o_orderkey
+FROM events e ASOF JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
+_PRICE_BANDS = [(0.0, 100000.0, "low"), (100000.0, 250000.0, "mid"),
+                (250000.0, 400000.0, "high"), (400000.0, 600000.0, "lux")]
+
+
+def range_join_orders_bands(sf_dir: str):
+    """Range (interval) join: classify each order's total price into a band —
+    broadcast interval table + one searchsorted per batch, zero shuffle."""
+    from raycontract.pipelines.joins import range_join
+
+    bands = pa.table({"lo": pa.array([b[0] for b in _PRICE_BANDS]),
+                      "hi": pa.array([b[1] for b in _PRICE_BANDS]),
+                      "band": pa.array([b[2] for b in _PRICE_BANDS])})
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return range_join(ds, bands, "o_totalprice").select_columns(
+        ["o_orderkey", "band"])
+
+
+def range_join_orders_bands_sql() -> str:
+    vals = ",".join(f"({lo},{hi},'{b}')" for lo, hi, b in _PRICE_BANDS)
+    return f"""
+SELECT o.o_orderkey, b.band
+FROM orders o JOIN (VALUES {vals}) b(lo, hi, band)
+ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+"""
+
+
+def orders_with_nation(sf_dir: str):
+    """Two chained broadcast hash joins (orders→customer→nation): dimension
+    tables ship to each actor once via ray.put; per-batch pyarrow joins."""
+    import duckdb
+
+    from raycontract.pipelines.joins import broadcast_hash_join
+
+    con = duckdb.connect()
+    cust = con.execute(
+        f"SELECT c_custkey, c_nationkey FROM read_parquet('{sf_dir}/customer.parquet')"
+    ).arrow()
+    nation = con.execute(
+        f"SELECT n_nationkey, n_name FROM read_parquet('{sf_dir}/nation.parquet')"
+    ).arrow()
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    ds = broadcast_hash_join(ds, cust, on=("o_custkey", "c_custkey"))
+    ds = broadcast_hash_join(ds, nation, on=("c_nationkey", "n_nationkey"))
+    return ds.select_columns(["o_orderkey", "n_name"])
+
+
+def orders_with_nation_sql() -> str:
+    return """
+SELECT o.o_orderkey, n.n_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
 def jsonschema_violations_documents(sf_dir: str):
     """Generic row-wise JSON-Schema engine (stages/jsonrows.py) over the
     documents table: enum + minLength + maximum + pattern keywords,

@@ -1,0 +1,217 @@
+"""Distributed join operators Ray Data does not ship: as-of join, range
+(interval) join, and a broadcast hash join for star-schema lookups.
+
+The reference executes no joins at all (referential integrity is a TODO,
+``datacontract/engines/data_contract_checks.py:62``); these are the
+training-data-pipeline extensions — event enrichment (as-of), band
+classification (range), dimension attach (broadcast) — expressed
+Ray-Data-first:
+
+- **as-of**: one hash shuffle co-locates each key's rows from both sides
+  (``groupby(key).map_groups``), then a vectorized sorted-merge
+  (``np.searchsorted``) inside each group. Partitioning assumption: a single
+  key's rows fit in one worker (the classic skew caveat — salt hot keys
+  upstream if a key exceeds worker memory).
+- **range**: the interval table is broadcast once (``ray.put``) and every
+  batch classifies with one ``np.searchsorted`` — no shuffle at all. Bounded
+  to sorted non-overlapping intervals (the classification use-case);
+  overlapping intervals raise.
+- **broadcast hash**: the small side is broadcast once and each batch joins
+  zero-copy with ``pyarrow.Table.join`` — the scale shape for dimension
+  tables (never re-shipped per batch, never an all-to-all shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+
+def asof_join(left_ds, right_ds, on, left_ts: str, right_ts: str,
+              right_cols: Sequence[str], direction: str = "backward",
+              suffix: str = "_r"):
+    """For every left row, attach the single right row with the same ``on``
+    key and the greatest ``right_ts`` <= ``left_ts`` (``direction='backward'``;
+    ``'forward'`` = smallest >=). Inner semantics: unmatched left rows drop
+    (DuckDB ``ASOF JOIN`` equivalent). Ties on ``right_ts`` within a key are
+    broken deterministically by the first ``right_cols`` entry (backward
+    keeps its largest value, forward its smallest) where SQL leaves the
+    winner unspecified. Right columns clashing with left names get
+    ``suffix``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    lkey, rkey = (on, on) if isinstance(on, str) else on
+    left_cols = list(left_ds.schema().names)
+    rcols = list(right_cols)
+    out_names = {c: (c + suffix if c in left_cols else c) for c in rcols}
+
+    # resolve column types once on the driver (schema-only, no scan)
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    ltypes = {c: lschema.types[lschema.names.index(c)] for c in left_cols}
+    rtypes = {c: rschema.types[rschema.names.index(c)] for c in rcols}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        out = {"__key": batch[lkey], "__lts": pc.cast(batch[left_ts], pa.int64()),
+               "__rts": pa.nulls(batch.num_rows, pa.int64()),
+               "__side": pa.array(np.zeros(batch.num_rows, dtype=np.int8))}
+        for c in left_cols:
+            out[f"__l_{c}"] = batch[c]
+        for c in rcols:
+            out[f"__r_{c}"] = pa.nulls(batch.num_rows, rtypes[c])
+        return pa.table(out)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        out = {"__key": batch[rkey], "__lts": pa.nulls(batch.num_rows, pa.int64()),
+               "__rts": pc.cast(batch[right_ts], pa.int64()),
+               "__side": pa.array(np.ones(batch.num_rows, dtype=np.int8))}
+        for c in left_cols:
+            out[f"__l_{c}"] = pa.nulls(batch.num_rows, ltypes[c])
+        for c in rcols:
+            out[f"__r_{c}"] = batch[c]
+        return pa.table(out)
+
+    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+              .union(right_ds.select_columns(list(dict.fromkeys([rkey, right_ts, *rcols])))
+                     .map_batches(tag_right, batch_format="pyarrow")))
+
+    fwd = direction == "forward"
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["__side"])
+        left = group.filter(pa.array(side == 0))
+        right = group.filter(pa.array(side == 1))
+
+        def emit(keep: pa.Table, matched: Optional[pa.Table]) -> pa.Table:
+            out = {c: keep[f"__l_{c}"] for c in left_cols}
+            for c in rcols:
+                out[out_names[c]] = (matched[f"__r_{c}"] if matched is not None
+                                     else pa.nulls(keep.num_rows, rtypes[c]))
+            return pa.table(out)
+
+        if left.num_rows == 0 or right.num_rows == 0:
+            return emit(left.slice(0, 0), None)  # inner: no match → no rows
+        rts = np.asarray(right["__rts"])
+        # deterministic tie-break: among equal timestamps the row with the
+        # largest first right column wins (lexsort: last key is primary)
+        tie = np.asarray(right[f"__r_{rcols[0]}"]) if rcols else np.zeros(len(rts))
+        order = np.lexsort((tie, rts))
+        rts = rts[order]
+        right = right.take(pa.array(order))
+        lts = np.asarray(left["__lts"])
+        if fwd:
+            # smallest rts >= lts; ties → first in (rts, tie) order
+            idx = np.searchsorted(rts, lts, side="left")
+            ok = idx < len(rts)
+        else:
+            # largest rts <= lts; ties → last in (rts, tie) order
+            idx = np.searchsorted(rts, lts, side="right") - 1
+            ok = idx >= 0
+        keep = left.filter(pa.array(ok))
+        matched = right.take(pa.array(idx[ok]))
+        return emit(keep, matched)
+
+    return tagged.groupby("__key").map_groups(merge_group, batch_format="pyarrow")
+
+
+def range_join(ds, intervals: pa.Table, value_col: str,
+               lo_col: str = "lo", hi_col: str = "hi",
+               attach_cols: Optional[Sequence[str]] = None,
+               closed: str = "left", how: str = "inner",
+               concurrency=(1, 8)):
+    """Classify every row by which interval ``[lo, hi)`` (``closed='left'``;
+    ``'both'`` = ``[lo, hi]``) its ``value_col`` falls into. Intervals must be
+    sorted and non-overlapping; the table is broadcast once via ``ray.put``
+    and each batch classifies with one vectorized ``searchsorted`` — the
+    10^12-row shape for band/bucket joins (no shuffle, no per-batch reship).
+    ``how='left'`` keeps unmatched rows with nulls; ``'inner'`` drops them.
+    """
+    if closed not in ("left", "both"):
+        raise ValueError("closed must be 'left' or 'both'")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    lo = np.asarray(intervals[lo_col], dtype=np.float64)
+    hi = np.asarray(intervals[hi_col], dtype=np.float64)
+    order = np.argsort(lo)
+    lo, hi = lo[order], hi[order]
+    if ((hi < lo).any()
+            or (len(lo) > 1 and (lo[1:] < (hi[:-1] if closed == "left"
+                                           else np.nextafter(hi[:-1], np.inf))).any())):
+        raise ValueError("intervals must be sorted and non-overlapping")
+    attach = list(attach_cols if attach_cols is not None
+                  else [c for c in intervals.column_names if c not in (lo_col, hi_col)])
+    ival = intervals.take(pa.array(order))
+    ref = ray.put((lo, hi, {c: ival[c] for c in attach}))
+
+    class RangeClassifier:
+        def __init__(self, interval_ref, _closed=closed, _how=how):
+            self.lo, self.hi, self.attach = ray.get(interval_ref)
+            self.closed, self.how = _closed, _how
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = np.asarray(pc.cast(batch[value_col], pa.float64()))
+            idx = np.searchsorted(self.lo, v, side="right") - 1
+            valid = idx >= 0
+            iv = np.where(valid, idx, 0)
+            inside = (v <= self.hi[iv]) if self.closed == "both" else (v < self.hi[iv])
+            hit = valid & inside & ~np.isnan(v)
+            out = {c: batch[c] for c in batch.column_names}
+            if self.how == "inner":
+                t = pa.table(out).filter(pa.array(hit))
+                take = pa.array(idx[hit])
+                for c, col in self.attach.items():
+                    t = t.append_column(c, col.take(take))
+                return t
+            take = pa.array(np.where(hit, idx, 0))
+            mask = pa.array(~hit)
+            t = pa.table(out)
+            for c, col in self.attach.items():
+                t = t.append_column(c, pc.if_else(mask, pa.nulls(
+                    batch.num_rows, col.type), col.take(take)))
+            return t
+
+    # max_restarts=0 (ray#53727): ObjectRef constructor arg, restart would fail.
+    return ds.map_batches(RangeClassifier, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", concurrency=concurrency,
+                          max_restarts=0)
+
+
+def broadcast_hash_join(ds, small: pa.Table, on, how: str = "inner",
+                        suffix: str = "_r", concurrency=(1, 8)):
+    """Equi-join against a broadcast dimension table: ``small`` is shipped to
+    each actor ONCE via ``ray.put`` and every batch joins zero-copy with
+    ``pyarrow.Table.join``. The right shape for star-schema lookups at scale;
+    for two large sides use a key-partitioned groupby instead (see
+    ``asof_join`` for the pattern). ``on`` is a column name or (left, right)
+    pair; clashing non-key right columns get ``suffix``."""
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    lkey, rkey = (on, on) if isinstance(on, str) else on
+    ref = ray.put(small)
+
+    class Joiner:
+        def __init__(self, small_ref, _how=how, _lk=lkey, _rk=rkey, _sx=suffix):
+            self.small = ray.get(small_ref)
+            self.how, self.lk, self.rk, self.sx = _how, _lk, _rk, _sx
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            right = self.small
+            rename = {c: c + self.sx for c in right.column_names
+                      if c != self.rk and c in batch.column_names}
+            if rename:
+                right = right.rename_columns(
+                    [rename.get(c, c) for c in right.column_names])
+            joined = batch.join(right, keys=self.lk, right_keys=self.rk,
+                                join_type="inner" if self.how == "inner"
+                                else "left outer")
+            return joined
+
+    # max_restarts=0 (ray#53727): ObjectRef constructor arg, restart would fail.
+    return ds.map_batches(Joiner, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", concurrency=concurrency,
+                          max_restarts=0)
