@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan_documents": q.pii_scan_documents,
         "hash_split_documents": q.hash_split_documents,
         "hash_split_string_documents": q.hash_split_string_documents,
+        "sample_fraction_documents": q.sample_fraction_documents,
+        "bottomk_sample_orders": q.bottomk_sample_orders,
+        "stratified_sample_documents": q.stratified_sample_documents,
         "decontaminate_documents": q.decontaminate_documents,
         "quality_scores_documents": q.quality_scores_documents,
         "quality_counts_documents": q.quality_counts_documents,
@@ -138,6 +141,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan_documents": q.pii_scan_documents_sql(),
         "hash_split_documents": q.hash_split_documents_sql(),
         "hash_split_string_documents": q.hash_split_string_documents_sql(),
+        "sample_fraction_documents": q.sample_fraction_documents_sql(),
+        "bottomk_sample_orders": q.bottomk_sample_orders_sql(),
+        "stratified_sample_documents": q.stratified_sample_documents_sql(),
         "decontaminate_documents": q.decontaminate_documents_sql(),
         "langid_documents": q.langid_documents_sql(),
         "quality_counts_documents": q.quality_counts_documents_sql(),

@@ -1234,6 +1234,59 @@ def quantiles_totalprice(sf_dir: str) -> pa.Table:
                      "value": pa.array(vals, type=pa.float64())})
 
 
+def sample_fraction_documents(sf_dir: str):
+    """Zero-shuffle deterministic ~10% sample (salted Knuth id-hash below
+    threshold) — the reproducible eval-carve-out primitive."""
+    from raycontract.pipelines.sampling import sample_fraction
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return sample_fraction(ds, "doc_id", 0.1, salt=7)
+
+
+def sample_fraction_documents_sql() -> str:
+    from raycontract.pipelines.sampling import hash_sql_expr
+
+    return (f"SELECT doc_id, lang FROM documents "
+            f"WHERE {hash_sql_expr('doc_id', salt=7)} < {int(0.1 * 2**32)}")
+
+
+def bottomk_sample_orders(sf_dir: str):
+    """Exactly-n global deterministic sample via bottom-k of the salted
+    id-hash: each block surrenders ≤ n candidates, one tiny final fold."""
+    from raycontract.pipelines.sampling import bottomk_sample
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+    return bottomk_sample(ds, "o_orderkey", 50, salt=3)
+
+
+def bottomk_sample_orders_sql() -> str:
+    from raycontract.pipelines.sampling import hash_sql_expr
+
+    h = hash_sql_expr("o_orderkey", salt=3)
+    return f"SELECT o_orderkey FROM orders ORDER BY {h}, o_orderkey LIMIT 50"
+
+
+def stratified_sample_documents(sf_dir: str):
+    """Per-group quota sample (5 docs per language): partial bottom-k per
+    (batch, group) then a groupby over only the candidate rows."""
+    from raycontract.pipelines.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(ds, "lang", "doc_id", 5, salt=1)
+
+
+def stratified_sample_documents_sql() -> str:
+    from raycontract.pipelines.sampling import hash_sql_expr
+
+    h = hash_sql_expr("doc_id", salt=1)
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rn
+  FROM documents) t WHERE rn <= 5
+"""
+
+
 def asof_join_events_orders(sf_dir: str):
     """As-of join (pipelines/joins.py): each event picks the latest order of
     the same customer at-or-before the event time — one key-hash shuffle,

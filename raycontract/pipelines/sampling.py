@@ -1,0 +1,125 @@
+"""Deterministic distributed sampling — fraction, global bottom-k
+("reservoir"), and stratified per-group quota.
+
+Training-data pipelines sample constantly (eval carve-outs, per-source
+quotas, debug slices). Random sampling is irreproducible across engines and
+retries, so every operator here derives its randomness from a salted hash of
+the row id (the same Knuth multiplicative hash as
+``curation.hash_split``, ``curation.py:72-105``) — the sample is a pure
+function of (id, salt), identical on Ray, DuckDB, or a resumed run.
+
+Scale shapes (10^12 rows):
+- ``sample_fraction``: one vectorized filter per batch, zero shuffle.
+- ``bottomk_sample``: per-batch partial bottom-k (only k rows per block
+  survive), then one tiny final fold — no global sort of the input.
+- ``stratified_sample``: per-batch partial bottom-k per group, then a
+  groupby over partials of ≤ k × groups × blocks rows — the full table
+  never shuffles, only candidate rows do.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_KNUTH = 2654435761
+_MOD = 1 << 32
+
+
+def hash_u32(col: pa.ChunkedArray | pa.Array, salt: int = 0) -> np.ndarray:
+    """Salted deterministic uint64-valued hash in [0, 2^32) of an integer or
+    string id column. SQL equivalent: :func:`hash_sql_expr`."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(col.type):
+        ids = np.asarray(pc.cast(col, pa.int64()), dtype=np.int64)
+        return ((ids.astype(np.uint64) + np.uint64(salt))
+                * np.uint64(_KNUTH)) % np.uint64(_MOD)
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        # md5 first 4 bytes, same engine-portable scheme as hash_split
+        pre = str(salt) if salt else ""
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5((pre + s).encode()).digest()[:4], "big")
+             for s in col.to_pylist()),
+            dtype=np.uint64, count=len(col))
+    raise ValueError(f"id column must be integer or string, got {col.type}")
+
+
+def hash_sql_expr(id_col: str, salt: int = 0, string_id: bool = False) -> str:
+    """ANSI-SQL expression reproducing :func:`hash_u32` (DuckDB-tested)."""
+    if string_id:
+        arg = f"'{salt}' || {id_col}" if salt else id_col
+        return f"CAST(CAST('0x' || substr(md5({arg}), 1, 8) AS UINT32) AS UBIGINT)"
+    return f"((CAST({id_col} AS UBIGINT) + {salt}) * {_KNUTH}) % {_MOD}"
+
+
+def sample_fraction(ds, id_col: str, fraction: float, salt: int = 0):
+    """Keep rows whose salted id-hash falls below ``fraction`` of the hash
+    space — a reproducible ~fraction sample with zero shuffle. SQL oracle:
+    ``WHERE hash_sql_expr(...) < int(fraction * 2**32)``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    threshold = np.uint64(int(fraction * _MOD))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(hash_u32(batch[id_col], salt) < threshold))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bottomk_sample(ds, id_col: str, n: int, salt: int = 0):
+    """Exactly-n deterministic global sample: the n rows with the smallest
+    salted id-hash (ties broken by id). Equivalent to a bottom-k sketch —
+    each block surrenders at most n candidate rows, the final fold sorts
+    only n × blocks rows. SQL oracle: ``ORDER BY hash, id LIMIT n``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = hash_u32(batch[id_col], salt)
+        if len(h) > n:
+            keep = np.lexsort((np.asarray(batch[id_col]), h))[:n]
+            batch = batch.take(pa.array(keep))
+            h = h[keep]
+        return batch.append_column("__h", pa.array(h.astype(np.int64)))
+
+    cand = ds.map_batches(partial, batch_format="pyarrow")
+    # final fold: the candidate set is ≤ n × blocks rows — tiny
+    return (cand.sort(["__h", id_col]).limit(n).drop_columns(["__h"]))
+
+
+def stratified_sample(ds, group_col: str, id_col: str, n_per_group: int,
+                      salt: int = 0):
+    """Per-group quota sample: the ``n_per_group`` rows with the smallest
+    salted id-hash inside each group (ties by id). Partial bottom-k per
+    (batch, group) first, so the groupby shuffles at most
+    n × groups × blocks candidate rows. SQL oracle:
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY hash, id) <= n``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = hash_u32(batch[id_col], salt)
+        ids = np.asarray(batch[id_col])
+        # numpy group-wise bottom-k: sort by (group, h, id), keep first n per run
+        g = batch[group_col].combine_chunks()
+        enc = pc.dictionary_encode(g)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        gc = np.asarray(enc.indices, dtype=np.int64)
+        order = np.lexsort((ids, h, gc))
+        gs = gc[order]
+        run_start = np.r_[0, np.flatnonzero(np.diff(gs)) + 1]
+        rank = np.arange(len(gs)) - np.repeat(run_start, np.diff(np.r_[run_start, len(gs)]))
+        keep = order[rank < n_per_group]
+        out = batch.take(pa.array(keep))
+        return out.append_column("__h", pa.array(h[keep].astype(np.int64)))
+
+    cand = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        h = np.asarray(group["__h"])
+        ids = np.asarray(group[id_col])
+        keep = np.lexsort((ids, h))[:n_per_group]
+        return group.take(pa.array(np.sort(keep))).drop_columns(["__h"])
+
+    return cand.groupby(group_col).map_groups(final, batch_format="pyarrow")
