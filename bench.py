@@ -152,6 +152,8 @@ servers:
         ("knn_cosine_embeddings", lambda d: q.knn_cosine_embeddings(d).to_pandas()),
         ("text_stats_documents", lambda d: q.text_stats_documents(d).to_pandas()),
         ("distinct_counts", q.distinct_counts),
+        ("asof_join_events_orders", lambda d: q.asof_join_events_orders(d).to_pandas()),
+        ("exact_quantiles_totalprice", q.exact_quantiles_totalprice),
     ]
     for name, fn in secondary:
         t0 = time.time()

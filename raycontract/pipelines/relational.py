@@ -278,7 +278,7 @@ def duplicate_user_events(events_ds):
 
 def exact_quantiles(ds, column: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
                     buckets: int = 4096, collect_limit: int = 1_000_000,
-                    max_rounds: int = 8):
+                    max_rounds: int = 8, cache: bool = True):
     """EXACT distributed quantiles by iterative radix-histogram selection —
     the complement of the t-digest sketch (``functions/sketches.py``): where
     the sketch trades exactness for one pass, this spends O(log_B(N/limit))
@@ -291,15 +291,22 @@ def exact_quantiles(ds, column: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
     ``map_batches`` over the single projected column; each round narrows each
     quantile's value range to one histogram bucket (counts shuffled to the
     driver are ≤ buckets×blocks tiny ints); rows are only ever collected once
-    a range holds ≤ ``collect_limit`` values. Skewed/duplicate-heavy columns
-    terminate via the equal-bounds fast path (a bucket that cannot subdivide
-    is a run of one repeated value — answered directly, no collection).
+    a range holds ≤ ``collect_limit`` values — and every quantile that turns
+    collectable in a round is gathered in ONE shared pass, not one scan each.
+    Skewed/duplicate-heavy columns terminate via the equal-bounds fast path
+    (a bucket that cannot subdivide is a run of one repeated value —
+    answered directly, no collection). ``cache=True`` materializes the
+    projected column in the object store so the follow-up passes skip the
+    parquet decode — the multi-pass working set is exactly this column; at
+    cluster scale let it spill rather than re-decoding the table per round.
 
     Returns a list of (q, value) in input order.
     """
     import math
 
     proj = ds.select_columns([column])
+    if cache:
+        proj = proj.materialize()
 
     def mmc(batch: pa.Table) -> pa.Table:
         v = batch[column].drop_null()
@@ -324,6 +331,10 @@ def exact_quantiles(ds, column: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
     for q in qs:
         k = max(0, math.ceil(q * total) - 1)  # DuckDB quantile_disc rank
         state.append({"k": k, "lo": lo0, "hi": hi0, "closed": True, "val": None})
+
+    if total <= collect_limit:  # whole column fits one gather: no histograms
+        _collect_ranks(proj, column, state)
+        return [(q, s["val"]) for q, s in zip(qs, state)]
 
     for _ in range(max_rounds):
         active = [s for s in state if s["val"] is None]
@@ -380,27 +391,51 @@ def exact_quantiles(ds, column: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
                 continue
             s["lo"], s["hi"] = new_lo, new_hi
             if in_bucket <= collect_limit:
-                s["val"] = _collect_rank(proj, column, s)
-    for s in state:
-        if s["val"] is None:  # max_rounds exhausted — collect what remains
-            s["val"] = _collect_rank(proj, column, s)
+                s["collect"] = True
+        # one shared gather pass for every quantile that became collectable
+        # this round (was: one full scan per quantile)
+        pend = [s for s in state if s.get("collect")]
+        if pend:
+            _collect_ranks(proj, column, pend)
+            for s in pend:
+                s.pop("collect", None)
+    rest = [s for s in state if s["val"] is None]
+    if rest:  # max_rounds exhausted — collect what remains in one pass
+        _collect_ranks(proj, column, rest)
     return [(q, s["val"]) for q, s in zip(qs, state)]
 
 
-def _collect_rank(proj, column: str, s: dict):
-    """Gather the ≤collect_limit values inside one narrowed range and pick
-    the exact k-th smallest on the driver."""
-    rlo, rhi, rclosed, k = s["lo"], s["hi"], s["closed"], s["k"]
+def _collect_ranks(proj, column: str, states: list) -> None:
+    """Gather the values inside every narrowed range in ONE scan and pick
+    each state's exact k-th smallest on the driver (fills ``s['val']``)."""
+    ranges = tuple((s["lo"], s["hi"], s["closed"]) for s in states)
 
-    def grab(batch: pa.Table, _lo=rlo, _hi=rhi, _closed=rclosed) -> pa.Table:
+    def grab(batch: pa.Table, _ranges=ranges) -> pa.Table:
         v = np.asarray(pc.cast(batch[column].drop_null(), pa.float64()))
-        m = (v >= _lo) & ((v <= _hi) if _closed else (v < _hi))
-        return pa.table({"v": pa.array(v[m], type=pa.float64())})
+        out_r, out_v = [], []
+        for ri, (rlo, rhi, rclosed) in enumerate(_ranges):
+            m = (v >= rlo) & ((v <= rhi) if rclosed else (v < rhi))
+            if m.any():
+                sel = v[m]
+                out_r.append(np.full(len(sel), ri, dtype=np.int32))
+                out_v.append(sel)
+        if not out_r:
+            return pa.table({"r": pa.array([], type=pa.int32()),
+                             "v": pa.array([], type=pa.float64())})
+        return pa.table({"r": pa.array(np.concatenate(out_r)),
+                         "v": pa.array(np.concatenate(out_v))})
 
-    vals = np.concatenate(
-        [np.asarray(pa.table(t)["v"]) for t in ray.get(
-            proj.map_batches(grab, batch_format="pyarrow").to_arrow_refs())
-         if t.num_rows] or [np.empty(0)])
-    if vals.size == 0:
-        return None
-    return float(np.partition(vals, min(k, vals.size - 1))[min(k, vals.size - 1)])
+    parts = [pa.table(t) for t in ray.get(
+        proj.map_batches(grab, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    rs = (np.concatenate([np.asarray(t["r"]) for t in parts])
+          if parts else np.empty(0, dtype=np.int32))
+    vs = (np.concatenate([np.asarray(t["v"]) for t in parts])
+          if parts else np.empty(0))
+    for ri, s in enumerate(states):
+        vals = vs[rs == ri]
+        if vals.size == 0:
+            s["val"] = None
+            continue
+        k = min(s["k"], vals.size - 1)
+        s["val"] = float(np.partition(vals, k)[k])
