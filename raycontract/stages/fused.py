@@ -310,6 +310,37 @@ def _distributed_dup_fold(fused, max_samples: int, num_buckets: int = 16) -> dic
     return _merge_dup_folds(results, max_samples)
 
 
+def _premerge_payload_rows(t: pa.Table, max_samples: int) -> pa.Table:
+    """Fold a task's per-slice 'p' (stats/image payload) rows into ONE row
+    worker-side. The driver's streaming consume loop unpickles+merges every
+    payload row serially inside the scan window; pre-merging moves that work
+    to the (parallel) tasks — 8 slices/fragment became 8 driver payloads per
+    block before this, now exactly 1. merge_partials/_compact_image_parts are
+    associative, so the final counts are unchanged."""
+    is_p = pc.equal(t["kind"], "p")
+    n_p = pc.sum(pc.cast(is_p, pa.int64())).as_py() or 0
+    if n_p <= 1:
+        return t
+    from raycontract.stages.stats import merge_partials
+
+    stats_parts, image_parts = [], []
+    for payload in t.filter(is_p)["payload"].to_pylist():
+        d = pickle.loads(payload)
+        stats_parts.append(d["stats"])
+        if "image" in d:
+            image_parts.append(d["image"])
+    combined: dict[str, Any] = {
+        "stats": merge_partials(stats_parts, max_samples=max_samples)}
+    if image_parts:
+        combined["image"] = _compact_image_parts(image_parts, max_samples)
+    merged_row = pa.table({
+        "kind": pa.array(["p"]), "key": pa.array([0], type=pa.int64()),
+        "cnt": pa.array([0], type=pa.int64()),
+        "payload": pa.array([pickle.dumps(combined)], type=pa.binary()),
+    })
+    return pa.concat_tables([merged_row.cast(t.schema), t.filter(pc.invert(is_p))])
+
+
 class FileFusedKernel:
     """Read-fused variant: each task reads ONE parquet fragment from storage
     and runs the FusedKernel over bounded slices of it — the wide input
@@ -326,6 +357,7 @@ class FileFusedKernel:
                                  profile=profile)
         self.columns = columns
         self.slice_rows = slice_rows
+        self.max_samples = max_samples
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -335,9 +367,11 @@ class FileFusedKernel:
             t = pq.read_table(path, columns=self.columns)
             for off in range(0, t.num_rows, self.slice_rows):
                 outs.append(self.inner(t.slice(off, self.slice_rows)))
-        return pa.concat_tables(outs) if outs else pa.table(
-            {"kind": pa.array([], type=pa.string()), "key": pa.array([], type=pa.int64()),
-             "cnt": pa.array([], type=pa.int64()), "payload": pa.array([], type=pa.binary())})
+        if not outs:
+            return pa.table(
+                {"kind": pa.array([], type=pa.string()), "key": pa.array([], type=pa.int64()),
+                 "cnt": pa.array([], type=pa.int64()), "payload": pa.array([], type=pa.binary())})
+        return _premerge_payload_rows(pa.concat_tables(outs), self.max_samples)
 
 
 def run_fused_pass(
