@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events_orders": q.asof_join_events_orders,
         "range_join_orders_bands": q.range_join_orders_bands,
         "orders_with_nation": q.orders_with_nation,
+        "shuffle_join_lineitem_orders": q.shuffle_join_lineitem_orders,
+        "lag_delta_events": q.lag_delta_events,
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
         "dedup_prefix_documents": q.dedup_prefix_documents,
@@ -126,6 +128,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events_orders": q.asof_join_events_orders_sql(),
         "range_join_orders_bands": q.range_join_orders_bands_sql(),
         "orders_with_nation": q.orders_with_nation_sql(),
+        "shuffle_join_lineitem_orders": q.shuffle_join_lineitem_orders_sql(),
+        "lag_delta_events": q.lag_delta_events_sql(),
         "heavy_hitters_sketch_events": q.heavy_hitters_sketch_events_sql(),
         "dedup_exact_documents": q.dedup_exact_documents_sql(),
         "dedup_prefix_documents": q.dedup_prefix_documents_sql(),

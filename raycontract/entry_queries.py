@@ -1336,6 +1336,53 @@ ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
 """
 
 
+def shuffle_join_lineitem_orders(sf_dir: str):
+    """Large-large equi-join: both sides hash-partitioned on the key
+    (Dataset.join all-to-all shuffle) — the scale path when neither side is
+    a broadcastable dimension table."""
+    from raycontract.pipelines.joins import shuffle_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    out = shuffle_hash_join(li, od, on=("l_orderkey", "o_orderkey"))
+    return out.select_columns(["l_orderkey", "l_quantity", "o_custkey"])
+
+
+def shuffle_join_lineitem_orders_sql() -> str:
+    return """
+SELECT l.l_orderkey, l.l_quantity, o.o_custkey
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def lag_delta_events(sf_dir: str):
+    """Per-user previous-event time delta (window LAG): one key-hash
+    shuffle, vectorized sort + diff per group, deterministic (ts, id)
+    ordering under timestamp ties."""
+    from raycontract.pipelines.joins import lag_delta
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = lag_delta(ev, "user_id", "ts", "event_id").select_columns(
+        ["event_id", "user_id", "delta"])
+    # drop each user's first event (null delta): a nullable-int column would
+    # round-trip as float64 through the oracle's pandas frame and break the
+    # driver's value-hash; the null case is covered in tests/test_joins.py
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch["delta"]))
+
+    return out.map_batches(drop_null, batch_format="pyarrow")
+
+
+def lag_delta_events_sql() -> str:
+    return """
+SELECT event_id, user_id, delta FROM (
+  SELECT event_id, user_id,
+         CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS delta
+  FROM events) t WHERE delta IS NOT NULL
+"""
+
+
 def orders_with_nation(sf_dir: str):
     """Two chained broadcast hash joins (orders→customer→nation): dimension
     tables ship to each actor once via ray.put; per-batch pyarrow joins."""

@@ -181,6 +181,51 @@ def range_join(ds, intervals: pa.Table, value_col: str,
                           max_restarts=0)
 
 
+def shuffle_hash_join(left_ds, right_ds, on, how: str = "inner",
+                      num_partitions: Optional[int] = None,
+                      right_suffix: str = "_r"):
+    """Equi-join of two LARGE sides: both are hash-partitioned on the key and
+    joined per partition (``ray.data.Dataset.join`` — a true all-to-all
+    shuffle, the cost :func:`broadcast_hash_join` avoids when one side is a
+    dimension table). ``num_partitions`` should scale with the cluster
+    (default: 2 × CPUs). ``on`` is a column name or (left, right) pair."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be 'inner' or 'left_outer'")
+    lkey, rkey = (on, on) if isinstance(on, str) else on
+    if num_partitions is None:
+        num_partitions = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    return left_ds.join(right_ds, join_type=how, num_partitions=num_partitions,
+                        on=(lkey,), right_on=(rkey,) if rkey != lkey else None,
+                        right_suffix=right_suffix)
+
+
+def lag_delta(ds, key: str, ts: str, id_col: str, out_col: str = "delta"):
+    """Per-key previous-row delta (SQL ``ts - LAG(ts) OVER (PARTITION BY key
+    ORDER BY ts, id)``): one key-hash shuffle, then a vectorized sort + diff
+    inside each group. First row of each key gets null. The deterministic
+    (ts, id) ordering makes the result engine-reproducible under timestamp
+    ties. Partitioning assumption: one key's rows fit in a worker (salt hot
+    keys upstream otherwise — same caveat as :func:`asof_join`)."""
+    cols = list(ds.schema().names)
+
+    def per_key(group: pa.Table) -> pa.Table:
+        t = np.asarray(pc.cast(group[ts], pa.int64()))
+        ids = np.asarray(group[id_col])
+        order = np.lexsort((ids, t))
+        g = group.take(pa.array(order))
+        tt = t[order]
+        vals = np.zeros(len(tt), dtype=np.int64)
+        if len(tt) > 1:
+            vals[1:] = tt[1:] - tt[:-1]
+        null_first = np.zeros(len(tt), dtype=bool)
+        null_first[0] = True  # no predecessor
+        return g.append_column(out_col, pa.array(vals, mask=null_first))
+
+    out = ds.select_columns(cols).groupby(key).map_groups(
+        per_key, batch_format="pyarrow")
+    return out
+
+
 def broadcast_hash_join(ds, small: pa.Table, on, how: str = "inner",
                         suffix: str = "_r", concurrency=(1, 8)):
     """Equi-join against a broadcast dimension table: ``small`` is shipped to

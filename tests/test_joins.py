@@ -116,3 +116,49 @@ class TestBroadcastJoin:
         ds = rd.from_arrow(pa.table({"ck": [1], "v": ["fact"]}))
         row = broadcast_hash_join(ds, dim, on="ck").take_all()[0]
         assert row["v"] == "fact" and row["v_r"] == "dim"
+
+
+class TestShuffleJoin:
+    def test_inner_matches_sql(self, ray_session):
+        import duckdb
+
+        lt = pa.table({"k": [1, 1, 2, 3], "lv": ["a", "b", "c", "d"]})
+        rt = pa.table({"rk": [1, 2, 2, 9], "rv": [10, 20, 21, 90]})
+        from raycontract.pipelines.joins import shuffle_hash_join
+
+        out = shuffle_hash_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                                on=("k", "rk"), num_partitions=4).take_all()
+        con = duckdb.connect()
+        con.register("lt", lt)
+        con.register("rt", rt)
+        exp = con.execute("SELECT k, lv, rv FROM lt JOIN rt ON k = rk").fetchall()
+        assert sorted((r["k"], r["lv"], r["rv"]) for r in out) == sorted(exp)
+
+    def test_left_outer(self, ray_session):
+        from raycontract.pipelines.joins import shuffle_hash_join
+
+        lt = rd.from_arrow(pa.table({"k": [1, 5], "lv": ["a", "b"]}))
+        rt = rd.from_arrow(pa.table({"k": [1], "rv": [10]}))
+        out = sorted(shuffle_hash_join(lt, rt, on="k", how="left_outer",
+                                       num_partitions=2).take_all(),
+                     key=lambda r: r["k"])
+        assert [(r["k"], r["rv"]) for r in out] == [(1, 10), (5, None)]
+
+
+class TestLagDelta:
+    def test_matches_window_lag(self, ray_session):
+        import duckdb
+
+        rng = np.random.default_rng(9)
+        t = pa.table({"id": np.arange(400),
+                      "k": rng.integers(0, 10, 400),
+                      "ts": rng.integers(0, 100, 400)})  # many ties
+        from raycontract.pipelines.joins import lag_delta
+
+        out = lag_delta(rd.from_arrow(t), "k", "ts", "id").take_all()
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = dict(con.execute("""
+            SELECT id, ts - LAG(ts) OVER (PARTITION BY k ORDER BY ts, id)
+            FROM t""").fetchall())
+        assert {r["id"]: r["delta"] for r in out} == exp
