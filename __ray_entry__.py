@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_orders_bands": q.range_join_orders_bands,
         "orders_with_nation": q.orders_with_nation,
         "shuffle_join_lineitem_orders": q.shuffle_join_lineitem_orders,
+        "topk_events_per_user": q.topk_events_per_user,
         "lag_delta_events": q.lag_delta_events,
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_orders_bands": q.range_join_orders_bands_sql(),
         "orders_with_nation": q.orders_with_nation_sql(),
         "shuffle_join_lineitem_orders": q.shuffle_join_lineitem_orders_sql(),
+        "topk_events_per_user": q.topk_events_per_user_sql(),
         "lag_delta_events": q.lag_delta_events_sql(),
         "heavy_hitters_sketch_events": q.heavy_hitters_sketch_events_sql(),
         "dedup_exact_documents": q.dedup_exact_documents_sql(),

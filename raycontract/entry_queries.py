@@ -1336,6 +1336,25 @@ ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
 """
 
 
+def topk_events_per_user(sf_dir: str):
+    """Value-ordered top-k per group (window ROW_NUMBER semantics): per-batch
+    partial top-k per group first, so only k × groups × blocks candidate
+    rows reach the groupby."""
+    from raycontract.pipelines.relational import topk_per_group
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return topk_per_group(ev, "user_id", "value", 3, id_col="event_id")
+
+
+def topk_events_per_user_sql() -> str:
+    return """
+SELECT event_id, user_id, value FROM (
+  SELECT event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events) t WHERE rn <= 3
+"""
+
+
 def shuffle_join_lineitem_orders(sf_dir: str):
     """Large-large equi-join: both sides hash-partitioned on the key
     (Dataset.join all-to-all shuffle) — the scale path when neither side is

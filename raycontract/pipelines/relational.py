@@ -13,6 +13,8 @@ expressed with the scale patterns from SURVEY.md §4:
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -274,6 +276,43 @@ def duplicate_user_events(events_ds):
         return batch.filter(pc.greater(batch["n_events"], 1))
 
     return agg.map_batches(keep_dups, batch_format="pyarrow")
+
+
+def topk_per_group(ds, group_col: str, order_col: str, k: int,
+                   id_col: Optional[str] = None, descending: bool = True):
+    """Top-k rows per group by ``order_col`` (SQL ``ROW_NUMBER() OVER
+    (PARTITION BY group ORDER BY v DESC, id) <= k``): each batch first
+    surrenders only its own per-group top-k candidates, so the groupby
+    shuffles at most k × groups × blocks rows — the full table never moves.
+    Ties on ``order_col`` break by ascending ``id_col`` (required for a
+    deterministic, engine-reproducible result)."""
+    import pyarrow.compute as _pc
+
+    if id_col is None:
+        raise ValueError("id_col is required (deterministic tie-break)")
+
+    def _bottomk(batch: pa.Table, per_group: bool) -> pa.Table:
+        v = np.asarray(_pc.cast(batch[order_col], pa.float64()))
+        key = -v if descending else v
+        ids = np.asarray(batch[id_col])
+        if not per_group:
+            keep = np.lexsort((ids, key))[:k]
+            return batch.take(pa.array(np.sort(keep)))
+        g = batch[group_col].combine_chunks()
+        enc = _pc.dictionary_encode(g)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        gc = np.asarray(enc.indices, dtype=np.int64)
+        order = np.lexsort((ids, key, gc))
+        gs = gc[order]
+        run_start = np.r_[0, np.flatnonzero(np.diff(gs)) + 1]
+        rank = np.arange(len(gs)) - np.repeat(
+            run_start, np.diff(np.r_[run_start, len(gs)]))
+        return batch.take(pa.array(np.sort(order[rank < k])))
+
+    cand = ds.map_batches(lambda b: _bottomk(b, True), batch_format="pyarrow")
+    return cand.groupby(group_col).map_groups(
+        lambda g: _bottomk(g, False), batch_format="pyarrow")
 
 
 def exact_quantiles(ds, column: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),

@@ -32,7 +32,10 @@ _MOD = 1 << 32
 
 def hash_u32(col: pa.ChunkedArray | pa.Array, salt: int = 0) -> np.ndarray:
     """Salted deterministic uint64-valued hash in [0, 2^32) of an integer or
-    string id column. SQL equivalent: :func:`hash_sql_expr`."""
+    string id column. SQL equivalent: :func:`hash_sql_expr`. Integer ids must
+    be NON-NEGATIVE (the SQL side casts to UBIGINT, which rejects negatives
+    where numpy would silently wrap) — same contract as
+    ``curation.hash_split``."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_integer(col.type):
         ids = np.asarray(pc.cast(col, pa.int64()), dtype=np.int64)

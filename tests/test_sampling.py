@@ -85,3 +85,38 @@ def test_stratified_small_groups_kept_whole(ray_session):
     ds = rd.from_arrow(pa.table({"id": [1, 2, 3], "g": ["a", "a", "b"]}))
     out = stratified_sample(ds, "g", "id", 5).take_all()
     assert len(out) == 3
+
+
+class TestTopkPerGroup:
+    def test_matches_window_rank(self, ray_session):
+        import duckdb
+
+        from raycontract.pipelines.relational import topk_per_group
+
+        rng = np.random.default_rng(13)
+        t = pa.table({"id": np.arange(500),
+                      "g": rng.integers(0, 8, 500),
+                      "v": rng.integers(0, 40, 500).astype(float)})  # ties
+        out = topk_per_group(rd.from_arrow(t), "g", "v", 4, id_col="id").take_all()
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.execute("""
+            SELECT id FROM (SELECT id, ROW_NUMBER() OVER
+              (PARTITION BY g ORDER BY v DESC, id) rn FROM t) WHERE rn <= 4
+        """).fetchall()
+        assert sorted(r["id"] for r in out) == sorted(r[0] for r in exp)
+
+    def test_ascending_and_block_invariance(self, ray_session):
+        from raycontract.pipelines.relational import topk_per_group
+
+        t = pa.table({"id": np.arange(100), "g": ["a"] * 100,
+                      "v": np.arange(100)[::-1].astype(float)})
+        out = topk_per_group(rd.from_arrow(t).repartition(7), "g", "v", 5,
+                             id_col="id", descending=False).take_all()
+        assert sorted(r["id"] for r in out) == [95, 96, 97, 98, 99]
+
+    def test_requires_id(self, ray_session):
+        from raycontract.pipelines.relational import topk_per_group
+
+        with pytest.raises(ValueError, match="id_col"):
+            topk_per_group(rd.from_items([{"g": 1, "v": 1.0}]), "g", "v", 1)
