@@ -74,17 +74,21 @@ def _wrap_logical(base: Decoder, logical: str) -> Decoder:
             v, pos = base(buf, pos)
             return _EPOCH_DATE + timedelta(days=v), pos
         return dec
+    # exact integer arithmetic: epoch + timedelta, never float division —
+    # float64 loses sub-µs precision for current-epoch timestamp-micros
     if logical in ("timestamp-millis", "local-timestamp-millis"):
         tz = timezone.utc if logical == "timestamp-millis" else None
-        def dec(buf, pos):
+        epoch = datetime(1970, 1, 1, tzinfo=tz)
+        def dec(buf, pos, _e=epoch):
             v, pos = base(buf, pos)
-            return datetime.fromtimestamp(v / 1000.0, tz=timezone.utc).replace(tzinfo=tz), pos
+            return _e + timedelta(milliseconds=v), pos
         return dec
     if logical in ("timestamp-micros", "local-timestamp-micros"):
         tz = timezone.utc if logical == "timestamp-micros" else None
-        def dec(buf, pos):
+        epoch = datetime(1970, 1, 1, tzinfo=tz)
+        def dec(buf, pos, _e=epoch):
             v, pos = base(buf, pos)
-            return datetime.fromtimestamp(v / 1e6, tz=timezone.utc).replace(tzinfo=tz), pos
+            return _e + timedelta(microseconds=v), pos
         return dec
     if logical in ("time-micros", "time-millis"):
         scale = 1 if logical == "time-micros" else 1000

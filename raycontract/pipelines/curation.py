@@ -98,16 +98,12 @@ def hash_split(ds, id_col: str, fractions: Sequence[float],
             ids = np.asarray(pc.cast(col, pa.int64()), dtype=np.int64)
             h = (ids.astype(np.uint64) * np.uint64(_KNUTH)) % np.uint64(_MOD)
         elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            # md5 first 4 bytes (big-endian) mod 2^32 — engine-portable and
-            # SQL-reproducible: CAST('0x' || substr(md5(id),1,8) AS UINT32).
-            # hashlib.md5 is C; the per-row loop is the honest cost of
-            # hashing variable-length strings (no Arrow md5 kernel exists).
-            import hashlib
+            # md5_number_lower(id) % 2^32 — evaluated vectorized in embedded
+            # DuckDB (functions/strhash.py), bit-identical to the SQL oracle
+            # by construction and ~12x the per-row hashlib loop.
+            from raycontract.functions.strhash import md5_u32
 
-            h = np.fromiter(
-                (int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
-                 for s in col.to_pylist()),
-                dtype=np.uint64, count=len(col))
+            h = md5_u32(col)
         else:
             raise ValueError(
                 f"hash_split id column {id_col!r} must be integer or string, "
@@ -130,9 +126,13 @@ def hash_split_sql_expr(id_col: str, fractions: Sequence[float],
     names = list(names or [f"split_{i}" for i in range(len(fractions))])
     total = float(sum(fractions))
     if string_id:
-        h = f"CAST(CAST('0x' || substr(md5({id_col}), 1, 8) AS UINT32) AS UBIGINT)"
+        from raycontract.functions.strhash import md5_u32_sql
+
+        h = md5_u32_sql(id_col)
     else:
-        h = f"(CAST({id_col} AS UBIGINT) * {_KNUTH}) % {_MOD}"
+        # HUGEINT: exact product, no UBIGINT overflow for ids up to 2^63-1;
+        # % 2^32 of the exact value == numpy's uint64 wraparound then % 2^32
+        h = f"(CAST({id_col} AS HUGEINT) * {_KNUTH}) % {_MOD}"
     clauses, acc = [], 0.0
     for name, f in zip(names[:-1], fractions[:-1]):
         acc += f / total

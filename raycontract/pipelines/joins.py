@@ -94,12 +94,26 @@ def asof_join(left_ds, right_ds, on, left_ts: str, right_ts: str,
                                      else pa.nulls(keep.num_rows, rtypes[c]))
             return pa.table(out)
 
+        # SQL comparison semantics: a NULL timestamp matches nothing — drop
+        # null right_ts rows (they'd otherwise sort as NaN past the end and
+        # 'forward' could match them) and null left_ts rows (no match).
+        right = right.filter(pc.is_valid(right["__rts"]))
+        left = left.filter(pc.is_valid(left["__lts"]))
         if left.num_rows == 0 or right.num_rows == 0:
             return emit(left.slice(0, 0), None)  # inner: no match → no rows
         rts = np.asarray(right["__rts"])
         # deterministic tie-break: among equal timestamps the row with the
-        # largest first right column wins (lexsort: last key is primary)
-        tie = np.asarray(right[f"__r_{rcols[0]}"]) if rcols else np.zeros(len(rts))
+        # largest first right column wins (lexsort: last key is primary).
+        # pc.rank gives a null-safe value-ordered integer key for any type
+        # (np.lexsort raises on object arrays holding None).
+        if rcols:
+            tc = right[f"__r_{rcols[0]}"]
+            tc = tc.combine_chunks() if isinstance(tc, pa.ChunkedArray) else tc
+            tie = np.asarray(pc.rank(tc, sort_keys="ascending",
+                                     null_placement="at_start"),
+                             dtype=np.int64)
+        else:
+            tie = np.zeros(len(rts))
         order = np.lexsort((tie, rts))
         rts = rts[order]
         right = right.take(pa.array(order))

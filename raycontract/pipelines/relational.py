@@ -292,8 +292,16 @@ def topk_per_group(ds, group_col: str, order_col: str, k: int,
         raise ValueError("id_col is required (deterministic tie-break)")
 
     def _bottomk(batch: pa.Table, per_group: bool) -> pa.Table:
-        v = np.asarray(_pc.cast(batch[order_col], pa.float64()))
-        key = -v if descending else v
+        col = batch[order_col]
+        if pa.types.is_integer(col.type):
+            # exact integer ordering — a float64 cast collapses int64 keys
+            # above 2^53. Descending uses ~v (= -v-1): order-reversing,
+            # overflow-free even at INT64_MIN.
+            v = np.asarray(_pc.cast(col, pa.int64()), dtype=np.int64)
+            key = ~v if descending else v
+        else:
+            v = np.asarray(_pc.cast(col, pa.float64()))
+            key = -v if descending else v
         ids = np.asarray(batch[id_col])
         if not per_group:
             keep = np.lexsort((ids, key))[:k]

@@ -19,12 +19,13 @@ Scale shapes (10^12 rows):
 
 from __future__ import annotations
 
-import hashlib
 from typing import Optional
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from raycontract.functions.strhash import md5_u32, md5_u32_sql
 
 _KNUTH = 2654435761
 _MOD = 1 << 32
@@ -33,30 +34,27 @@ _MOD = 1 << 32
 def hash_u32(col: pa.ChunkedArray | pa.Array, salt: int = 0) -> np.ndarray:
     """Salted deterministic uint64-valued hash in [0, 2^32) of an integer or
     string id column. SQL equivalent: :func:`hash_sql_expr`. Integer ids must
-    be NON-NEGATIVE (the SQL side casts to UBIGINT, which rejects negatives
-    where numpy would silently wrap) — same contract as
-    ``curation.hash_split``."""
+    be NON-NEGATIVE (numpy wraps mod 2^64 where SQL HUGEINT keeps the sign)
+    — same contract as ``curation.hash_split``. String ids hash through the
+    vectorized embedded-DuckDB md5 kernel (``functions/strhash.py``)."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_integer(col.type):
         ids = np.asarray(pc.cast(col, pa.int64()), dtype=np.int64)
         return ((ids.astype(np.uint64) + np.uint64(salt))
                 * np.uint64(_KNUTH)) % np.uint64(_MOD)
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-        # md5 first 4 bytes, same engine-portable scheme as hash_split
-        pre = str(salt) if salt else ""
-        return np.fromiter(
-            (int.from_bytes(hashlib.md5((pre + s).encode()).digest()[:4], "big")
-             for s in col.to_pylist()),
-            dtype=np.uint64, count=len(col))
+        return md5_u32(col, salt)
     raise ValueError(f"id column must be integer or string, got {col.type}")
 
 
 def hash_sql_expr(id_col: str, salt: int = 0, string_id: bool = False) -> str:
-    """ANSI-SQL expression reproducing :func:`hash_u32` (DuckDB-tested)."""
+    """ANSI-SQL expression reproducing :func:`hash_u32` (DuckDB-tested).
+    The integer path computes in HUGEINT so ids up to 2^63-1 never overflow
+    (UBIGINT arithmetic throws above ~6.9e9); ``% 2**32`` of the exact
+    product equals numpy's wrap-mod-2^64-then-mod-2^32 since 2^32 | 2^64."""
     if string_id:
-        arg = f"'{salt}' || {id_col}" if salt else id_col
-        return f"CAST(CAST('0x' || substr(md5({arg}), 1, 8) AS UINT32) AS UBIGINT)"
-    return f"((CAST({id_col} AS UBIGINT) + {salt}) * {_KNUTH}) % {_MOD}"
+        return md5_u32_sql(id_col, salt)
+    return f"((CAST({id_col} AS HUGEINT) + {salt}) * {_KNUTH}) % {_MOD}"
 
 
 def sample_fraction(ds, id_col: str, fraction: float, salt: int = 0):

@@ -187,18 +187,26 @@ def _compile(schema: Any, root: dict, depth: int) -> _Validator:
 
             checks.append(len_check)
 
-    # ---- numeric keywords (draft-07 numeric exclusives + draft-04 booleans)
-    lo, lo_excl = schema.get("minimum"), False
-    hi, hi_excl = schema.get("maximum"), False
-    if isinstance(schema.get("exclusiveMinimum"), bool):
-        lo_excl = schema["exclusiveMinimum"]
-    elif "exclusiveMinimum" in schema:
-        lo, lo_excl = schema["exclusiveMinimum"], True
-    if isinstance(schema.get("exclusiveMaximum"), bool):
-        hi_excl = schema["exclusiveMaximum"]
-    elif "exclusiveMaximum" in schema:
-        hi, hi_excl = schema["exclusiveMaximum"], True
-    if lo is not None:
+    # ---- numeric keywords. Draft-07 numeric exclusiveMinimum/Maximum are
+    # INDEPENDENT keywords — a schema may carry both minimum AND
+    # exclusiveMinimum and a value must satisfy each; draft-04 boolean
+    # exclusives only modify minimum/maximum. So each present keyword emits
+    # its own check instead of the exclusive form overwriting lo/hi.
+    lo_bounds: list[tuple[float, bool]] = []
+    hi_bounds: list[tuple[float, bool]] = []
+    if schema.get("minimum") is not None:
+        lo_bounds.append((schema["minimum"],
+                          schema.get("exclusiveMinimum") is True))
+    if "exclusiveMinimum" in schema and not isinstance(
+            schema["exclusiveMinimum"], bool):
+        lo_bounds.append((schema["exclusiveMinimum"], True))
+    if schema.get("maximum") is not None:
+        hi_bounds.append((schema["maximum"],
+                          schema.get("exclusiveMaximum") is True))
+    if "exclusiveMaximum" in schema and not isinstance(
+            schema["exclusiveMaximum"], bool):
+        hi_bounds.append((schema["exclusiveMaximum"], True))
+    for lo, lo_excl in lo_bounds:
         def min_check(v, p, errs, first, _lo=lo, _ex=lo_excl):
             if isinstance(v, (int, float)) and not isinstance(v, bool):
                 if (v <= _lo) if _ex else (v < _lo):
@@ -208,7 +216,7 @@ def _compile(schema: Any, root: dict, depth: int) -> _Validator:
             return True
 
         checks.append(min_check)
-    if hi is not None:
+    for hi, hi_excl in hi_bounds:
         def max_check(v, p, errs, first, _hi=hi, _ex=hi_excl):
             if isinstance(v, (int, float)) and not isinstance(v, bool):
                 if (v >= _hi) if _ex else (v > _hi):
