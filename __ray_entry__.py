@@ -30,10 +30,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver's CORRECTNESS record caps at 50 entries, so
+    # every oracle-paired query (47, see oracle_sql()) comes FIRST — they get
+    # the hard rows+schema+hash gate — and rows-only entries trail, most
+    # valuable first (contract_images_validation is the north-star pipeline).
     return {
+        # -------- oracle-paired (every key here has an oracle_sql() entry)
         # contract validation (SURVEY §2a)
         "flagship_contract_orders": q.flagship_contract_orders,
-        "contract_images_validation": q.contract_images_validation,
         # counter / stats checks
         "null_counts_lineitem": q.null_counts_lineitem,
         "range_violations_lineitem": q.range_violations_lineitem,
@@ -43,11 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_counts": q.row_counts,
         "nested_violations_orders": q.nested_violations_orders,
         "jsonschema_violations_documents": q.jsonschema_violations_documents,
-        # uniqueness / distinct (shuffle + sketch paths)
+        # uniqueness / distinct (shuffle paths)
         "distinct_counts": q.distinct_counts,
         "duplicate_user_events": q.duplicate_user_events_q,
-        "approx_distinct_hll": q.approx_distinct_hll,
-        "quantiles_totalprice": q.quantiles_totalprice,
         "exact_quantiles_totalprice": q.exact_quantiles_totalprice,
         # relational (pre-aggregated groupbys, broadcast join, top-k, windows)
         "pricing_summary": q.pricing_summary_q,
@@ -62,30 +64,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_join_lineitem_orders": q.shuffle_join_lineitem_orders,
         "topk_events_per_user": q.topk_events_per_user,
         "lag_delta_events": q.lag_delta_events,
+        "heavy_hitters_sketch_events": q.heavy_hitters_sketch_events,
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
         "dedup_prefix_documents": q.dedup_prefix_documents,
         "neardup_cosine_embeddings": q.neardup_cosine_embeddings,
-        "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
         "neardup_keep_first_embeddings": q.neardup_keep_first_embeddings,
-        "phash_neardup_images": q.phash_neardup_images,
         "repeat_customers_orders": q.repeat_customers_orders,
-        "minhash_pairs_documents": q.minhash_pairs_documents,
-        "simhash_pairs_documents": q.simhash_pairs_documents,
         "ngram_jaccard_documents": q.ngram_jaccard_documents,
         "dup_clusters_documents": q.dup_clusters_documents,
-        "dup_clusters_minhash_documents": q.dup_clusters_minhash_documents,
         "hamming_pairs_documents": q.hamming_pairs_documents,
-        "heavy_hitters_sketch_events": q.heavy_hitters_sketch_events,
         # similarity search
         "knn_cosine_embeddings": q.knn_cosine_embeddings,
-        "lsh_knn_embeddings": q.lsh_knn_embeddings,
-        "ivf_knn_embeddings": q.ivf_knn_embeddings,
         # text analysis
         "text_stats_documents": q.text_stats_documents,
         "bpe_tokens_documents": q.bpe_tokens_documents,
         "langid_documents": q.langid_documents,
-        # curation (PII / split / decontamination)
+        # curation (PII / split / sampling / decontamination)
         "pii_scan_documents": q.pii_scan_documents,
         "hash_split_documents": q.hash_split_documents,
         "hash_split_string_documents": q.hash_split_string_documents,
@@ -93,14 +88,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample_orders": q.bottomk_sample_orders,
         "stratified_sample_documents": q.stratified_sample_documents,
         "decontaminate_documents": q.decontaminate_documents,
-        "quality_scores_documents": q.quality_scores_documents,
         "quality_counts_documents": q.quality_counts_documents,
-        "repetition_scores_documents": q.repetition_scores_documents,
         "repetition_lines_documents": q.repetition_lines_documents,
-        "fingerprints_documents": q.fingerprints_documents,
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents,
-        # drift + multimodal
+        # -------- rows-only (approximate / non-SQL / self-synthesized input)
+        "contract_images_validation": q.contract_images_validation,
+        "phash_neardup_images": q.phash_neardup_images,
+        "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
         "drift_documents": q.drift_documents,
+        "minhash_pairs_documents": q.minhash_pairs_documents,
+        "simhash_pairs_documents": q.simhash_pairs_documents,
+        "dup_clusters_minhash_documents": q.dup_clusters_minhash_documents,
+        "approx_distinct_hll": q.approx_distinct_hll,
+        "quantiles_totalprice": q.quantiles_totalprice,
+        "lsh_knn_embeddings": q.lsh_knn_embeddings,
+        "ivf_knn_embeddings": q.ivf_knn_embeddings,
+        "quality_scores_documents": q.quality_scores_documents,
+        "repetition_scores_documents": q.repetition_scores_documents,
+        "fingerprints_documents": q.fingerprints_documents,
         "image_features_sample": q.image_features_sample,
         "audio_features_sample": q.audio_features_sample,
     }
