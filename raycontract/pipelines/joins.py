@@ -34,7 +34,7 @@ import ray
 
 def asof_join(left_ds, right_ds, on, left_ts: str, right_ts: str,
               right_cols: Sequence[str], direction: str = "backward",
-              suffix: str = "_r"):
+              suffix: str = "_r", num_partitions: Optional[int] = None):
     """For every left row, attach the single right row with the same ``on``
     key and the greatest ``right_ts`` <= ``left_ts`` (``direction='backward'``;
     ``'forward'`` = smallest >=). Inner semantics: unmatched left rows drop
@@ -42,51 +42,57 @@ def asof_join(left_ds, right_ds, on, left_ts: str, right_ts: str,
     broken deterministically by the first ``right_cols`` entry (backward
     keeps its largest value, forward its smallest) where SQL leaves the
     winner unspecified. Right columns clashing with left names get
-    ``suffix``.
+    ``suffix``. Rows with a NULL timestamp or NULL key match nothing (SQL
+    comparison semantics) and are dropped before the shuffle.
+
+    Scale shape (10^9 keys): both sides are HASH-PARTITIONED on the key
+    (``pipelines/partition.py``) and merged once per PARTITION — one
+    ``np.lexsort`` by (key, ts, side, tie) over the union, then a single
+    segment-aware ``np.maximum.accumulate`` scan matches every left row in
+    the partition to its as-of right row at once (no per-key Python call,
+    no per-key ``searchsorted``). ``direction='forward'`` reuses the same
+    scan on negated time + tie rank. Partitioning assumption: one partition
+    fits a worker's heap — size ``num_partitions`` to volume.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    from raycontract.pipelines.partition import (default_num_partitions,
+                                                 hash_partition_codes,
+                                                 key_codes)
+
     lkey, rkey = (on, on) if isinstance(on, str) else on
     left_cols = list(left_ds.schema().names)
     rcols = list(right_cols)
     out_names = {c: (c + suffix if c in left_cols else c) for c in rcols}
+    P = num_partitions or default_num_partitions()
 
     # resolve column types once on the driver (schema-only, no scan)
     lschema, rschema = left_ds.schema(), right_ds.schema()
     ltypes = {c: lschema.types[lschema.names.index(c)] for c in left_cols}
     rtypes = {c: rschema.types[rschema.names.index(c)] for c in rcols}
 
-    def tag_left(batch: pa.Table) -> pa.Table:
-        out = {"__key": batch[lkey], "__lts": pc.cast(batch[left_ts], pa.int64()),
-               "__rts": pa.nulls(batch.num_rows, pa.int64()),
-               "__side": pa.array(np.zeros(batch.num_rows, dtype=np.int8))}
+    def _tag(batch: pa.Table, side: int) -> pa.Table:
+        key_c, ts_c = (lkey, left_ts) if side == 0 else (rkey, right_ts)
+        batch = batch.filter(pc.and_(pc.is_valid(batch[key_c]),
+                                     pc.is_valid(batch[ts_c])))
+        n = batch.num_rows
+        out = {"__key": batch[key_c],
+               "__ts": pc.cast(batch[ts_c], pa.int64()),
+               "__side": pa.array(np.full(n, side, dtype=np.int8)),
+               "__part": pa.array(hash_partition_codes(batch[key_c], P))}
         for c in left_cols:
-            out[f"__l_{c}"] = batch[c]
+            out[f"__l_{c}"] = batch[c] if side == 0 else pa.nulls(n, ltypes[c])
         for c in rcols:
-            out[f"__r_{c}"] = pa.nulls(batch.num_rows, rtypes[c])
+            out[f"__r_{c}"] = batch[c] if side == 1 else pa.nulls(n, rtypes[c])
         return pa.table(out)
 
-    def tag_right(batch: pa.Table) -> pa.Table:
-        out = {"__key": batch[rkey], "__lts": pa.nulls(batch.num_rows, pa.int64()),
-               "__rts": pc.cast(batch[right_ts], pa.int64()),
-               "__side": pa.array(np.ones(batch.num_rows, dtype=np.int8))}
-        for c in left_cols:
-            out[f"__l_{c}"] = pa.nulls(batch.num_rows, ltypes[c])
-        for c in rcols:
-            out[f"__r_{c}"] = batch[c]
-        return pa.table(out)
-
-    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+    tagged = (left_ds.map_batches(lambda b: _tag(b, 0), batch_format="pyarrow")
               .union(right_ds.select_columns(list(dict.fromkeys([rkey, right_ts, *rcols])))
-                     .map_batches(tag_right, batch_format="pyarrow")))
+                     .map_batches(lambda b: _tag(b, 1), batch_format="pyarrow")))
 
     fwd = direction == "forward"
 
-    def merge_group(group: pa.Table) -> pa.Table:
-        side = np.asarray(group["__side"])
-        left = group.filter(pa.array(side == 0))
-        right = group.filter(pa.array(side == 1))
-
+    def merge_partition(part: pa.Table) -> pa.Table:
         def emit(keep: pa.Table, matched: Optional[pa.Table]) -> pa.Table:
             out = {c: keep[f"__l_{c}"] for c in left_cols}
             for c in rcols:
@@ -94,43 +100,50 @@ def asof_join(left_ds, right_ds, on, left_ts: str, right_ts: str,
                                      else pa.nulls(keep.num_rows, rtypes[c]))
             return pa.table(out)
 
-        # SQL comparison semantics: a NULL timestamp matches nothing — drop
-        # null right_ts rows (they'd otherwise sort as NaN past the end and
-        # 'forward' could match them) and null left_ts rows (no match).
-        right = right.filter(pc.is_valid(right["__rts"]))
-        left = left.filter(pc.is_valid(left["__lts"]))
-        if left.num_rows == 0 or right.num_rows == 0:
-            return emit(left.slice(0, 0), None)  # inner: no match → no rows
-        rts = np.asarray(right["__rts"])
-        # deterministic tie-break: among equal timestamps the row with the
-        # largest first right column wins (lexsort: last key is primary).
-        # pc.rank gives a null-safe value-ordered integer key for any type
-        # (np.lexsort raises on object arrays holding None).
+        side = np.asarray(part["__side"], dtype=np.int8)
+        is_right = side == 1
+        if not is_right.any() or is_right.all():
+            return emit(part.filter(pa.array(~is_right)).slice(0, 0), None)
+        n = part.num_rows
+        kc = key_codes(part["__key"])
+        ts = np.asarray(part["__ts"], dtype=np.int64)
+        # deterministic tie-break among equal (key, ts) right rows: value
+        # rank of the first right column (null-safe for any type). backward
+        # keeps the LARGEST value; forward (smallest >= and smallest tie) is
+        # exactly the backward scan on negated (ts, tie).
         if rcols:
-            tc = right[f"__r_{rcols[0]}"]
-            tc = tc.combine_chunks() if isinstance(tc, pa.ChunkedArray) else tc
+            tc = part[f"__r_{rcols[0]}"].combine_chunks()
             tie = np.asarray(pc.rank(tc, sort_keys="ascending",
                                      null_placement="at_start"),
                              dtype=np.int64)
         else:
-            tie = np.zeros(len(rts))
-        order = np.lexsort((tie, rts))
-        rts = rts[order]
-        right = right.take(pa.array(order))
-        lts = np.asarray(left["__lts"])
+            tie = np.zeros(n, dtype=np.int64)
         if fwd:
-            # smallest rts >= lts; ties → first in (rts, tie) order
-            idx = np.searchsorted(rts, lts, side="left")
-            ok = idx < len(rts)
-        else:
-            # largest rts <= lts; ties → last in (rts, tie) order
-            idx = np.searchsorted(rts, lts, side="right") - 1
-            ok = idx >= 0
-        keep = left.filter(pa.array(ok))
-        matched = right.take(pa.array(idx[ok]))
-        return emit(keep, matched)
+            ts = -ts
+            tie = -tie
+        # total order: key, ts, right-before-left at equal ts (a right row
+        # at ts == lts is eligible), tie ascending (accumulate keeps LAST)
+        side_order = np.where(is_right, 0, 1).astype(np.int8)
+        order = np.lexsort((tie, side_order, ts, kc))
+        kc_s = kc[order]
+        right_s = is_right[order]
+        # per-key segments; base offsets make cross-segment carryover read
+        # as "no match": prev segment max == base - 1 → -1 after the shift
+        seg = np.zeros(n, dtype=np.int64)
+        seg[1:] = np.cumsum(kc_s[1:] != kc_s[:-1])
+        base = seg * np.int64(n + 1)
+        cand = np.where(right_s, np.arange(n, dtype=np.int64), np.int64(-1)) + base
+        last_right = np.maximum.accumulate(cand) - base
+        lpos = np.flatnonzero(~right_s)
+        match = last_right[lpos]
+        ok = match >= 0
+        left_orig = order[lpos[ok]]
+        right_orig = order[match[ok]]
+        return emit(part.take(pa.array(left_orig)),
+                    part.take(pa.array(right_orig)))
 
-    return tagged.groupby("__key").map_groups(merge_group, batch_format="pyarrow")
+    return tagged.groupby("__part").map_groups(merge_partition,
+                                               batch_format="pyarrow")
 
 
 def range_join(ds, intervals: pa.Table, value_col: str,
@@ -213,31 +226,45 @@ def shuffle_hash_join(left_ds, right_ds, on, how: str = "inner",
                         right_suffix=right_suffix)
 
 
-def lag_delta(ds, key: str, ts: str, id_col: str, out_col: str = "delta"):
+def lag_delta(ds, key: str, ts: str, id_col: str, out_col: str = "delta",
+              num_partitions: Optional[int] = None):
     """Per-key previous-row delta (SQL ``ts - LAG(ts) OVER (PARTITION BY key
-    ORDER BY ts, id)``): one key-hash shuffle, then a vectorized sort + diff
-    inside each group. First row of each key gets null. The deterministic
-    (ts, id) ordering makes the result engine-reproducible under timestamp
-    ties. Partitioning assumption: one key's rows fit in a worker (salt hot
-    keys upstream otherwise — same caveat as :func:`asof_join`)."""
+    ORDER BY ts, id)``). First row of each key gets null; the deterministic
+    (ts, id) ordering makes the result engine-reproducible under ties.
+
+    Scale shape (10^9 keys): keys are HASH-PARTITIONED and the kernel runs
+    once per PARTITION — one ``np.lexsort`` by (key, ts, id) plus a
+    run-boundary diff handles every key in the partition at once (see
+    ``pipelines/partition.py``; the old per-key ``map_groups`` paid a Python
+    call per key). Partitioning assumption: one partition fits a worker."""
+    from raycontract.pipelines.partition import (key_codes,
+                                                 with_partition_column)
+
     cols = list(ds.schema().names)
 
-    def per_key(group: pa.Table) -> pa.Table:
-        t = np.asarray(pc.cast(group[ts], pa.int64()))
-        ids = np.asarray(group[id_col])
-        order = np.lexsort((ids, t))
-        g = group.take(pa.array(order))
-        tt = t[order]
-        vals = np.zeros(len(tt), dtype=np.int64)
-        if len(tt) > 1:
+    def per_partition(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["__part"])
+        n = part.num_rows
+        if n == 0:
+            return part.append_column(out_col, pa.array([], pa.int64()))
+        t = np.asarray(pc.cast(part[ts].combine_chunks(), pa.int64()))
+        ids = np.asarray(part[id_col])
+        kc = key_codes(part[key])
+        order = np.lexsort((ids, t, kc))
+        g = part.take(pa.array(order))
+        tt, ks = t[order], kc[order]
+        vals = np.zeros(n, dtype=np.int64)
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        if n > 1:
             vals[1:] = tt[1:] - tt[:-1]
-        null_first = np.zeros(len(tt), dtype=bool)
-        null_first[0] = True  # no predecessor
-        return g.append_column(out_col, pa.array(vals, mask=null_first))
+            first[1:] = ks[1:] != ks[:-1]   # key boundary → no predecessor
+        return g.append_column(out_col, pa.array(vals, mask=first))
 
-    out = ds.select_columns(cols).groupby(key).map_groups(
-        per_key, batch_format="pyarrow")
-    return out
+    parted = with_partition_column(ds.select_columns(cols), key,
+                                   num_partitions)
+    return parted.groupby("__part").map_groups(per_partition,
+                                               batch_format="pyarrow")
 
 
 def broadcast_hash_join(ds, small: pa.Table, on, how: str = "inner",

@@ -59,12 +59,16 @@ def pricing_summary(lineitem_ds):
 def top_customers_by_revenue(orders_ds, customer_ds, k: int = 10):
     """Broadcast join orders→customer + grouped sum + top-k.
 
-    customer is the small side: collected once, ``ray.put``, looked up per
-    batch in the aggregation stage. Output: (c_custkey, c_name,
-    revenue_cents) ordered by revenue desc, key asc (deterministic)."""
-    cust = customer_ds.select_columns(["c_custkey", "c_name"]).take_all()
-    name_of = {r["c_custkey"]: r["c_name"] for r in cust}
-    ref = ray.put(name_of)
+    customer is the small side: materialized ONCE as a zero-copy Arrow table
+    (never Python row dicts), broadcast via the shared
+    :func:`raycontract.pipelines.joins.broadcast_hash_join` and joined per
+    batch with ``pyarrow.Table.join`` — the pattern users should copy for
+    star-schema lookups. Output: (c_custkey, c_name, revenue_cents) ordered
+    by revenue desc, key asc (deterministic)."""
+    from raycontract.pipelines.joins import broadcast_hash_join
+
+    cust_refs = customer_ds.select_columns(["c_custkey", "c_name"]).to_arrow_refs()
+    cust = pa.concat_tables(ray.get(cust_refs))
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({
@@ -78,22 +82,17 @@ def top_customers_by_revenue(orders_ds, customer_ds, k: int = 10):
         partial, batch_format="pyarrow")
     agg = partials.groupby("o_custkey").aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     top = agg.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(k)
+    joined = broadcast_hash_join(top, cust, on=("o_custkey", "c_custkey"),
+                                 how="inner", concurrency=1)
 
-    class AttachName:
-        def __init__(self, ref):
-            self.name_of = ray.get(ref)
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["o_custkey"],
+                         "c_name": batch["c_name"],
+                         "revenue_cents": batch["revenue_cents"]})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["o_custkey"].to_pylist()
-            return pa.table({
-                "c_custkey": batch["o_custkey"],
-                "c_name": pa.array([self.name_of.get(k_) for k_ in keys]),
-                "revenue_cents": batch["revenue_cents"],
-            })
-
-    # max_restarts=0 (ray#53727): ObjectRef constructor arg, restart would fail.
-    return top.map_batches(AttachName, fn_constructor_args=(ref,), batch_format="pyarrow",
-                           concurrency=1, max_restarts=0)
+    # pa.Table.join does not guarantee row order — re-sort the k-row result
+    return joined.map_batches(finalize, batch_format="pyarrow").sort(
+        ["revenue_cents", "c_custkey"], descending=[True, False])
 
 
 def events_hourly(events_ds):
@@ -172,34 +171,73 @@ def sliding_window_agg(events_ds, window_s: int = 3600, slide_s: int = 1800,
     )
 
 
-def sessionize_events(events_ds, gap_minutes: int = 30):
+def sessionize_events(events_ds, gap_minutes: int = 30,
+                      num_partitions: Optional[int] = None):
     """Session windows per user: consecutive events ≤ gap apart share a
     session (the classic streaming sessionization, SURVEY §2e 'streaming-
-    shaped workloads': partition by key, sort by ts within the group,
-    window inside ``map_groups``).
+    shaped workloads').
+
+    Scale shape (10^9 users): users are HASH-PARTITIONED (``__part =
+    hash(user) % P``) and the kernel runs once per PARTITION, not per user —
+    one ``np.lexsort`` by (user, ts) and a vectorized run-boundary pass
+    sessionize every user in the partition at once (see
+    ``pipelines/partition.py``). Partitioning assumption: one partition fits
+    a worker's heap — size ``num_partitions`` to data volume.
 
     Output: (user_id, session_id starting at 1 per user, n_events,
-    session_start, session_end). Ordering assumption: each user's events fit
-    one group (true by construction of a keyed groupby)."""
-    import pandas as pd
+    session_start, session_end)."""
+    from raycontract.pipelines.partition import with_partition_column
 
-    gap = pd.Timedelta(minutes=gap_minutes)
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+    ts_type = None
+    for name, typ in zip(events_ds.schema().names, events_ds.schema().types):
+        if name == "ts":
+            ts_type = typ
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_session = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        g["session_id"] = new_session.cumsum().astype("int64")
-        out = g.groupby("session_id", as_index=False).agg(
-            user_id=("user_id", "first"),
-            n_events=("ts", "size"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-        )
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
+    def per_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"user_id": pa.array([], part["user_id"].type),
+                             "session_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "session_start": pa.array([], ts_type),
+                             "session_end": pa.array([], ts_type)})
+        users = np.asarray(part["user_id"])
+        ts = np.asarray(pc.cast(part["ts"].combine_chunks(),
+                                pa.timestamp("us")).cast(pa.int64()))
+        order = np.lexsort((ts, users))
+        u, t = users[order], ts[order]
+        n = len(t)
+        new_user = np.zeros(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= (t[1:] - t[:-1]) > gap_us
+        # global session number (1-based) and per-user restart
+        sess_cum = np.cumsum(new_sess)
+        sess_start = np.flatnonzero(new_sess)            # first row per session
+        sess_end = np.r_[sess_start[1:] - 1, n - 1]       # last row per session
+        user_start = np.flatnonzero(new_user)
+        # sessions opened before each user's first row
+        sess_before = sess_cum[user_start] - 1
+        runs = np.diff(np.r_[user_start, n])
+        sess_before_row = np.repeat(sess_before, runs)
+        session_id_row = sess_cum - sess_before_row       # restarts at 1 per user
+        start_us = t[sess_start]
+        end_us = t[sess_end]
+        return pa.table({
+            "user_id": pa.array(u[sess_start]),
+            "session_id": pa.array(session_id_row[sess_start]),
+            "n_events": pa.array((sess_end - sess_start + 1).astype(np.int64)),
+            "session_start": pc.cast(pa.array(start_us, pa.int64()).cast(
+                pa.timestamp("us")), ts_type),
+            "session_end": pc.cast(pa.array(end_us, pa.int64()).cast(
+                pa.timestamp("us")), ts_type),
+        })
 
-    return events_ds.select_columns(["user_id", "ts"]).groupby("user_id").map_groups(
-        per_user, batch_format="pandas")
+    parted = with_partition_column(
+        events_ds.select_columns(["user_id", "ts"]), "user_id", num_partitions)
+    return parted.groupby("__part").map_groups(per_partition,
+                                               batch_format="pyarrow")
 
 
 def heavy_hitters_users(events_ds, k: int = 10):

@@ -130,3 +130,89 @@ def test_topk_per_group_int64_above_2_53(ray_session):
     out = topk_per_group(rd.from_arrow(t), "g", "v", k=2,
                          id_col="id", descending=False).take_all()
     assert sorted(r["v"] for r in out) == [base, base + 1]
+
+
+# --------------------------------- run-boundary partition kernels (high-card)
+def test_lag_delta_high_cardinality_matches_pandas(ray_session):
+    import pandas as pd
+
+    from raycontract.pipelines.joins import lag_delta
+
+    rng = np.random.default_rng(11)
+    n, keys = 20_000, 5_000  # many tiny groups — the per-key-overhead regime
+    t = pa.table({
+        "user_id": rng.integers(0, keys, n),
+        "ts": pa.array(rng.integers(0, 10**7, n), type=pa.int64()),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    out = lag_delta(rd.from_arrow(t), "user_id", "ts", "event_id").to_pandas()
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["delta"] = df.groupby("user_id")["ts"].diff()
+    got = out.sort_values("event_id")["delta"].reset_index(drop=True)
+    want = df.sort_values("event_id")["delta"].reset_index(drop=True)
+    assert got.isna().equals(want.isna())
+    assert (got.dropna().astype("int64") == want.dropna().astype("int64")).all()
+
+
+def test_sessionize_high_cardinality_matches_pandas(ray_session):
+    import pandas as pd
+
+    from raycontract.pipelines.relational import sessionize_events
+
+    rng = np.random.default_rng(13)
+    n, keys = 20_000, 3_000
+    ts = pa.array(rng.integers(0, 10**13, n), type=pa.int64()).cast(
+        pa.timestamp("us"))
+    t = pa.table({"user_id": rng.integers(0, keys, n), "ts": ts})
+    out = sessionize_events(rd.from_arrow(t), gap_minutes=30).to_pandas()
+    df = t.to_pandas().sort_values(["user_id", "ts"])
+    gap = pd.Timedelta(minutes=30)
+    new = (df.groupby("user_id")["ts"].diff() > gap) | df.groupby(
+        "user_id")["ts"].diff().isna()
+    df["sid"] = new.groupby(df["user_id"]).cumsum().astype("int64")
+    want = df.groupby(["user_id", "sid"], as_index=False).agg(
+        n_events=("ts", "size"), session_start=("ts", "min"),
+        session_end=("ts", "max"))
+    got = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "sid"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["user_id"].values == want["user_id"].values).all()
+    assert (got["session_id"].values == want["sid"].values).all()
+    assert (got["n_events"].astype("int64").values == want["n_events"].astype("int64").values).all()
+    assert (got["session_start"].values == want["session_start"].values).all()
+    assert (got["session_end"].values == want["session_end"].values).all()
+
+
+def test_asof_join_high_cardinality_matches_pandas(ray_session):
+    import pandas as pd
+
+    from raycontract.pipelines.joins import asof_join
+
+    rng = np.random.default_rng(17)
+    nl, nr, keys = 20_000, 10_000, 4_000
+    left = pa.table({"k": rng.integers(0, keys, nl),
+                     "lts": pa.array(rng.integers(0, 10**6, nl), pa.int64()),
+                     "lid": np.arange(nl, dtype=np.int64)})
+    right = pa.table({"k": rng.integers(0, keys, nr),
+                      "rts": pa.array(rng.integers(0, 10**6, nr), pa.int64()),
+                      "rid": np.arange(nr, dtype=np.int64)})
+    for direction in ("backward", "forward"):
+        out = asof_join(rd.from_arrow(left), rd.from_arrow(right), on="k",
+                        left_ts="lts", right_ts="rts", right_cols=["rid"],
+                        direction=direction).to_pandas()
+        ldf = left.to_pandas().sort_values("lts")
+        rdf = right.to_pandas().sort_values("rts")
+        m = pd.merge_asof(ldf, rdf, left_on="lts", right_on="rts", by="k",
+                          direction=direction)
+        m = m.dropna(subset=["rid"])
+        got = out.sort_values("lid").reset_index(drop=True)
+        want = m.sort_values("lid").reset_index(drop=True)
+        assert len(got) == len(want), (direction, len(got), len(want))
+        assert (got["lid"].values == want["lid"].values).all()
+        # ties: pandas merge_asof keeps the LAST right row in rts order for
+        # backward (matching our largest-tie rule only when rid order equals
+        # input order) — compare the rts of the matched rows instead, which
+        # is tie-insensitive
+        got_rts = right.to_pandas().set_index("rid").loc[
+            got["rid"].astype("int64")]["rts"].values
+        assert (got_rts == want["rts"].astype("int64").values).all()
