@@ -243,6 +243,10 @@ def main(argv=None) -> int:
     pb.add_argument("new")
 
     pc = sub.add_parser("changelog", help="all changes between two contract versions")
+    pd_ = sub.add_parser("diff", help="textual old-vs-new contract diff "
+                         "(reference cli.py:433-455: same entries as "
+                         "changelog, informational exit code)")
+    pd_.add_argument("old"); pd_.add_argument("new")
     pc.add_argument("old")
     pc.add_argument("new")
 
@@ -317,7 +321,7 @@ def main(argv=None) -> int:
             print(w)
         return 0
 
-    if args.cmd in ("breaking", "changelog"):
+    if args.cmd in ("breaking", "changelog", "diff"):
         from raycontract.breaking import Severity, breaking as _breaking, changelog as _changelog
 
         old = DataContract(data_contract_file=args.old).spec
@@ -326,6 +330,10 @@ def main(argv=None) -> int:
         for c in changes:
             print(c)
         print(f"{len(changes)} changes")
+        if args.cmd == "diff":
+            # reference diff (cli.py:433-455) prints the changelog entries
+            # without gating the exit code on severity
+            return 0
         # exit 1 on breaking (ERROR) changes, like the reference CLI
         return 1 if any(c.severity == Severity.ERROR for c in changes) else 0
 

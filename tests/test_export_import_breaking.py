@@ -248,6 +248,10 @@ def test_cli_export_import_breaking(tmp_path):
     assert main(["export", str(c1), "--format", "jsonschema"]) == 0
     assert main(["breaking", str(c1), str(c2)]) == 1  # ERROR-severity changes
     assert main(["changelog", str(c1), str(c1)]) == 0  # no changes
+    # diff (reference cli.py:433-455): same entries as changelog, exit 0
+    # even when breaking changes exist
+    assert main(["diff", str(c1), str(c2)]) == 0
+    assert main(["diff", str(c1), str(c1)]) == 0
 
 
 ODCS_DOC = """
