@@ -560,16 +560,37 @@ def neardup_cosine_embeddings_sql() -> str:
 
 def neardup_lsh_embeddings(sf_dir: str):
     """The 100-TB near-dup path: hyperplane-LSH bucket groupby + exact cosine
-    within buckets (approximate recall — rows-only check by design)."""
-    from raycontract.pipelines.dedup import embedding_neardup_pairs_lsh
+    within buckets. HARD SIGNAL (VERDICT r3 #8): the query also runs the
+    exact twin (``embedding_neardup_pairs``) and emits per-pair
+    ``in_exact`` + constant ``recall_pct`` columns — deterministic (fixed
+    LSH seed), so the driver's value hash is stable round over round — and
+    RAISES if recall drops below 0.85 or any LSH pair is not exact-verified
+    (precision must be 1.0 by construction)."""
+    from raycontract.pipelines.dedup import (embedding_neardup_pairs,
+                                             embedding_neardup_pairs_lsh)
 
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     # the fixture's near-dups sit at cos≈0.4 (weak for hyperplane LSH): 4
     # bits × 12 tables trades scan volume for ~0.9 expected recall here;
     # high-similarity production near-dups (cos ≥0.9) prune far harder
-    return embedding_neardup_pairs_lsh(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        "embedding", "vec_id", threshold=0.4, bits=4, num_tables=12,
-    ).select_columns(["id_a", "id_b"])
+    lsh = embedding_neardup_pairs_lsh(
+        ds, "embedding", "vec_id", threshold=0.4, bits=4, num_tables=12,
+    ).select_columns(["id_a", "id_b"]).to_pandas()
+    exact = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.4)\
+        .select_columns(["id_a", "id_b"]).to_pandas()
+    lsh_set = set(zip(lsh["id_a"], lsh["id_b"]))
+    exact_set = set(zip(exact["id_a"], exact["id_b"]))
+    if lsh_set - exact_set:
+        raise AssertionError(
+            f"LSH emitted {len(lsh_set - exact_set)} non-exact pairs — the "
+            "in-bucket cosine verification is broken")
+    recall = len(lsh_set & exact_set) / max(1, len(exact_set))
+    if recall < 0.85:
+        raise AssertionError(f"LSH recall {recall:.3f} < 0.85 vs exact twin")
+    out = lsh.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out["in_exact"] = True
+    out["recall_pct"] = np.int64(round(recall * 100))
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def repeat_customers_orders(sf_dir: str) -> pa.Table:
@@ -669,7 +690,28 @@ def phash_neardup_images(sf_dir: str):
         "phash": pa.array(list(np.asarray(t["phash"]).astype(np.int64)) + extra_ph,
                           type=pa.int64()),
     })
-    return hash_hamming_pairs(rd.from_arrow(full), "phash", "image_id", max_hamming=3)
+    got = hash_hamming_pairs(rd.from_arrow(full), "phash", "image_id",
+                             max_hamming=3).to_pandas()
+    # HARD SIGNAL (VERDICT r3 #8): banding is EXACT at Hamming <= 3, so the
+    # banded result must equal the brute-force twin — verified in-query over
+    # the (small) fixture, emitted as a constant recall_pct column the
+    # driver hashes; any miss raises.
+    hv = np.concatenate([ph, np.asarray(extra_ph, dtype=np.int64).view(np.uint64)])
+    av = np.asarray(ids + extra_ids, dtype=object)
+    ai, bi = np.triu_indices(len(hv), k=1)
+    ham = np.array([bin(int(x)).count("1") for x in (hv[ai] ^ hv[bi])])
+    close = ham <= 3
+    exact_set = {(min(a, b), max(a, b))
+                 for a, b in zip(av[ai[close]], av[bi[close]]) if a != b}
+    got_set = set(zip(got["id_a"], got["id_b"]))
+    if got_set != exact_set:
+        raise AssertionError(
+            f"phash banding missed {len(exact_set - got_set)} / emitted "
+            f"{len(got_set - exact_set)} spurious pairs — banding must be "
+            "exact at Hamming <= 3")
+    out = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out["recall_pct"] = np.int64(100)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def hamming_pairs_documents(sf_dir: str):
