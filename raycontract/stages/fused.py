@@ -162,6 +162,67 @@ def _dup_range_reduce_task(block_refs, lo: int, hi: int, max_samples: int) -> di
     return out
 
 
+def _dup_chunk_split_task(block_refs, nranges: int):
+    """First wave of the overlapped duplicate shuffle, launched INSIDE the
+    scan window over a CHUNK of fused blocks: concatenate the chunk's dup
+    partial rows, pre-group by (kind, key) once (within-chunk repeats
+    collapse), and slice into ``nranges`` disjoint key ranges. Unlike the
+    former post-scan range reduce — where every range task re-read EVERY
+    block (R× read amplification) — each block is deserialized exactly once,
+    and the work overlaps the scan instead of forming a tail."""
+    import polars as pl
+
+    import ray
+
+    empty = pa.table({"kind": pa.array([], pa.string()),
+                      "key": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+    parts = []
+    for t in ray.get(list(block_refs)):
+        t = pa.table(t)
+        if t.num_rows == 0 or "kind" not in t.schema.names:
+            continue
+        s = t.filter(pc.not_equal(t["kind"], "p")).select(["kind", "key", "cnt"])
+        if s.num_rows:
+            parts.append(s)
+    if not parts:
+        return tuple([empty] * nranges)
+    agg = pl.from_arrow(pa.concat_tables(parts)).group_by(["kind", "key"]).agg(
+        pl.col("cnt").sum().alias("cnt")).to_arrow()
+    agg = pa.table({"kind": pc.cast(agg["kind"], pa.string()),
+                    "key": pc.cast(agg["key"], pa.int64()),
+                    "cnt": pc.cast(agg["cnt"], pa.int64())})
+    import numpy as np
+
+    step = (1 << 64) // nranges
+    rid = ((np.asarray(agg["key"], dtype=np.int64).astype(np.uint64)
+            + np.uint64(1 << 63)) // np.uint64(step)).astype(np.int64)
+    rid = np.minimum(rid, nranges - 1)
+    return tuple(agg.filter(pa.array(rid == i)) for i in range(nranges))
+
+
+def _dup_range_final_task(max_samples: int, *tables) -> dict:
+    """Second wave: group ONE key range's pre-split slices (disjoint across
+    tasks, so every stat is additive in the driver merge)."""
+    import polars as pl
+
+    parts = [pa.table(t) for t in tables if t.num_rows]
+    if not parts:
+        return {}
+    agg = pl.from_arrow(pa.concat_tables(parts)).group_by(["kind", "key"]).agg(
+        pl.col("cnt").sum().alias("n"))
+    out: dict[str, dict[str, Any]] = {}
+    for (kind,), sub in agg.group_by(["kind"]):
+        dups = sub.filter(pl.col("n") > 1)
+        out[str(kind)[2:]] = {
+            "distinct_count": sub.height,
+            "duplicate_values": dups.height,
+            "duplicate_rows": int(dups["n"].sum() or 0) - dups.height,
+            "samples": dups["key"].head(max_samples).to_list(),
+        }
+    return out
+
+
 def _distributed_dup_reduce(block_refs: list, max_samples: int) -> dict:
     """Launch the per-range reduce tasks over the (already materialized, tiny)
     fused blocks and merge their disjoint results. Replaces the former
@@ -476,9 +537,28 @@ def run_fused_pass(
         # INSIDE the scan window (in O(threshold) slices) removes them from
         # the post-scan tail. merge_partials/_compact_image_parts accept
         # their own output, so repeated folding is lossless. Duplicate
-        # partials never touch the driver: the block refs are kept alive and
-        # handed to the distributed range reduce after the scan.
+        # partials never touch the driver: chunks of block refs feed split
+        # tasks (first shuffle wave) DURING the scan; only the per-range
+        # final groupby runs after it.
         compact_every = int(os.environ.get("RAYCONTRACT_COMPACT_EVERY", "64"))
+        dup_amplified = bool(os.environ.get("RAYCONTRACT_DUP_AMPLIFIED"))
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        nranges = max(2, min(16, ncpu // 2))
+        dup_chunk = int(os.environ.get("RAYCONTRACT_DUP_CHUNK", "64"))
+        split_remote = ray.remote(num_cpus=1)(_dup_chunk_split_task)
+        range_slices: list[list] = [[] for _ in range(nranges)]
+        pending_dup_refs: list = []
+
+        def _flush_dup_chunk():
+            if not pending_dup_refs:
+                return
+            outs = split_remote.options(num_returns=nranges).remote(
+                list(pending_dup_refs), nranges)
+            if nranges == 1:
+                outs = [outs]
+            for i, o in enumerate(outs):
+                range_slices[i].append(o)
+            pending_dup_refs.clear()
 
         def _consume_block(t: pa.Table):
             if t.num_rows == 0:
@@ -496,15 +576,30 @@ def run_fused_pass(
         for bundle in fused.iter_internal_ref_bundles():
             refs = list(bundle.block_refs)
             if unique_specs:
-                dup_block_refs.extend(refs)
+                if dup_amplified:
+                    dup_block_refs.extend(refs)
+                else:
+                    pending_dup_refs.extend(refs)
+                    if len(pending_dup_refs) >= dup_chunk:
+                        _flush_dup_chunk()
             for block in ray.get(refs):
                 _consume_block(pa.table(block))
         if timing:
             print(f"[fused] streaming scan+fold: {time.time()-t0:.1f}s", flush=True)
             t0 = time.time()
-        # launch the range-reduce tasks first so they run while the driver
-        # folds its own (already-compacted) payload partials
-        dup_futs = _launch_dup_reduce(dup_block_refs, max_samples) if unique_specs else []
+        # launch the reduce tasks first so they run while the driver folds
+        # its own (already-compacted) payload partials
+        if unique_specs and not dup_amplified:
+            _flush_dup_chunk()
+            final_remote = ray.remote(num_cpus=1)(_dup_range_final_task)
+            dup_futs = [final_remote.remote(max_samples, *range_slices[i])
+                        for i in range(nranges)]
+        elif unique_specs:
+            # A/B escape hatch: the pre-r4 post-scan range reduce (every
+            # range task re-reads every block)
+            dup_futs = _launch_dup_reduce(dup_block_refs, max_samples)
+        else:
+            dup_futs = []
         stats = merge_partials(stats_parts, max_samples=max_samples)
         image_agg = _fold_image_parts(image_parts, max_samples)
         merged = _merge_dup_reduce(dup_futs, max_samples) if unique_specs else {}
