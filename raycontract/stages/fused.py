@@ -464,14 +464,24 @@ def run_fused_pass(
         batch_size = 1024 if image_spec is not None else 8192
 
     if file_paths:
+        import os as _os
+
         import ray.data as rd
 
+        # RAYCONTRACT_TASK_CPUS < 1 oversubscribes the scan so decode compute
+        # hides parquet-read stalls: +10-18%% at 32 CPUs (min 9.4s vs 11.5s,
+        # the repo's fastest 1M run). Default stays 1.0: in sandbox local
+        # mode Ray's num_cpus is only a scheduling token, so a num_cpus=8
+        # session with 0.75-CPU tasks runs ~10.6 tasks on ~10.6 PHYSICAL
+        # cores — free capacity a real 8-core node would not have, which
+        # corrupts the N-vs-4N scaling proxy (BASELINE.md round-4).
+        task_cpus = float(_os.environ.get("RAYCONTRACT_TASK_CPUS", "1"))
         fused = rd.from_items(
             [{"path": p} for p in file_paths], override_num_blocks=len(file_paths)
         ).map_batches(
             FileFusedKernel(plan, image_spec, unique_specs, max_samples,
                             columns, batch_size),
-            batch_format="pyarrow", batch_size=1,
+            batch_format="pyarrow", batch_size=1, num_cpus=task_cpus,
         )
     elif concurrency is None:
         # Elastic tasks by default: Ray reuses warm worker processes across
