@@ -57,8 +57,7 @@ def asof_join(left_ds, right_ds, on, left_ts: str, right_ts: str,
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
     from raycontract.pipelines.partition import (default_num_partitions,
-                                                 hash_partition_codes,
-                                                 key_codes)
+                                                 key_codes, partition_map)
 
     lkey, rkey = (on, on) if isinstance(on, str) else on
     left_cols = list(left_ds.schema().names)
@@ -78,8 +77,7 @@ def asof_join(left_ds, right_ds, on, left_ts: str, right_ts: str,
         n = batch.num_rows
         out = {"__key": batch[key_c],
                "__ts": pc.cast(batch[ts_c], pa.int64()),
-               "__side": pa.array(np.full(n, side, dtype=np.int8)),
-               "__part": pa.array(hash_partition_codes(batch[key_c], P))}
+               "__side": pa.array(np.full(n, side, dtype=np.int8))}
         for c in left_cols:
             out[f"__l_{c}"] = batch[c] if side == 0 else pa.nulls(n, ltypes[c])
         for c in rcols:
@@ -142,8 +140,7 @@ def asof_join(left_ds, right_ds, on, left_ts: str, right_ts: str,
         return emit(part.take(pa.array(left_orig)),
                     part.take(pa.array(right_orig)))
 
-    return tagged.groupby("__part").map_groups(merge_partition,
-                                               batch_format="pyarrow")
+    return partition_map(tagged, "__key", merge_partition, P)
 
 
 def range_join(ds, intervals: pa.Table, value_col: str,
@@ -237,13 +234,11 @@ def lag_delta(ds, key: str, ts: str, id_col: str, out_col: str = "delta",
     run-boundary diff handles every key in the partition at once (see
     ``pipelines/partition.py``; the old per-key ``map_groups`` paid a Python
     call per key). Partitioning assumption: one partition fits a worker."""
-    from raycontract.pipelines.partition import (key_codes,
-                                                 with_partition_column)
+    from raycontract.pipelines.partition import key_codes, partition_map
 
     cols = list(ds.schema().names)
 
     def per_partition(part: pa.Table) -> pa.Table:
-        part = part.drop_columns(["__part"])
         n = part.num_rows
         if n == 0:
             return part.append_column(out_col, pa.array([], pa.int64()))
@@ -261,10 +256,8 @@ def lag_delta(ds, key: str, ts: str, id_col: str, out_col: str = "delta",
             first[1:] = ks[1:] != ks[:-1]   # key boundary → no predecessor
         return g.append_column(out_col, pa.array(vals, mask=first))
 
-    parted = with_partition_column(ds.select_columns(cols), key,
-                                   num_partitions)
-    return parted.groupby("__part").map_groups(per_partition,
-                                               batch_format="pyarrow")
+    return partition_map(ds.select_columns(cols), key, per_partition,
+                         num_partitions)
 
 
 def broadcast_hash_join(ds, small: pa.Table, on, how: str = "inner",

@@ -67,6 +67,73 @@ def with_partition_column(ds, key: str, num_partitions: Optional[int] = None,
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def _split_block_task(block, key: str, num_partitions: int):
+    """Wave 1 of the manual exchange: slice ONE block into per-partition
+    tables by key hash (returned via ray num_returns)."""
+    t = pa.table(block)
+    if t.num_rows == 0:
+        return tuple([t] * num_partitions)
+    codes = hash_partition_codes(t[key], num_partitions)
+    return tuple(t.filter(pa.array(codes == p)) for p in range(num_partitions))
+
+
+def _merge_apply_task(kernel, *slices):
+    """Wave 2: concatenate one partition's slices and run the kernel."""
+    parts = [pa.table(s) for s in slices]
+    merged = pa.concat_tables(parts, promote_options="default")
+    return kernel(merged)
+
+
+def partition_map(ds, key: str, kernel, num_partitions: Optional[int] = None,
+                  manual_block_limit: int = 1024):
+    """Apply ``kernel(table) -> table`` once per key-hash PARTITION, with all
+    rows of a key co-located.
+
+    Two execution shapes, picked by input block count:
+
+    - **manual 2-wave exchange** (≤ ``manual_block_limit`` blocks): one split
+      task per block (``num_returns=P`` key-hash slices) + one merge task per
+      partition. Ray's sort-based ``groupby().map_groups`` costs seconds of
+      fixed machinery even on 100k rows (measured 3-13 s at sf0.1); the
+      manual exchange is exactly 2 task waves and runs in well under a
+      second at those sizes. B×P slice objects bound the small path.
+    - **keyed groupby fallback** (larger inputs): ``groupby("__part")
+      .map_groups`` — Ray's hierarchical sort shuffle with spilling, the
+      right machinery once B×P object-count would explode (the 100-TB
+      shape).
+
+    Both shapes invoke the kernel once per PARTITION (P ~ cluster cores),
+    never once per key. Partitioning assumption: one partition fits a
+    worker's heap — size ``num_partitions`` to data volume.
+    """
+    import ray
+    import ray.data as rd
+
+    P = num_partitions or default_num_partitions()
+    refs = ds.to_arrow_refs()
+    if len(refs) <= manual_block_limit:
+        split_remote = ray.remote(num_cpus=1)(_split_block_task)
+        merge_remote = ray.remote(num_cpus=1)(_merge_apply_task)
+        outs = []
+        for r in refs:
+            o = split_remote.options(num_returns=P).remote(r, key, P)
+            outs.append([o] if P == 1 else o)
+        futs = [merge_remote.remote(kernel, *[outs[b][p] for b in range(len(outs))])
+                for p in range(P)]
+        return rd.from_arrow_refs(futs)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", pa.array(hash_partition_codes(batch[key], P)))
+
+    def run(part: pa.Table) -> pa.Table:
+        return kernel(part.drop_columns(["__part"]))
+
+    return (rd.from_arrow_refs(refs)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part").map_groups(run, batch_format="pyarrow"))
+
+
 def key_codes(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """int64 codes identifying equal keys within ONE in-memory table
     (dictionary indices — first-appearance order, fine for run detection,

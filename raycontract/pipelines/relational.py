@@ -186,7 +186,7 @@ def sessionize_events(events_ds, gap_minutes: int = 30,
 
     Output: (user_id, session_id starting at 1 per user, n_events,
     session_start, session_end)."""
-    from raycontract.pipelines.partition import with_partition_column
+    from raycontract.pipelines.partition import partition_map
 
     gap_us = np.int64(gap_minutes) * 60 * 1_000_000
     ts_type = None
@@ -234,10 +234,8 @@ def sessionize_events(events_ds, gap_minutes: int = 30,
                 pa.timestamp("us")), ts_type),
         })
 
-    parted = with_partition_column(
-        events_ds.select_columns(["user_id", "ts"]), "user_id", num_partitions)
-    return parted.groupby("__part").map_groups(per_partition,
-                                               batch_format="pyarrow")
+    return partition_map(events_ds.select_columns(["user_id", "ts"]),
+                         "user_id", per_partition, num_partitions)
 
 
 def heavy_hitters_users(events_ds, k: int = 10):
