@@ -45,28 +45,27 @@ def pricing_summary(lineitem_ds):
         ).rename_columns(["l_returnflag", "l_linestatus", "sum_qty_cents",
                           "sum_price_cents", "sum_disc_bp", "count_order"])
 
+    from raycontract.pipelines.smallagg import groupby_sum
+
     partials = lineitem_ds.select_columns(
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
     ).map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty_cents", alias_name="sum_qty_cents"),
-        Sum("sum_price_cents", alias_name="sum_price_cents"),
-        Sum("sum_disc_bp", alias_name="sum_disc_bp"),
-        Sum("count_order", alias_name="count_order"),
-    )
+    return groupby_sum(partials, ["l_returnflag", "l_linestatus"],
+                       ["sum_qty_cents", "sum_price_cents", "sum_disc_bp",
+                        "count_order"])
 
 
 def top_customers_by_revenue(orders_ds, customer_ds, k: int = 10):
-    """Broadcast join orders→customer + grouped sum + top-k.
+    """Grouped revenue sum (pre-aggregated) + driver-side top-k + dimension
+    attach.
 
     customer is the small side: materialized ONCE as a zero-copy Arrow table
-    (never Python row dicts), broadcast via the shared
-    :func:`raycontract.pipelines.joins.broadcast_hash_join` and joined per
-    batch with ``pyarrow.Table.join`` — the pattern users should copy for
-    star-schema lookups. Output: (c_custkey, c_name, revenue_cents) ordered
-    by revenue desc, key asc (deterministic)."""
-    from raycontract.pipelines.joins import broadcast_hash_join
-
+    (never Python row dicts) and joined with ``pyarrow.Table.join`` — the
+    star-schema lookup shape (for a Dataset-scale probe side use
+    :func:`raycontract.pipelines.joins.broadcast_hash_join`; here the probe
+    is the k-row top list, so it finishes on the driver). Output:
+    (c_custkey, c_name, revenue_cents) ordered by revenue desc, key asc
+    (deterministic)."""
     cust_refs = customer_ds.select_columns(["c_custkey", "c_name"]).to_arrow_refs()
     cust = pa.concat_tables(ray.get(cust_refs))
 
@@ -78,21 +77,32 @@ def top_customers_by_revenue(orders_ds, customer_ds, k: int = 10):
         return t.group_by(["o_custkey"]).aggregate([("rev_c", "sum")]).rename_columns(
             ["o_custkey", "revenue_cents"])
 
+    from raycontract.pipelines.smallagg import groupby_sum
+
     partials = orders_ds.select_columns(["o_custkey", "o_totalprice"]).map_batches(
         partial, batch_format="pyarrow")
-    agg = partials.groupby("o_custkey").aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-    top = agg.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(k)
-    joined = broadcast_hash_join(top, cust, on=("o_custkey", "c_custkey"),
-                                 how="inner", concurrency=1)
+    agg = groupby_sum(partials, ["o_custkey"], ["revenue_cents"])
+    # post-aggregate table is bounded by the customer-dimension size (the
+    # same small-side assumption that lets ``cust`` broadcast), so the top-k
+    # + dimension attach finish driver-side with zero-copy Arrow kernels —
+    # no extra Ray executions for a k-row result. For a LARGE dimension use
+    # joins.broadcast_hash_join over the Dataset instead (orders_with_nation
+    # shows that pattern).
+    import ray.data as rd
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        return pa.table({"c_custkey": batch["o_custkey"],
-                         "c_name": batch["c_name"],
-                         "revenue_cents": batch["revenue_cents"]})
-
+    t = pa.concat_tables([pa.table(x) for x in ray.get(agg.to_arrow_refs())],
+                         promote_options="default")
+    order = pc.sort_indices(t, sort_keys=[("revenue_cents", "descending"),
+                                          ("o_custkey", "ascending")])
+    top_t = t.take(order.slice(0, k))
+    joined = top_t.join(cust, keys="o_custkey", right_keys="c_custkey")
+    out = pa.table({"c_custkey": joined["o_custkey"],
+                    "c_name": joined["c_name"],
+                    "revenue_cents": joined["revenue_cents"]})
     # pa.Table.join does not guarantee row order — re-sort the k-row result
-    return joined.map_batches(finalize, batch_format="pyarrow").sort(
-        ["revenue_cents", "c_custkey"], descending=[True, False])
+    out = out.take(pc.sort_indices(out, sort_keys=[
+        ("revenue_cents", "descending"), ("c_custkey", "ascending")]))
+    return rd.from_arrow(out)
 
 
 def events_hourly(events_ds):
@@ -114,12 +124,12 @@ def events_hourly(events_ds):
             [("value_c", "sum"), ("n", "sum")]
         ).rename_columns(["event_type", "hour", "sum_value_cents", "n_events"])
 
+    from raycontract.pipelines.smallagg import groupby_sum
+
     partials = events_ds.select_columns(["event_type", "ts", "value"]).map_batches(
         partial, batch_format="pyarrow")
-    return partials.groupby(["event_type", "hour"]).aggregate(
-        Sum("sum_value_cents", alias_name="sum_value_cents"),
-        Sum("n_events", alias_name="n_events"),
-    )
+    return groupby_sum(partials, ["event_type", "hour"],
+                       ["sum_value_cents", "n_events"])
 
 
 def sliding_window_agg(events_ds, window_s: int = 3600, slide_s: int = 1800,
@@ -163,12 +173,12 @@ def sliding_window_agg(events_ds, window_s: int = 3600, slide_s: int = 1800,
                          "n_events": pa.array(cnts),
                          "sum_value_cents": pa.array(sums)})
 
+    from raycontract.pipelines.smallagg import groupby_sum
+
     partials = events_ds.select_columns([ts_col, value_col]).map_batches(
         partial, batch_format="pyarrow")
-    return partials.groupby("window_start_us").aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value_cents", alias_name="sum_value_cents"),
-    )
+    return groupby_sum(partials, ["window_start_us"],
+                       ["n_events", "sum_value_cents"])
 
 
 def sessionize_events(events_ds, gap_minutes: int = 30,
@@ -247,8 +257,12 @@ def heavy_hitters_users(events_ds, k: int = 10):
         return pa.table({"user_id": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
+    from raycontract.pipelines.smallagg import groupby_sum
+
     partials = events_ds.select_columns(["user_id"]).map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby("user_id").aggregate(Sum("n", alias_name="n_events"))
+    agg = groupby_sum(partials, ["user_id"], ["n"]).map_batches(
+        lambda b: b.rename_columns(["user_id", "n_events"]),
+        batch_format="pyarrow")
     return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
 
 
@@ -305,8 +319,12 @@ def duplicate_user_events(events_ds):
         return pa.table({"user_id": vc.field("values"),
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
+    from raycontract.pipelines.smallagg import groupby_sum
+
     partials = events_ds.select_columns(["user_id"]).map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby("user_id").aggregate(Sum("n", alias_name="n_events"))
+    agg = groupby_sum(partials, ["user_id"], ["n"]).map_batches(
+        lambda b: b.rename_columns(["user_id", "n_events"]),
+        batch_format="pyarrow")
 
     def keep_dups(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater(batch["n_events"], 1))
