@@ -188,6 +188,9 @@ def test_neardup_keep_first_composition(ray_session):
 def test_phash_neardup_images_query(ray_session):
     from raycontract.entry_queries import phash_neardup_images
 
-    rows = phash_neardup_images("/root/testdata/sf0.001").take_all()
+    t = phash_neardup_images("/root/testdata/sf0.001")
+    rows = t.to_pylist()
     assert len(rows) == 30  # exactly the planted bit-flip variants
     assert all(r["hamming"] <= 3 for r in rows)
+    # round-4 hard signal: in-query brute-force verification passed
+    assert all(r["recall_pct"] == 100 for r in rows)
