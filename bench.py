@@ -178,8 +178,12 @@ servers:
     # the headline against current host conditions (peak ≈ 4700-5600 img/s)
     out["calib_1proc_img_per_sec"] = round(machine_calibration(1), 1)
     if os.environ.get("RAY_GRAFT_CALIBRATE"):
-        # multi-worker machine capacity for the scaling report
-        out["calib_img_per_sec"] = round(machine_calibration(max(2, ncpu - 2)), 1)
+        # multi-worker machine capacity for the scaling report — EXACTLY ncpu
+        # plain processes, so capacity_ratio spans the same 4x worker range
+        # as the pipeline configs (the former ncpu-2 calibration compared a
+        # 4x pipeline span against a 6->30 = 5x capacity span, biasing
+        # scaling_efficiency_vs_machine low by ~20%)
+        out["calib_img_per_sec"] = round(machine_calibration(ncpu), 1)
     return out
 
 
