@@ -216,3 +216,49 @@ def test_asof_join_high_cardinality_matches_pandas(ray_session):
         got_rts = right.to_pandas().set_index("rid").loc[
             got["rid"].astype("int64")]["rts"].values
         assert (got_rts == want["rts"].astype("int64").values).all()
+
+
+# ------------------------------- both shapes of partition_map / groupby_sum
+def test_partition_map_groupby_fallback_matches_manual(ray_session):
+    from raycontract.pipelines.partition import partition_map
+
+    rng = np.random.default_rng(23)
+    t = pa.table({"k": rng.integers(0, 50, 5000),
+                  "v": rng.integers(0, 1000, 5000)})
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        return (part.group_by("k").aggregate([("v", "sum")])
+                .rename_columns(["k", "s"]))
+
+    manual = partition_map(rd.from_arrow(t), "k", kernel,
+                           num_partitions=8).to_pandas()
+    fallback = partition_map(rd.from_arrow(t), "k", kernel,
+                             num_partitions=8,
+                             manual_block_limit=0).to_pandas()
+    a = manual.sort_values("k").reset_index(drop=True)
+    b = fallback.sort_values("k").reset_index(drop=True)
+    assert (a["k"].values == b["k"].values).all()
+    assert (a["s"].astype("int64").values == b["s"].astype("int64").values).all()
+    # groundtruth
+    want = t.to_pandas().groupby("k", as_index=False)["v"].sum()
+    assert (a["s"].astype("int64").values == want["v"].values).all()
+
+
+def test_groupby_sum_distributed_fallback_matches_driver(ray_session):
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    rng = np.random.default_rng(29)
+    t = pa.table({"g": rng.integers(0, 30, 4000).astype("int64"),
+                  "n": rng.integers(0, 100, 4000).astype("int64")})
+    ds = rd.from_arrow(t)
+    drv = groupby_sum(ds, ["g"], ["n"]).to_pandas()
+    dist = groupby_sum(ds, ["g"], ["n"], driver_limit=0).to_pandas()
+    a = drv.sort_values("g").reset_index(drop=True)
+    b = dist.sort_values("g").reset_index(drop=True)
+    assert (a["g"].values == b["g"].values).all()
+    assert (a["n"].astype("int64").values == b["n"].astype("int64").values).all()
+    want = t.to_pandas().groupby("g", as_index=False)["n"].sum()
+    assert (a["n"].astype("int64").values == want["n"].values).all()
