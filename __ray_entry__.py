@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints_documents": q.fingerprints_documents,
         "image_features_sample": q.image_features_sample,
         "audio_features_sample": q.audio_features_sample,
+        "video_frames_sample": q.video_frames_sample,
     }
 
 

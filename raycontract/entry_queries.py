@@ -1663,3 +1663,50 @@ def audio_features_sample(sf_dir: str):
         })
 
     return feats.map_batches(rounded, batch_format="pyarrow")
+
+
+def _video_fixture_table(n: int = 24) -> pa.Table:
+    """Deterministic y4m corpus: moving-gradient clips of varying length
+    (self-synthesized — no external data), one corrupt payload per 12."""
+    from raycontract.functions.video import encode_y4m
+
+    ids, blobs = [], []
+    for i in range(n):
+        ids.append(i)
+        if i % 12 == 11:
+            blobs.append(b"YUV4MPEG2 truncated")  # corrupt: decoded_ok=False
+            continue
+        frames_n, h, w = 31 + (i % 4) * 30, 24, 32
+        base = np.add.outer(np.arange(h), np.arange(w)) % 256
+        clip = ((base[None] + np.arange(frames_n)[:, None, None] * (2 + i % 5))
+                % 256).astype(np.uint8)
+        blobs.append(encode_y4m(clip, fps=(30, 1)))
+    return pa.table({"video_id": pa.array(ids, type=pa.int64()),
+                     "bytes": pa.array(blobs, type=pa.binary()),
+                     "codec": pa.array(["y4m"] * n)})
+
+
+def video_frames_sample(sf_dir: str):
+    """REAL YUV4MPEG2 decode + every-30th-frame sampling over an actor pool
+    (sf_dir sets scale only; the clip corpus is deterministic). Emits
+    integer-exact columns (frame_idx, dims, luma in millis, phash)."""
+    from raycontract.pipelines.multimodal import video_frame_features
+
+    ds = rd.from_arrow(_video_fixture_table())
+    feats = video_frame_features(ds, id_col="video_id", every_n=30)
+
+    def shaped(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({
+            "video_id": batch["video_id"],
+            "frame_idx": batch["frame_idx"],
+            "w": batch["w"],
+            "h": batch["h"],
+            "mean_luma_milli": _pc.cast(
+                _pc.round(_pc.multiply(batch["mean_luma"], 1000.0)), pa.int64()),
+            "frame_phash": batch["frame_phash"],
+            "decoded_ok": batch["decoded_ok"],
+        })
+
+    return feats.map_batches(shaped, batch_format="pyarrow")

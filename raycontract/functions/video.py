@@ -1,0 +1,157 @@
+"""Pure-numpy YUV4MPEG2 (.y4m) video codec — a REAL uncompressed video
+format, no external libraries.
+
+YUV4MPEG2 is the mjpegtools interchange format (public spec, `man yuv4mpeg`):
+an ASCII stream header ``YUV4MPEG2 W<w> H<h> F<num>:<den> [Ix Aa:b C<cs>]\\n``
+followed by frames, each ``FRAME[ params]\\n`` + raw planar YUV bytes. We
+support the common chroma layouts: ``C420``/``C420jpeg``/``C420mpeg2``/
+``C420paldv`` (all stored identically: half-res U,V planes), ``C422``,
+``C444`` and ``Cmono``. Grayscale round-trips are bit-exact; RGB uses BT.601
+full-range conversion (reference semantics for the frame-feature stages,
+which operate on luma).
+
+Closes the reference's multimodal gap the honest way: raw video decodes for
+real; compressed codecs (h264/vp9/...) still raise ``NotImplementedError``
+in the pipeline stage (no codec libs offline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class VideoDecodeError(ValueError):
+    pass
+
+
+_MAGIC = b"YUV4MPEG2"
+
+
+def rgb_to_yuv(rgb: np.ndarray) -> np.ndarray:
+    """BT.601 full-range RGB(uint8, h×w×3) → YUV(uint8, h×w×3)."""
+    f = rgb.astype(np.float64)
+    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    u = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128.0
+    v = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128.0
+    return np.clip(np.stack([y, u, v], axis=-1) + 0.5, 0, 255).astype(np.uint8)
+
+
+def yuv_to_rgb(yuv: np.ndarray) -> np.ndarray:
+    """Inverse BT.601 full-range YUV(uint8) → RGB(uint8)."""
+    f = yuv.astype(np.float64)
+    y, u, v = f[..., 0], f[..., 1] - 128.0, f[..., 2] - 128.0
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    return np.clip(np.stack([r, g, b], axis=-1) + 0.5, 0, 255).astype(np.uint8)
+
+
+def _plane_dims(w: int, h: int, cs: str) -> tuple[int, int]:
+    """(chroma_w, chroma_h) for a chroma-subsampling tag."""
+    if cs.startswith("420"):
+        return (w + 1) // 2, (h + 1) // 2
+    if cs.startswith("422"):
+        return (w + 1) // 2, h
+    if cs.startswith("444"):
+        return w, h
+    if cs == "mono":
+        return 0, 0
+    raise VideoDecodeError(f"unsupported y4m chroma layout C{cs}")
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1),
+               chroma: str = "444") -> bytes:
+    """Encode frames → .y4m bytes.
+
+    ``frames``: uint8 array, (n, h, w) grayscale (written ``Cmono``,
+    bit-exact round-trip) or (n, h, w, 3) RGB (converted BT.601, stored at
+    the requested ``chroma`` layout; '444' keeps full chroma).
+    """
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        mono = True
+        n, h, w = frames.shape
+        cs = "mono"
+    elif frames.ndim == 4 and frames.shape[-1] == 3:
+        mono = False
+        n, h, w, _ = frames.shape
+        cs = chroma
+        if cs not in ("420", "420jpeg", "422", "444"):
+            raise ValueError(f"unsupported encode chroma {chroma!r}")
+    else:
+        raise ValueError("frames must be (n,h,w) gray or (n,h,w,3) RGB uint8")
+    out = [b"%s W%d H%d F%d:%d Ip A1:1 C%s\n"
+           % (_MAGIC, w, h, fps[0], fps[1], cs.encode())]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        if mono:
+            out.append(frames[i].tobytes())
+        else:
+            yuv = rgb_to_yuv(frames[i])
+            out.append(yuv[..., 0].tobytes())
+            cw, ch = _plane_dims(w, h, cs)
+            for c in (1, 2):
+                plane = yuv[..., c].astype(np.float64)
+                # average-pool to the chroma grid (box filter, the classic
+                # mjpegtools decimation)
+                sy = max(1, round(h / ch))
+                sx = max(1, round(w / cw))
+                pooled = plane[: ch * sy, : cw * sx].reshape(ch, sy, cw, sx).mean(axis=(1, 3))
+                out.append(np.clip(pooled + 0.5, 0, 255).astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int], str]:
+    """Decode .y4m bytes → (frames, fps, chroma).
+
+    ``frames``: (n, h, w) uint8 for ``Cmono`` streams, else (n, h, w, 3)
+    uint8 YUV with chroma planes replicated back to full resolution
+    (nearest-neighbour upsample — what yuv4mpeg consumers do for display).
+    Use :func:`yuv_to_rgb` if RGB is needed.
+    """
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(_MAGIC):
+        raise VideoDecodeError("not a YUV4MPEG2 stream")
+    w = h = 0
+    fps = (30, 1)
+    cs = "420jpeg"  # spec default when C is absent
+    for tok in data[len(_MAGIC):nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps = (int(num), int(den))
+        elif t[0] == "C":
+            cs = t[1:]
+    if w <= 0 or h <= 0:
+        raise VideoDecodeError("missing W/H in y4m header")
+    cw, ch = _plane_dims(w, h, cs)
+    ysz, csz = w * h, cw * ch
+    frames = []
+    pos = nl + 1
+    n = len(data)
+    while pos < n:
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data.startswith(b"FRAME", pos):
+            raise VideoDecodeError("corrupt y4m frame header")
+        pos = fnl + 1
+        need = ysz + 2 * csz
+        if pos + need > n:
+            raise VideoDecodeError("truncated y4m frame payload")
+        yp = np.frombuffer(data, np.uint8, ysz, pos).reshape(h, w)
+        if cs == "mono":
+            frames.append(yp)
+        else:
+            up = np.frombuffer(data, np.uint8, csz, pos + ysz).reshape(ch, cw)
+            vp = np.frombuffer(data, np.uint8, csz, pos + ysz + csz).reshape(ch, cw)
+            sy, sx = (h + ch - 1) // ch, (w + cw - 1) // cw
+            u = np.repeat(np.repeat(up, sy, axis=0), sx, axis=1)[:h, :w]
+            v = np.repeat(np.repeat(vp, sy, axis=0), sx, axis=1)[:h, :w]
+            frames.append(np.stack([yp, u, v], axis=-1))
+        pos += need
+    if not frames:
+        raise VideoDecodeError("y4m stream has no frames")
+    return np.stack(frames), fps, cs

@@ -3,10 +3,12 @@
 Images are real (vendored numpy codecs, raycontract.functions.codecs).
 Audio is REAL for WAV/PCM (stdlib RIFF decode — duration/rms/peak/zcr/
 silence features); compressed audio codecs raise ``NotImplementedError``
-(honest: mp3/ogg decoders aren't in this container). Video decode is a STUB
-behind ``NotImplementedError`` with real Ray-side plumbing (schemas, actor
-signature, small-batch sizing for wide binary rows, output layout), so a
-proper decoder drops in without touching the pipeline.
+(honest: mp3/ogg decoders aren't in this container). Video is REAL for
+uncompressed YUV4MPEG2 streams (`functions/video.py`, pure numpy — frame
+sampling, per-frame luma stats + phash); compressed video codecs raise
+``NotImplementedError`` with the same Ray-side plumbing (schemas, actor
+signature, small-batch sizing for wide binary rows), so a proper decoder
+drops in without touching the pipeline.
 """
 
 from __future__ import annotations
@@ -197,29 +199,102 @@ def audio_features(ds, id_col="audio_id", bytes_col="bytes", codec_col="codec",
 
 
 class VideoFrameSampler:
-    """STUB: frame-sampling plumbing for video binary columns (no codec lib).
+    """Actor-pool stage: sample every ``every_n``-th frame of each video.
 
-    Output layout (id, frame_idx:int32, frame_bytes:binary) is the real
-    contract; decode raises unless ``deterministic_fake``."""
+    REAL for uncompressed YUV4MPEG2 streams (codec ``'y4m'``, or sniffed by
+    magic — :mod:`raycontract.functions.video`, pure numpy); compressed
+    codecs (h264/vp9/av1/...) raise ``NotImplementedError`` unless
+    ``deterministic_fake=True`` (honest stub: no codec libs offline).
+
+    Output per sampled frame: (id, frame_idx:int32, w:int32, h:int32,
+    mean_luma:float64, frame_phash:int64, frame_bytes:binary = raw luma
+    plane, decoded_ok:bool). Use small ``batch_size`` — video rows are the
+    widest payloads in the engine.
+    """
 
     def __init__(self, id_col: str = "video_id", bytes_col: str = "bytes",
-                 every_n: int = 30, deterministic_fake: bool = False):
+                 every_n: int = 30, deterministic_fake: bool = False,
+                 codec_col: Optional[str] = "codec"):
+        from raycontract.functions import codecs, video
+
         self.id_col, self.bytes_col, self.every_n = id_col, bytes_col, every_n
+        self.codec_col = codec_col
         self.fake = deterministic_fake
+        self.video = video
+        self.codecs = codecs
+
+    def _emit(self, out: dict, vid, idx: int, w: int, h: int,
+              luma: Optional[np.ndarray], blob: bytes, ok: bool) -> None:
+        out["id"].append(vid)
+        out["frame_idx"].append(idx)
+        out["w"].append(w)
+        out["h"].append(h)
+        if luma is not None:
+            out["mean_luma"].append(float(luma.mean()))
+            small = self.codecs._area_resize_gray(luma[..., None].repeat(3, -1), 32)
+            out["frame_phash"].append(int(self.codecs.phash64_batch(small[None])[0]))
+            out["frame_bytes"].append(luma.tobytes())
+        else:
+            out["mean_luma"].append(0.0)
+            out["frame_phash"].append(0)
+            out["frame_bytes"].append(blob)
+        out["decoded_ok"].append(ok)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "video decode requires an external codec library not available "
-                "in this environment; construct with deterministic_fake=True"
-            )
-        ids, fidx, frames = [], [], []
-        for i, b in zip(batch[self.id_col].to_pylist(), batch[self.bytes_col].to_pylist()):
-            n_frames = max(len(b or b"") // 1024, 1)
-            for f in range(0, n_frames, self.every_n):
-                ids.append(i)
-                fidx.append(f)
-                frames.append((b or b"")[f * 16 : f * 16 + 64])
-        return pa.table({self.id_col: pa.array(ids),
-                         "frame_idx": pa.array(fidx, type=pa.int32()),
-                         "frame_bytes": pa.array(frames, type=pa.binary())})
+        blobs = batch[self.bytes_col].to_pylist()
+        codecs_ = (batch[self.codec_col].to_pylist()
+                   if self.codec_col and self.codec_col in batch.column_names
+                   else [None] * len(blobs))
+        out: dict = {k: [] for k in ("id", "frame_idx", "w", "h", "mean_luma",
+                                     "frame_phash", "frame_bytes", "decoded_ok")}
+        for vid, b, codec in zip(batch[self.id_col].to_pylist(), blobs, codecs_):
+            c = (codec or "").lower()
+            if not c and b is not None and b.startswith(b"YUV4MPEG2"):
+                c = "y4m"
+            if c in ("y4m", "yuv4mpeg2", "raw"):
+                try:
+                    frames, _fps, _cs = self.video.decode_y4m(b)
+                except Exception:
+                    self._emit(out, vid, 0, 0, 0, None, b or b"", False)
+                    continue
+                lumas = frames if frames.ndim == 3 else frames[..., 0]
+                for f in range(0, lumas.shape[0], self.every_n):
+                    self._emit(out, vid, f, lumas.shape[2], lumas.shape[1],
+                               lumas[f], b"", True)
+            elif self.fake:
+                n_frames = max(len(b or b"") // 1024, 1)
+                for f in range(0, n_frames, self.every_n):
+                    self._emit(out, vid, f, 0, 0, None,
+                               (b or b"")[f * 16: f * 16 + 64], False)
+            else:
+                raise NotImplementedError(
+                    f"video codec {c or 'unknown'!r} needs an external decoder "
+                    "not available offline (uncompressed YUV4MPEG2 is fully "
+                    "supported; or construct with deterministic_fake=True)")
+        return pa.table({
+            self.id_col: pa.array(out["id"]),
+            "frame_idx": pa.array(out["frame_idx"], type=pa.int32()),
+            "w": pa.array(out["w"], type=pa.int32()),
+            "h": pa.array(out["h"], type=pa.int32()),
+            "mean_luma": pa.array(out["mean_luma"], type=pa.float64()),
+            "frame_phash": pa.array(out["frame_phash"], type=pa.int64()),
+            "frame_bytes": pa.array(out["frame_bytes"], type=pa.binary()),
+            "decoded_ok": pa.array(out["decoded_ok"], type=pa.bool_()),
+        })
+
+
+def video_frame_features(ds, id_col="video_id", bytes_col="bytes",
+                         codec_col="codec", every_n: int = 30,
+                         batch_size: int = 16, concurrency=(1, 8)):
+    """Actor-pool video frame-sampling pipeline.
+
+    ``batch_size`` defaults tiny: a 10 s 640×360 y4m clip is ~100 MB, so a
+    16-row batch already carries ~1.6 GB — at 100 TB the knob that matters
+    is rows-per-batch × concurrency fitting the worker heap.
+    """
+    cols = [id_col, bytes_col] + ([codec_col] if codec_col else [])
+    return ds.select_columns(cols).map_batches(
+        VideoFrameSampler,
+        fn_constructor_args=(id_col, bytes_col, every_n, False, codec_col),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )

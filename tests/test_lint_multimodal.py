@@ -44,8 +44,8 @@ models:
 
 
 def test_multimodal_stubs(ray_session):
-    """r2: WAV audio is REAL now (see the tests below); compressed codecs
-    and video decode remain honest stubs."""
+    """r2: WAV audio is REAL; r4: y4m video is REAL (tests below).
+    Compressed codecs remain honest NotImplementedError stubs."""
     from raycontract.pipelines.multimodal import AudioFeatures, VideoFrameSampler
 
     # non-WAV payload under the (default) wav codec: decode fails SOFTLY
@@ -55,12 +55,118 @@ def test_multimodal_stubs(ray_session):
     assert out["decoded_ok"][0].as_py() is False
     assert "rms" in out.column_names and "zcr" in out.column_names
 
+    # compressed/unknown video bytes: hard NotImplementedError without fake
     vbatch = pa.table({"video_id": pa.array(["v1"]),
                        "bytes": pa.array([b"\x00" * 4096], type=pa.binary())})
     with pytest.raises(NotImplementedError):
         VideoFrameSampler()(vbatch)
     frames = VideoFrameSampler(deterministic_fake=True)(vbatch)
-    assert frames.column_names == ["video_id", "frame_idx", "frame_bytes"]
+    assert frames["decoded_ok"].to_pylist() == [False]
+    assert set(frames.column_names) >= {"video_id", "frame_idx", "frame_bytes"}
+
+
+# ---------------------------------------------------- real y4m video (r4)
+
+
+def _synthetic_clip(n=64, h=24, w=32, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # moving-gradient frames: deterministic, content differs per frame
+    base = np.add.outer(np.arange(h), np.arange(w)) % 256
+    return ((base[None] + np.arange(n)[:, None, None] * 3
+             + rng.integers(0, 2, (n, 1, 1))) % 256).astype(np.uint8)
+
+
+def test_y4m_mono_roundtrip_bit_exact():
+    import numpy as np
+
+    from raycontract.functions.video import decode_y4m, encode_y4m
+
+    frames = _synthetic_clip()
+    blob = encode_y4m(frames, fps=(25, 1))
+    got, fps, cs = decode_y4m(blob)
+    assert cs == "mono" and fps == (25, 1)
+    assert np.array_equal(got, frames)
+
+
+def test_y4m_rgb_444_and_420():
+    import numpy as np
+
+    from raycontract.functions.video import (decode_y4m, encode_y4m,
+                                             rgb_to_yuv, yuv_to_rgb)
+
+    rng = np.random.default_rng(3)
+    # 2×2-constant blocks: chroma is smooth at the 420 grid, so subsampling
+    # loss stays at rounding level (random per-pixel chroma would not)
+    rgb = np.repeat(np.repeat(
+        rng.integers(0, 256, (4, 8, 8, 3), dtype=np.uint8), 2, 1), 2, 2)
+    # C444 preserves full-resolution chroma: YUV round-trips exactly
+    got, _, cs = decode_y4m(encode_y4m(rgb, chroma="444"))
+    assert cs == "444"
+    assert np.array_equal(got, np.stack([rgb_to_yuv(f) for f in rgb]))
+    # C420 subsamples chroma but keeps luma bit-exact
+    got420, _, cs420 = decode_y4m(encode_y4m(rgb, chroma="420"))
+    assert cs420 == "420"
+    assert np.array_equal(got420[..., 0],
+                          np.stack([rgb_to_yuv(f)[..., 0] for f in rgb]))
+    # and the RGB reconstruction stays close (chroma box-filter loss only)
+    back = yuv_to_rgb(got420[0])
+    assert float(np.mean(np.abs(back.astype(int) - rgb[0].astype(int)))) < 16
+
+
+def test_y4m_truncated_and_corrupt():
+    from raycontract.functions.video import (VideoDecodeError, decode_y4m,
+                                             encode_y4m)
+
+    blob = encode_y4m(_synthetic_clip(4))
+    with pytest.raises(VideoDecodeError):
+        decode_y4m(blob[: len(blob) - 10])
+    with pytest.raises(VideoDecodeError):
+        decode_y4m(b"RIFF" + blob[4:])
+
+
+def test_video_frame_sampler_real_y4m(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from raycontract.functions.video import encode_y4m
+    from raycontract.pipelines.multimodal import (VideoFrameSampler,
+                                                  video_frame_features)
+
+    clip = _synthetic_clip(n=61)
+    blob = encode_y4m(clip)
+    batch = pa.table({
+        "video_id": pa.array(["v1", "v2"]),
+        "bytes": pa.array([blob, b"\xde\xad"], type=pa.binary()),
+        "codec": pa.array(["y4m", "y4m"]),
+    })
+    out = VideoFrameSampler(every_n=30)(batch)
+    rows = out.to_pylist()
+    v1 = [r for r in rows if r["video_id"] == "v1"]
+    v2 = [r for r in rows if r["video_id"] == "v2"]
+    # 61 frames sampled every 30 → indices 0, 30, 60
+    assert [r["frame_idx"] for r in v1] == [0, 30, 60]
+    assert all(r["decoded_ok"] for r in v1)
+    assert v1[0]["w"] == 32 and v1[0]["h"] == 24
+    assert v1[0]["mean_luma"] == pytest.approx(float(clip[0].mean()))
+    # frame_bytes is the raw luma plane
+    got = np.frombuffer(v1[1]["frame_bytes"], np.uint8).reshape(24, 32)
+    assert np.array_equal(got, clip[30])
+    # distinct frames hash differently; phash is deterministic int64
+    assert v1[0]["frame_phash"] != v1[2]["frame_phash"]
+    # corrupt payload under a real codec: soft-fail row, pipeline continues
+    assert v2 == [{"video_id": "v2", "frame_idx": 0, "w": 0, "h": 0,
+                   "mean_luma": 0.0, "frame_phash": 0,
+                   "frame_bytes": b"\xde\xad", "decoded_ok": False}]
+
+    # Dataset pipeline shape: codec sniffed from magic when codec col absent
+    ds = rd.from_arrow(pa.table({
+        "video_id": pa.array(["a"]),
+        "bytes": pa.array([blob], type=pa.binary()),
+    }))
+    feats = video_frame_features(ds, codec_col=None, every_n=20).take_all()
+    assert [r["frame_idx"] for r in feats] == [0, 20, 40, 60]
 
 
 def test_image_features_pipeline(ray_session):
