@@ -262,3 +262,50 @@ def test_groupby_sum_distributed_fallback_matches_driver(ray_session):
     assert (a["n"].astype("int64").values == b["n"].astype("int64").values).all()
     want = t.to_pandas().groupby("g", as_index=False)["n"].sum()
     assert (a["n"].astype("int64").values == want["n"].values).all()
+
+
+# ------------------- in-query hard verification of approximate surfaces (r4)
+
+
+def test_hardened_approx_queries_emit_verification_columns(ray_session):
+    """Every remaining approximate query runs its exact twin IN-QUERY and
+    emits deterministic verification columns (VERDICT r3 #8 pattern extended
+    to the ANN / sketch / minhash / simhash family)."""
+    from raycontract import entry_queries as q
+
+    sf = "/root/testdata/sf0.001"
+
+    hll = q.approx_distinct_hll(sf).to_pandas()
+    assert {"approx_distinct", "exact_distinct", "err_permille"} <= set(hll.columns)
+    assert (hll["err_permille"].abs() <= 50).all()  # ≤5% enforced in-query
+
+    td = q.quantiles_totalprice(sf).to_pandas()
+    assert {"value", "exact_value", "rank_err_permille"} <= set(td.columns)
+    assert (td["rank_err_permille"] <= 10).all()
+
+    for fn, label in [(q.lsh_knn_embeddings, "lsh"), (q.ivf_knn_embeddings, "ivf")]:
+        ann = fn(sf).to_pandas()
+        assert {"in_exact", "recall_pct"} <= set(ann.columns)
+        assert (ann.groupby("query_id")["recall_pct"].first().mean()) >= 90
+
+    mh = q.minhash_pairs_documents(sf).to_pandas()
+    assert {"jacc_milli", "recall_pct"} <= set(mh.columns)
+    assert (mh["recall_pct"] >= 90).all()
+    assert mh["jacc_milli"].dtype.kind == "i"
+
+    sh = q.simhash_pairs_documents(sf).to_pandas()
+    assert (sh["recall_pct"] == 100).all()  # banding exactness claim
+
+
+def test_hardened_approx_queries_deterministic(ray_session):
+    """The emitted verification columns are integers of deterministic
+    quantities: two invocations hash-match exactly."""
+    import pandas as pd
+
+    from raycontract import entry_queries as q
+
+    sf = "/root/testdata/sf0.001"
+    for fn in [q.minhash_pairs_documents, q.lsh_knn_embeddings,
+               q.approx_distinct_hll]:
+        a, b = fn(sf).to_pandas(), fn(sf).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
