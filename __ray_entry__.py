@@ -31,7 +31,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's CORRECTNESS record caps at 50 entries, so
-    # every oracle-paired query (47, see oracle_sql()) comes FIRST — they get
+    # every oracle-paired query (49, see oracle_sql()) comes FIRST — they get
     # the hard rows+schema+hash gate — and rows-only entries trail, most
     # valuable first (contract_images_validation is the north-star pipeline).
     return {
@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats_documents": q.text_stats_documents,
         "bpe_tokens_documents": q.bpe_tokens_documents,
         "langid_documents": q.langid_documents,
+        "chunk_documents": q.chunk_documents_q,
+        "vocab_topk_documents": q.vocab_topk_documents,
         # curation (PII / split / sampling / decontamination)
         "pii_scan_documents": q.pii_scan_documents,
         "hash_split_documents": q.hash_split_documents,
@@ -158,6 +160,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_documents": q.stratified_sample_documents_sql(),
         "decontaminate_documents": q.decontaminate_documents_sql(),
         "langid_documents": q.langid_documents_sql(),
+        "chunk_documents": q.chunk_documents_q_sql(),
+        "vocab_topk_documents": q.vocab_topk_documents_sql(),
         "quality_counts_documents": q.quality_counts_documents_sql(),
         "repetition_lines_documents": q.repetition_lines_documents_sql(),
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),

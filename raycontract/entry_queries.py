@@ -907,6 +907,36 @@ def fingerprints_documents(sf_dir: str):
     return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def chunk_documents_q(sf_dir: str):
+    """Overlapping word-window chunking (RAG / context-window prep):
+    32-word chunks every 24 words, vectorized list_slice + binary_join."""
+    from raycontract.pipelines.textpipe import chunk_documents
+
+    return chunk_documents(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           chunk_words=32, overlap=8)
+
+
+def chunk_documents_q_sql() -> str:
+    from raycontract.pipelines.textpipe import chunk_documents_sql
+
+    return chunk_documents_sql(chunk_words=32, overlap=8)
+
+
+def vocab_topk_documents(sf_dir: str):
+    """Corpus vocabulary top-100 by term frequency (per-batch value_counts
+    combiner, grouped-sum reduce, deterministic count-desc/word-asc order)."""
+    from raycontract.pipelines.textpipe import vocab_topk
+
+    return vocab_topk(_read(sf_dir, "documents", ["text"]), k=100)
+
+
+def vocab_topk_documents_sql() -> str:
+    return """
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 100"""
+
+
 def langid_documents_sql() -> str:
     """DuckDB twin of LangId: same lowercase + whitespace-split token SET,
     same per-language stopword-intersection score, same (score, lang)

@@ -281,3 +281,91 @@ def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id", window: int
                          "fingerprint": pa.array(outs, type=pa.int64())})
 
     return ds.select_columns([id_col, text_col]).map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_words: int = 32, overlap: int = 8):
+    """Overlapping word-window chunking (RAG / context-window prep): each
+    document becomes ceil-ish ``n_words / stride`` chunks of ``chunk_words``
+    whitespace tokens starting every ``stride = chunk_words - overlap`` words
+    (a chunk exists for every start < n_words; the tail chunk may be short).
+
+    Emits ``(id, chunk_id, chunk_text, n_tokens)``. Fully vectorized: ONE
+    ``split_pattern`` per batch, then one ``list_slice`` + ``binary_join``
+    Arrow kernel pass per chunk ordinal (loop bound = max chunks per doc —
+    O(doc_len/stride), never O(rows)). Matches the DuckDB
+    ``string_split``/``generate_series``/``array_to_string`` oracle exactly,
+    including empty-string token semantics.
+
+    Scale note: pure map-side flat-map — no shuffle; output rows ≈
+    input_words/stride, streamed block by block.
+    """
+    stride = chunk_words - overlap
+    if stride <= 0:
+        raise ValueError("chunk_words must exceed overlap")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], batch[id_col].type),
+                          "chunk_id": pa.array([], pa.int64()),
+                          "chunk_text": pa.array([], pa.string()),
+                          "n_tokens": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        words = pc.split_pattern(batch[text_col], " ")
+        nw = pc.cast(pc.list_value_length(words), pa.int64())
+        max_words = pc.max(nw).as_py()
+        outs = []
+        j = 0
+        while j * stride < max_words:
+            start = j * stride
+            mask = pc.greater(nw, start)
+            sub_words = words.filter(mask)
+            sl = pc.list_slice(sub_words, start, start + chunk_words)
+            outs.append(pa.table({
+                id_col: batch[id_col].filter(mask),
+                "chunk_id": pa.array(np.full(len(sub_words), j, dtype=np.int64)),
+                "chunk_text": pc.binary_join(sl, " "),
+                "n_tokens": pc.min_element_wise(
+                    pc.subtract(nw.filter(mask), start),
+                    pa.scalar(chunk_words, pa.int64())),
+            }))
+            j += 1
+        return pa.concat_tables(outs) if outs else empty
+
+    return ds.select_columns([id_col, text_col]).map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_documents_sql(chunk_words: int = 32, overlap: int = 8,
+                        table: str = "documents", text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`chunk_documents` (1-based inclusive list slices)."""
+    stride = chunk_words - overlap
+    return f"""
+WITH w AS (SELECT {id_col}, string_split({text_col}, ' ') AS words FROM {table}),
+s AS (SELECT {id_col}, words,
+             unnest(generate_series(1, len(words), {stride})) AS start FROM w)
+SELECT {id_col},
+       CAST((start - 1) // {stride} AS BIGINT) AS chunk_id,
+       array_to_string(words[start : start + {chunk_words} - 1], ' ') AS chunk_text,
+       CAST(least(len(words) - start + 1, {chunk_words}) AS BIGINT) AS n_tokens
+FROM s"""
+
+
+def vocab_topk(ds, text_col: str = "text", k: int = 100):
+    """Corpus vocabulary top-k by term frequency (BPE-corpus stats / vocab
+    building): per-batch ``split → list_flatten → value_counts`` partials
+    (the combiner — shuffle volume is the BATCH-distinct vocabulary, zipf-
+    bounded, not the token stream), adaptive grouped-sum reduce, then
+    deterministic top-k (count desc, word asc). Same shape as
+    ``heavy_hitters_users`` (`relational.py`)."""
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch[text_col], " "))
+        vc = pc.value_counts(flat)
+        return pa.table({"word": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.select_columns([text_col]).map_batches(partial, batch_format="pyarrow")
+    agg = groupby_sum(partials, ["word"], ["cnt"])
+    return agg.sort(["cnt", "word"], descending=[True, False]).limit(k)

@@ -190,3 +190,58 @@ def test_repetition_scores(ray_session):
     assert out[2]["dup_line_frac"] == 0.0
     assert out[3]["top_ngram_char_frac"] > 0.5
     assert out[2]["top_ngram_char_frac"] == 0.0
+
+
+def test_chunk_documents_overlap_and_tail(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycontract.pipelines.textpipe import chunk_documents
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "a b c d e f g h i j",   # 10 words -> starts 0,3,6,9 (stride 3)
+            "x y",                    # 2 words -> one short chunk
+            "w",                      # 1 word
+        ]),
+    }))
+    rows = chunk_documents(docs, chunk_words=5, overlap=2).take_all()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    for v in by.values():
+        v.sort(key=lambda r: r["chunk_id"])
+    c1 = by[1]
+    assert [r["chunk_text"] for r in c1] == [
+        "a b c d e", "d e f g h", "g h i j", "j"]
+    assert [r["n_tokens"] for r in c1] == [5, 5, 4, 1]
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2, 3]
+    assert [r["chunk_text"] for r in by[2]] == ["x y"]
+    assert [r["chunk_text"] for r in by[3]] == ["w"]
+
+
+def test_chunk_documents_rejects_bad_overlap(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from raycontract.pipelines.textpipe import chunk_documents
+
+    docs = rd.from_arrow(pa.table({"doc_id": [1], "text": ["a b"]}))
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_words=4, overlap=4)
+
+
+def test_vocab_topk_order_and_ties(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycontract.pipelines.textpipe import vocab_topk
+
+    docs = rd.from_arrow(pa.table({
+        "text": pa.array(["b a b c", "a b z z", "c a"]),
+    }))
+    rows = vocab_topk(docs, k=3).take_all()
+    # a:3 b:3 c:2 z:2 -> count desc, word asc
+    assert [(r["word"], r["cnt"]) for r in rows] == [("a", 3), ("b", 3), ("c", 2)]
