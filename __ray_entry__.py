@@ -31,9 +31,11 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's CORRECTNESS record caps at 50 entries, so
-    # every oracle-paired query (49, see oracle_sql()) comes FIRST — they get
-    # the hard rows+schema+hash gate — and rows-only entries trail, most
-    # valuable first (contract_images_validation is the north-star pipeline).
+    # 49 oracle-paired queries come FIRST — they get the hard
+    # rows+schema+hash gate — with the north-star contract_images_validation
+    # pipeline at slot 50. Further oracle-paired entries (51 total in
+    # oracle_sql()) sit past the record cap; tests/test_entry_parity.py
+    # enforces their parity locally. Rows-only entries trail.
     return {
         # -------- oracle-paired (every key here has an oracle_sql() entry)
         # contract validation (SURVEY §2a)
@@ -93,8 +95,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_counts_documents": q.quality_counts_documents,
         "repetition_lines_documents": q.repetition_lines_documents,
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents,
-        # -------- rows-only (approximate / non-SQL / self-synthesized input)
+        # -------- north-star pipeline: slot 50, the last driver-recorded entry
         "contract_images_validation": q.contract_images_validation,
+        # -------- oracle-paired BEYOND the driver's 50-entry record (parity
+        # enforced locally by tests/test_entry_parity.py over oracle_sql())
+        "mixture_sample_documents": q.mixture_sample_documents,
+        "pack_sequences_documents": q.pack_sequences_documents,
+        # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
         "drift_documents": q.drift_documents,
@@ -162,6 +169,8 @@ def oracle_sql() -> dict[str, str]:
         "langid_documents": q.langid_documents_sql(),
         "chunk_documents": q.chunk_documents_q_sql(),
         "vocab_topk_documents": q.vocab_topk_documents_sql(),
+        "mixture_sample_documents": q.mixture_sample_documents_sql(),
+        "pack_sequences_documents": q.pack_sequences_documents_sql(),
         "quality_counts_documents": q.quality_counts_documents_sql(),
         "repetition_lines_documents": q.repetition_lines_documents_sql(),
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),

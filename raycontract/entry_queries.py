@@ -937,6 +937,40 @@ FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
 GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 100"""
 
 
+_MIX_WEIGHTS = {"en": 0.5, "zh": 1.0, "de": 0.75}
+
+
+def mixture_sample_documents(sf_dir: str):
+    """Language temperature resampling: keep en at 0.5, zh at 1.0, de at
+    0.75, everything else at 0.25 — deterministic salted id-hash mixture."""
+    from raycontract.pipelines.sampling import mixture_sample
+
+    return mixture_sample(_read(sf_dir, "documents", ["doc_id", "lang", "source"]),
+                          "lang", "doc_id", _MIX_WEIGHTS, default=0.25, salt=7)
+
+
+def mixture_sample_documents_sql() -> str:
+    from raycontract.pipelines.sampling import mixture_sample_sql_pred
+
+    pred = mixture_sample_sql_pred("lang", "doc_id", _MIX_WEIGHTS,
+                                   default=0.25, salt=7)
+    return f"SELECT doc_id, lang, source FROM documents WHERE {pred}"
+
+
+def pack_sequences_documents(sf_dir: str):
+    """Greedy 256-token sequence-packing plan over 8 hash partitions."""
+    from raycontract.pipelines.textpipe import pack_sequences
+
+    return pack_sequences(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          capacity=256, num_partitions=8)
+
+
+def pack_sequences_documents_sql() -> str:
+    from raycontract.pipelines.textpipe import pack_sequences_sql
+
+    return pack_sequences_sql(capacity=256, num_partitions=8)
+
+
 def langid_documents_sql() -> str:
     """DuckDB twin of LangId: same lowercase + whitespace-split token SET,
     same per-language stopword-intersection score, same (score, lang)

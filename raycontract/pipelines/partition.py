@@ -71,6 +71,9 @@ def _split_block_task(block, key: str, num_partitions: int):
     """Wave 1 of the manual exchange: slice ONE block into per-partition
     tables by key hash (returned via ray num_returns)."""
     t = pa.table(block)
+    if num_partitions == 1:
+        # ray num_returns=1 ships the return value itself, not a 1-tuple
+        return t
     if t.num_rows == 0:
         return tuple([t] * num_partitions)
     codes = hash_partition_codes(t[key], num_partitions)

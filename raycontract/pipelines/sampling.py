@@ -124,3 +124,48 @@ def stratified_sample(ds, group_col: str, id_col: str, n_per_group: int,
         return group.take(pa.array(np.sort(keep))).drop_columns(["__h"])
 
     return cand.groupby(group_col).map_groups(final, batch_format="pyarrow")
+
+
+def mixture_sample(ds, group_col: str, id_col: str, weights: dict[str, float],
+                   default: float = 1.0, salt: int = 0):
+    """Domain / language mixture resampling (training-mix reweighting): keep
+    each row of group ``g`` with probability ``weights.get(g, default)``,
+    decided by the salted deterministic id-hash — the standard
+    "temperature-sample sources to a target mixture" op, reproducible across
+    engines, retries and resumes.
+
+    One vectorized filter per batch, zero shuffle: group values are
+    dictionary-encoded once per batch and mapped to per-row thresholds
+    through a numpy lookup table (no per-row Python). SQL oracle:
+    ``WHERE hash < CASE group WHEN ... THEN t_g ... ELSE t_default END``
+    (:func:`mixture_sample_sql_pred`).
+    """
+    for g, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {g!r} must be in [0, 1], got {w}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError("default weight must be in [0, 1]")
+    thresholds = {g: np.uint64(int(w * _MOD)) for g, w in weights.items()}
+    default_thr = np.uint64(int(default * _MOD))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        h = hash_u32(batch[id_col], salt)
+        enc = batch[group_col].combine_chunks().dictionary_encode()
+        lut = np.array([thresholds.get(v.as_py(), default_thr)
+                        for v in enc.dictionary], dtype=np.uint64)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        return batch.filter(pa.array(h < lut[codes]))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mixture_sample_sql_pred(group_col: str, id_col: str,
+                            weights: dict[str, float], default: float = 1.0,
+                            salt: int = 0, string_id: bool = False) -> str:
+    """WHERE-clause predicate reproducing :func:`mixture_sample` in SQL."""
+    whens = " ".join(f"WHEN '{g}' THEN {int(w * _MOD)}"
+                     for g, w in sorted(weights.items()))
+    case = f"CASE {group_col} {whens} ELSE {int(default * _MOD)} END"
+    return f"{hash_sql_expr(id_col, salt, string_id)} < {case}"

@@ -369,3 +369,88 @@ def vocab_topk(ds, text_col: str = "text", k: int = 100):
     partials = ds.select_columns([text_col]).map_batches(partial, batch_format="pyarrow")
     agg = groupby_sum(partials, ["word"], ["cnt"])
     return agg.sort(["cnt", "word"], descending=[True, False]).limit(k)
+
+
+def pack_sequences(ds, id_col: str = "doc_id", text_col: str = "text",
+                   capacity: int = 256, num_partitions: int = 8):
+    """Greedy sequential sequence packing (LLM-pretraining batch prep): docs
+    are hash-partitioned (``part = knuth(id) % P``, `partition.py` codes),
+    ordered by id within each partition, and folded greedily into bins of at
+    most ``capacity`` whitespace tokens — a doc that would overflow a
+    non-empty bin starts the next bin; a doc longer than ``capacity``
+    occupies a bin alone. Emits ``(id, part, bin, n_tokens)`` — the packing
+    plan a downstream concatenate-and-tokenize stage executes.
+
+    Scale shape: ONE exchange co-locates each partition
+    (``partition_map``), then one kernel per partition: token counts come
+    from a vectorized ``split_pattern``/``list_value_length`` pass; the
+    greedy fold is a Python loop over per-doc INT token counts only (no
+    texts, no rows — ~10 ns/doc), inherently sequential per partition by
+    definition of the op. Bins never span partitions, so the plan is
+    deterministic under any parallelism. Oracle: recursive-CTE twin
+    (:func:`pack_sequences_sql`) — rows+hash-identical by construction.
+    """
+    from raycontract.pipelines.partition import hash_partition_codes, partition_map
+
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "part": pa.array([], pa.int64()),
+                          "bin": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        ids = np.asarray(pc.cast(t[id_col].combine_chunks(), pa.int64()))
+        part = int(hash_partition_codes(t[id_col], num_partitions)[0])
+        nw = np.asarray(pc.cast(pc.list_value_length(
+            pc.split_pattern(t[text_col], " ")), pa.int64()))
+        order = np.argsort(ids, kind="stable")
+        toks = nw[order]
+        bins = np.empty(len(toks), dtype=np.int64)
+        b = 0
+        fill = 0
+        for i, tk in enumerate(toks):
+            if fill > 0 and fill + tk > capacity:
+                b += 1
+                fill = 0
+            bins[i] = b
+            fill += tk
+        return pa.table({id_col: pa.array(ids[order]),
+                         "part": pa.array(np.full(len(toks), part, dtype=np.int64)),
+                         "bin": pa.array(bins),
+                         "n_tokens": pa.array(toks)})
+
+    return partition_map(ds.select_columns([id_col, text_col]), id_col, kernel,
+                         num_partitions=num_partitions)
+
+
+def pack_sequences_sql(capacity: int = 256, num_partitions: int = 8,
+                       table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB recursive-CTE twin of :func:`pack_sequences` (same knuth
+    partition codes, same id order, same greedy overflow rule)."""
+    return f"""
+WITH RECURSIVE w AS (
+  SELECT {id_col},
+         CAST(((CAST({id_col} AS HUGEINT) * 2654435761) % 4294967296)
+              % {num_partitions} AS BIGINT) AS part,
+         CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_tokens
+  FROM {table}),
+o AS (
+  SELECT {id_col}, part, n_tokens,
+         row_number() OVER (PARTITION BY part ORDER BY {id_col}) AS rn
+  FROM w),
+packed AS (
+  SELECT part, rn, {id_col}, n_tokens, CAST(0 AS BIGINT) AS bin,
+         n_tokens AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.part, o.rn, o.{id_col}, o.n_tokens,
+         CASE WHEN packed.fill > 0 AND packed.fill + o.n_tokens > {capacity}
+              THEN packed.bin + 1 ELSE packed.bin END,
+         CASE WHEN packed.fill > 0 AND packed.fill + o.n_tokens > {capacity}
+              THEN o.n_tokens ELSE packed.fill + o.n_tokens END
+  FROM packed JOIN o ON o.part = packed.part AND o.rn = packed.rn + 1)
+SELECT {id_col}, part, bin, n_tokens FROM packed"""

@@ -120,3 +120,39 @@ class TestTopkPerGroup:
 
         with pytest.raises(ValueError, match="id_col"):
             topk_per_group(rd.from_items([{"g": 1, "v": 1.0}]), "g", "v", 1)
+
+
+def test_mixture_sample_weights(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycontract.pipelines.sampling import hash_u32, mixture_sample
+
+    n = 4000
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "grp": pa.array(["a" if i % 2 else "b" for i in range(n)]),
+    }))
+    out = mixture_sample(ds, "grp", "id", {"a": 1.0, "b": 0.0}, salt=3).take_all()
+    # weight 1.0 keeps every 'a' row, weight 0.0 drops every 'b' row
+    assert len(out) == n // 2 and all(r["grp"] == "a" for r in out)
+
+    kept = mixture_sample(ds, "grp", "id", {"a": 0.5}, default=0.25, salt=3).take_all()
+    thr_a, thr_d = int(0.5 * 2**32), int(0.25 * 2**32)
+    h = hash_u32(pa.array(np.arange(n, dtype=np.int64)), 3)
+    expect = sum(1 for i in range(n)
+                 if h[i] < (thr_a if i % 2 else thr_d))
+    assert len(kept) == expect
+
+
+def test_mixture_sample_rejects_bad_weight(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from raycontract.pipelines.sampling import mixture_sample
+
+    ds = rd.from_arrow(pa.table({"id": [1], "grp": ["a"]}))
+    with pytest.raises(ValueError):
+        mixture_sample(ds, "grp", "id", {"a": 1.5})

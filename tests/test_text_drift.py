@@ -245,3 +245,51 @@ def test_vocab_topk_order_and_ties(ray_session):
     rows = vocab_topk(docs, k=3).take_all()
     # a:3 b:3 c:2 z:2 -> count desc, word asc
     assert [(r["word"], r["cnt"]) for r in rows] == [("a", 3), ("b", 3), ("c", 2)]
+
+
+def test_pack_sequences_greedy_rule(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycontract.pipelines.textpipe import pack_sequences
+
+    # single partition so the greedy order is just id order
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "a b c",          # 3 tokens -> bin 0 (fill 3)
+            "d e f g",        # 4 -> bin 0 full at 7? capacity 8: fill 7
+            "h i",            # 2 -> 7+2>8 -> bin 1 (fill 2)
+            " ".join(["x"] * 9),  # 9 > capacity -> 2+9>8 -> bin 2 alone
+            "y",              # fill 9 > 0, 9+1>8 -> bin 3
+        ]),
+    }))
+    rows = sorted(pack_sequences(docs, capacity=8, num_partitions=1).take_all(),
+                  key=lambda r: r["doc_id"])
+    assert [r["bin"] for r in rows] == [0, 0, 1, 2, 3]
+    assert [r["n_tokens"] for r in rows] == [3, 4, 2, 9, 1]
+    assert all(r["part"] == 0 for r in rows)
+
+
+def test_pack_sequences_partition_isolation(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycontract.pipelines.partition import hash_partition_codes
+    from raycontract.pipelines.textpipe import pack_sequences
+
+    ids = pa.array(list(range(40)), type=pa.int64())
+    docs = rd.from_arrow(pa.table({
+        "doc_id": ids, "text": pa.array(["w w w"] * 40)}))
+    rows = pack_sequences(docs, capacity=7, num_partitions=4).take_all()
+    codes = hash_partition_codes(ids, 4)
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) == 40
+    # every doc lands in its knuth partition; bins pack 2 docs (3+3<=7<3*3)
+    for i in range(40):
+        assert by_id[i]["part"] == int(codes[i])
+    for part in range(4):
+        members = sorted(r["doc_id"] for r in rows if r["part"] == part)
+        bins = [by_id[m]["bin"] for m in members]
+        # consecutive members pair up: bin index = position // 2
+        assert bins == [pos // 2 for pos in range(len(members))]
