@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # enforced locally by tests/test_entry_parity.py over oracle_sql())
         "mixture_sample_documents": q.mixture_sample_documents,
         "pack_sequences_documents": q.pack_sequences_documents,
+        "tfidf_topk_documents": q.tfidf_topk_documents,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -171,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk_documents": q.vocab_topk_documents_sql(),
         "mixture_sample_documents": q.mixture_sample_documents_sql(),
         "pack_sequences_documents": q.pack_sequences_documents_sql(),
+        "tfidf_topk_documents": q.tfidf_topk_documents_sql(),
         "quality_counts_documents": q.quality_counts_documents_sql(),
         "repetition_lines_documents": q.repetition_lines_documents_sql(),
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),

@@ -971,6 +971,25 @@ def pack_sequences_documents_sql() -> str:
     return pack_sequences_sql(capacity=256, num_partitions=8)
 
 
+def tfidf_topk_documents(sf_dir: str):
+    """Per-doc top-5 terms by tf (ties term-asc) with corpus df attached."""
+    from raycontract.pipelines.textpipe import tfidf_topk
+
+    return tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=5)
+
+
+def tfidf_topk_documents_sql() -> str:
+    return """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+topk AS (SELECT doc_id, term, tf FROM (
+    SELECT doc_id, term, tf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rn
+    FROM tf) WHERE rn <= 5)
+SELECT t.doc_id, t.term, t.tf, d.df FROM topk t JOIN df d USING (term)"""
+
+
 def langid_documents_sql() -> str:
     """DuckDB twin of LangId: same lowercase + whitespace-split token SET,
     same per-language stopword-intersection score, same (score, lang)

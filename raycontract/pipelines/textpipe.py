@@ -454,3 +454,85 @@ packed AS (
               THEN o.n_tokens ELSE packed.fill + o.n_tokens END
   FROM packed JOIN o ON o.part = packed.part AND o.rn = packed.rn + 1)
 SELECT {id_col}, part, bin, n_tokens FROM packed"""
+
+
+def tfidf_topk(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
+    """Per-document top-k salient terms with corpus document frequency —
+    the inverted-index / TF-IDF statistics op (`(doc, term, tf, df)`), ranked
+    per doc by (tf desc, term asc) so the output is deterministic and
+    integer-exact (no float idf — downstream applies any idf formula to
+    ``df`` losslessly).
+
+    Scale shape, two map-side passes over the text (each streams):
+
+    1. **top-k pass** (zero shuffle): per batch — docs are whole within a
+       batch — one ``split_pattern``/``list_parent_indices`` explode, one
+       ``np.lexsort`` run-boundary pass for per-(doc,term) tf, one ranked
+       run-boundary pass for top-k; only k rows per doc survive.
+    2. **df pass**: per-batch distinct-(term,doc) counts → ``groupby_sum``
+       — shuffle volume is the batch-distinct vocabulary (zipf-bounded),
+       never the token stream; the reduced df table (corpus vocabulary) is
+       broadcast once (`joins.broadcast_hash_join`) to attach df.
+    """
+    from raycontract.pipelines.joins import broadcast_hash_join
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    proj = ds.select_columns([id_col, text_col])
+    empty = pa.table({"__doc_idx": pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64())})
+
+    def doc_term_tf(batch: pa.Table):
+        """(candidate doc-run index, sorted-term-rank code, tf) — shared by
+        both passes; every returned row is one distinct (doc, term) pair."""
+        words = pc.split_pattern(batch[text_col], " ")
+        parent = np.asarray(pc.list_parent_indices(words), dtype=np.int64)
+        flat = pc.list_flatten(words).combine_chunks()
+        enc = flat.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        terms = np.asarray(enc.dictionary)
+        # remap codes so ascending code == ascending lexicographic term
+        lex = np.argsort(terms, kind="stable")
+        inv = np.empty(len(lex), dtype=np.int64)
+        inv[lex] = np.arange(len(lex))
+        codes = inv[codes]
+        terms = terms[lex]
+        order = np.lexsort((codes, parent))
+        p, c = parent[order], codes[order]
+        starts = np.r_[0, np.flatnonzero((np.diff(p) != 0) | (np.diff(c) != 0)) + 1]
+        tf = np.diff(np.r_[starts, len(p)])
+        return p[starts], c[starts], tf, terms
+
+    def topk_pass(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty.set_column(0, id_col, pa.array([], batch[id_col].type))
+        doc, code, tf, terms = doc_term_tf(batch)
+        sel = np.lexsort((code, -tf, doc))
+        d = sel_doc = doc[sel]
+        run_start = np.r_[0, np.flatnonzero(np.diff(d)) + 1]
+        rank = np.arange(len(d)) - np.repeat(
+            run_start, np.diff(np.r_[run_start, len(d)]))
+        keep = sel[rank < k]
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(doc[keep])),
+            "term": pa.array(terms[code[keep]], pa.string()),
+            "tf": pa.array(tf[keep], pa.int64())})
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        _, code, _, terms = doc_term_tf(batch)
+        cnt = np.bincount(code, minlength=len(terms))
+        nz = np.flatnonzero(cnt)
+        return pa.table({"term": pa.array(terms[nz], pa.string()),
+                         "df": pa.array(cnt[nz], pa.int64())})
+
+    import ray
+
+    df_ds = groupby_sum(proj.map_batches(df_partial, batch_format="pyarrow"),
+                        ["term"], ["df"])
+    df_tab = pa.concat_tables(
+        [pa.table(b) for b in ray.get(df_ds.to_arrow_refs())])
+    topk = proj.map_batches(topk_pass, batch_format="pyarrow")
+    return broadcast_hash_join(topk, df_tab, on="term")

@@ -293,3 +293,40 @@ def test_pack_sequences_partition_isolation(ray_session):
         bins = [by_id[m]["bin"] for m in members]
         # consecutive members pair up: bin index = position // 2
         assert bins == [pos // 2 for pos in range(len(members))]
+
+
+def test_tfidf_topk_rank_and_df(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycontract.pipelines.textpipe import tfidf_topk
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([
+            "b b b a a c",   # tf: b=3 a=2 c=1
+            "a c c",          # tf: c=2 a=1
+        ]),
+    }))
+    rows = sorted(tfidf_topk(docs, k=2).take_all(),
+                  key=lambda r: (r["doc_id"], -r["tf"], r["term"]))
+    assert [(r["doc_id"], r["term"], r["tf"], r["df"]) for r in rows] == [
+        (1, "b", 3, 1),   # b appears only in doc 1 -> df 1
+        (1, "a", 2, 2),   # a in both docs -> df 2
+        (2, "c", 2, 2),
+        (2, "a", 1, 2),
+    ]
+
+
+def test_tfidf_topk_tie_breaks_term_asc(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raycontract.pipelines.textpipe import tfidf_topk
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array(["z y x w"]),  # all tf=1 -> k=2 keeps w, x
+    }))
+    rows = sorted(tfidf_topk(docs, k=2).take_all(), key=lambda r: r["term"])
+    assert [r["term"] for r in rows] == ["w", "x"]
