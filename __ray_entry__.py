@@ -33,9 +33,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's CORRECTNESS record caps at 50 entries, so
     # 49 oracle-paired queries come FIRST — they get the hard
     # rows+schema+hash gate — with the north-star contract_images_validation
-    # pipeline at slot 50. Further oracle-paired entries (51 total in
-    # oracle_sql()) sit past the record cap; tests/test_entry_parity.py
-    # enforces their parity locally. Rows-only entries trail.
+    # pipeline at slot 50. oracle_sql() has 52 entries, so three rotate just
+    # past the cap each round: this round row_counts /
+    # status_distribution_orders / regex_violations_customer sit out (each
+    # was driver-green in rounds 1, 2 AND 3) so the never-driver-checked
+    # mixture/pack/tfidf queries get their hard gate.
+    # tests/test_entry_parity.py enforces parity locally for ALL 52.
     return {
         # -------- oracle-paired (every key here has an oracle_sql() entry)
         # contract validation (SURVEY §2a)
@@ -43,10 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # counter / stats checks
         "null_counts_lineitem": q.null_counts_lineitem,
         "range_violations_lineitem": q.range_violations_lineitem,
-        "regex_violations_customer": q.regex_violations_customer,
-        "status_distribution_orders": q.status_distribution_orders,
         "freshness_retention_events": q.freshness_retention_events,
-        "row_counts": q.row_counts,
         "nested_violations_orders": q.nested_violations_orders,
         "jsonschema_violations_documents": q.jsonschema_violations_documents,
         # uniqueness / distinct (shuffle paths)
@@ -95,13 +95,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_counts_documents": q.quality_counts_documents,
         "repetition_lines_documents": q.repetition_lines_documents,
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents,
-        # -------- north-star pipeline: slot 50, the last driver-recorded entry
-        "contract_images_validation": q.contract_images_validation,
-        # -------- oracle-paired BEYOND the driver's 50-entry record (parity
-        # enforced locally by tests/test_entry_parity.py over oracle_sql())
         "mixture_sample_documents": q.mixture_sample_documents,
         "pack_sequences_documents": q.pack_sequences_documents,
         "tfidf_topk_documents": q.tfidf_topk_documents,
+        # -------- north-star pipeline: slot 50, the last driver-recorded entry
+        "contract_images_validation": q.contract_images_validation,
+        # -------- oracle-paired BEYOND the driver's 50-entry record this
+        # round (driver-green r1+r2+r3; parity still enforced every run by
+        # tests/test_entry_parity.py over oracle_sql())
+        "regex_violations_customer": q.regex_violations_customer,
+        "status_distribution_orders": q.status_distribution_orders,
+        "row_counts": q.row_counts,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
