@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_violations_customer": q.regex_violations_customer,
         "status_distribution_orders": q.status_distribution_orders,
         "row_counts": q.row_counts,
+        "running_total_events": q.running_total_events,
+        "rolling_hour_events": q.rolling_hour_events,
+        "funnel_events": q.funnel_events,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -177,6 +180,9 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample_documents": q.mixture_sample_documents_sql(),
         "pack_sequences_documents": q.pack_sequences_documents_sql(),
         "tfidf_topk_documents": q.tfidf_topk_documents_sql(),
+        "running_total_events": q.running_total_events_sql(),
+        "rolling_hour_events": q.rolling_hour_events_sql(),
+        "funnel_events": q.funnel_events_sql(),
         "quality_counts_documents": q.quality_counts_documents_sql(),
         "repetition_lines_documents": q.repetition_lines_documents_sql(),
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),

@@ -1984,3 +1984,83 @@ def video_frames_sample(sf_dir: str):
         })
 
     return feats.map_batches(shaped, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- round 4b:
+# window functions (running totals, time-range frames, funnels)
+
+
+def running_total_events(sf_dir: str):
+    """Per-user cumulative value sum (window SUM ... ROWS UNBOUNDED
+    PRECEDING): key-hash partition + one re-based cumsum per partition —
+    no per-key Python (pipelines/window.py). Integer micros keep the
+    distributed sum bit-identical to the oracle."""
+    from raycontract.pipelines.window import running_total
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return running_total(ev, "user_id", "ts", "event_id", "value")
+
+
+def running_total_events_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS running_micros
+FROM events
+"""
+
+
+def rolling_hour_events(sf_dir: str):
+    """Trailing 1-hour RANGE frame per event (count + micros sum of the
+    user's events in [ts-1h, ts], peers included): per-partition prefix
+    sums + chunked offset-searchsorted — no per-key Python loop."""
+    from raycontract.pipelines.window import rolling_time_window
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return rolling_time_window(ev, "user_id", "ts", "event_id", "value",
+                               window_s=3600)
+
+
+def rolling_hour_events_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+       SUM(micros) OVER w AS sum_window_micros
+FROM (SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS micros FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def funnel_events(sf_dir: str):
+    """view→click→purchase funnel: users reaching each step strictly after
+    their earliest completion of the previous one. One masked
+    np.minimum.reduceat per step per partition; the driver folds
+    len(steps) integers per partition."""
+    from raycontract.pipelines.window import funnel
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return funnel(ev, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"])
+
+
+def funnel_events_sql() -> str:
+    return """
+WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+       JOIN t1 ON e.user_id = t1.user_id
+       WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+       JOIN t2 ON e.user_id = t2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_keys FROM t1
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FROM t2
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FROM t3)
+"""

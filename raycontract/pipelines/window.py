@@ -1,0 +1,183 @@
+"""Per-key window functions: running totals, trailing time-range frames and
+step funnels.
+
+The reference validates SQL-defined quality metrics (reference
+``datacontract/engines/soda/check_soda_execute.py`` runs user SQL through
+DuckDB); windowed aggregates are the part of that SQL surface a streaming
+engine must re-express natively. Scale shape shared by every operator here
+(same as ``sessionize_events`` / ``lag_delta``): keys are HASH-PARTITIONED
+(``pipelines/partition.py``), the kernel runs once per PARTITION — one
+``np.lexsort`` plus vectorized run-boundary passes handle every key in the
+partition at once; no per-key Python, no per-row Python. Partitioning
+assumption: one partition fits a worker's heap — size ``num_partitions`` to
+data volume, not key count.
+
+Monetary/metric values are scaled to integer micros BEFORE summation so the
+distributed result is bit-identical to the SQL oracle (float prefix sums
+would drift by summation order).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raycontract.pipelines.partition import key_codes, partition_map
+
+
+def _sorted_runs(part: pa.Table, key: str, ts: str, id_col: str):
+    """lexsort the partition by (key, ts, id); return (sorted_table, ts_int64,
+    run_starts, run_lengths) where runs are maximal equal-key spans."""
+    t = np.asarray(pc.cast(part[ts].combine_chunks(), pa.int64()))
+    ids = np.asarray(part[id_col])
+    kc = key_codes(part[key])
+    order = np.lexsort((ids, t, kc))
+    g = part.take(pa.array(order))
+    tt, ks = t[order], kc[order]
+    n = len(tt)
+    starts = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
+    lengths = np.diff(np.r_[starts, n])
+    return g, tt, starts, lengths
+
+
+def _micros(col, scale: int = 1_000_000) -> np.ndarray:
+    """ROUND(value * scale) as int64 — the exact integer domain the SQL
+    oracle aggregates in (``CAST(ROUND(value*1e6) AS BIGINT)``). pc.round's
+    half-away-from-zero matches SQL ROUND (np.rint's half-to-even does not)."""
+    v = pc.multiply(pc.cast(col.combine_chunks(), pa.float64()), float(scale))
+    return np.asarray(pc.cast(pc.round(v), pa.int64()))
+
+
+def running_total(ds, key: str, ts: str, id_col: str, value_col: str,
+                  out_col: str = "running_micros",
+                  num_partitions: Optional[int] = None):
+    """Per-key cumulative sum — SQL ``SUM(micros) OVER (PARTITION BY key
+    ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` with ``micros =
+    CAST(ROUND(value*1e6) AS BIGINT)``. The (ts, id) ordering is a total
+    order, so the frame is deterministic under timestamp ties.
+
+    Kernel: one global cumsum over the sorted partition, re-based at each
+    key-run start (subtract the prefix before the run) — O(n) vectorized,
+    zero per-key calls."""
+    cols = [key, ts, id_col, value_col]
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        base = part.select([id_col, key])
+        if part.num_rows == 0:
+            return base.append_column(out_col, pa.array([], pa.int64()))
+        g, _tt, starts, lengths = _sorted_runs(part, key, ts, id_col)
+        vals = _micros(g[value_col])
+        cum = np.cumsum(vals)
+        before = np.repeat(cum[starts] - vals[starts], lengths)
+        return (g.select([id_col, key])
+                .append_column(out_col, pa.array(cum - before)))
+
+    return partition_map(ds.select_columns(cols), key, per_partition,
+                         num_partitions)
+
+
+def rolling_time_window(ds, key: str, ts: str, id_col: str, value_col: str,
+                        window_s: int = 3600,
+                        num_partitions: Optional[int] = None):
+    """Trailing time-range frame per row — SQL ``... OVER (PARTITION BY key
+    ORDER BY ts RANGE BETWEEN INTERVAL window PRECEDING AND CURRENT ROW)``:
+    for each event, the count and integer-micros sum of the key's events in
+    ``[ts - window, ts]``. RANGE-frame peer semantics (all rows sharing the
+    current timestamp are in-frame regardless of row order) are reproduced
+    exactly: the frame bounds come from ``searchsorted(left)`` /
+    ``searchsorted(right)`` on the run's sorted timestamps.
+
+    Kernel: per key-run prefix sums + two vectorized searchsorteds — no
+    per-key Python. Output: (id, key, n_window, sum_window_micros)."""
+    cols = [key, ts, id_col, value_col]
+    win_us = np.int64(window_s) * 1_000_000
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        base = part.select([id_col, key])
+        if part.num_rows == 0:
+            return (base.append_column("n_window", pa.array([], pa.int64()))
+                    .append_column("sum_window_micros", pa.array([], pa.int64())))
+        g, tt, starts, lengths = _sorted_runs(part, key, ts, id_col)
+        vals = _micros(g[value_col])
+        n = len(tt)
+        prefix = np.r_[np.int64(0), np.cumsum(vals)]
+        run_of_row = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+        # Vectorized per-run searchsorted WITHOUT a per-key Python loop:
+        # shift each run's timestamps by run_idx * OFFSET with OFFSET >
+        # (ts span + window), making the concatenation globally sorted and
+        # frame bounds run-local by construction. Runs are chunked so
+        # run_idx * OFFSET stays within int64.
+        shifted = tt - tt.min()   # tt is run-sorted, not globally sorted
+        offset = np.int64(int(shifted.max()) + int(win_us) + 1)
+        runs_per_chunk = max(1, (np.iinfo(np.int64).max // 2) // int(offset))
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        for c0 in range(0, len(starts), runs_per_chunk):
+            c1 = min(c0 + runs_per_chunk, len(starts))
+            r0, r1 = starts[c0], starts[c1 - 1] + lengths[c1 - 1]
+            adj = shifted[r0:r1] + (run_of_row[r0:r1] - c0) * offset
+            lo[r0:r1] = r0 + np.searchsorted(adj, adj - win_us, side="left")
+            hi[r0:r1] = r0 + np.searchsorted(adj, adj, side="right")
+        return (g.select([id_col, key])
+                .append_column("n_window", pa.array(hi - lo))
+                .append_column("sum_window_micros",
+                               pa.array(prefix[hi] - prefix[lo])))
+
+    return partition_map(ds.select_columns(cols), key, per_partition,
+                         num_partitions)
+
+
+def funnel(ds, key: str, ts: str, step_col: str, steps: Sequence[str],
+           num_partitions: Optional[int] = None):
+    """Ordered-step funnel: how many keys reach step k, where reaching step k
+    means an event of type ``steps[k]`` STRICTLY after the key's earliest
+    completion of step k-1 (the classic product-analytics funnel; step 1 is
+    the key's earliest ``steps[0]`` event).
+
+    Kernel: per partition, one lexsort by (key, ts); each step is one masked
+    ``np.minimum.reduceat`` per key-run (events of the step's type later
+    than the key's step-(k-1) time), so cost is O(len(steps) · n) vectorized.
+    The per-partition partials (keys reached per step) are integers; the
+    driver folds len(steps) numbers per partition. Output:
+    (step:int64 1-based, event_type, n_keys:int64)."""
+    steps = list(steps)
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"step": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n_keys": pa.array([], pa.int64())})
+        t = np.asarray(pc.cast(part[ts].combine_chunks(), pa.int64()))
+        kc = key_codes(part[key])
+        order = np.lexsort((t, kc))
+        tt, ks = t[order], kc[order]
+        sv = part[step_col].combine_chunks().take(pa.array(order))
+        n = len(tt)
+        starts = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
+        lengths = np.diff(np.r_[starts, n])
+        run_of_row = np.repeat(np.arange(len(starts)), lengths)
+        INF = np.iinfo(np.int64).max
+        # int64 timestamps are exact in float64 (|ts_us| < 2^53)
+        prev = np.full(len(starts), -np.inf)  # step-0 bound: no constraint
+        counts = []
+        for s in steps:
+            mask = np.asarray(pc.fill_null(pc.equal(sv, s), False)).astype(bool)
+            mask &= tt > prev[run_of_row]
+            cand = np.where(mask, tt, INF)
+            # reduceat needs non-empty slices; starts always < n here
+            mins = np.minimum.reduceat(cand, starts)
+            reached = mins != INF
+            prev = np.where(reached, mins, np.inf)
+            counts.append(int(reached.sum()))
+        return pa.table({"step": pa.array(range(1, len(steps) + 1), pa.int64()),
+                         "event_type": pa.array(steps),
+                         "n_keys": pa.array(counts, pa.int64())})
+
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    partials = partition_map(ds.select_columns([key, ts, step_col]), key,
+                             per_partition, num_partitions)
+    return groupby_sum(partials, ["step", "event_type"], ["n_keys"])

@@ -1,0 +1,114 @@
+"""Window-function kernels (pipelines/window.py): running totals, trailing
+RANGE frames and funnels — edge cases the sf-fixture parity test can't hit
+(timestamp ties/peers, single-row keys, strict-after funnel ordering), all
+checked against DuckDB's window engine on the same table."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from raycontract.pipelines.window import funnel, rolling_time_window, running_total
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+@pytest.fixture()
+def ties_table():
+    # user 1: tied timestamps (peers!), user 2: single row, user 3: values
+    # spanning the window edge exactly (boundary is INCLUSIVE per SQL RANGE)
+    ts = pa.array(
+        [1_000_000, 1_000_000, 1_000_000, 3_600_000_000 + 1_000_000,
+         5_000_000,
+         0, 3_600_000_000, 7_200_000_000],
+        pa.timestamp("us"))
+    return pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 3, 3, 3], pa.int64()),
+        "value": pa.array([1.5, 2.25, -3.0, 10.0, 7.0, 1.0, 2.0, 4.0]),
+        "ts": ts,
+    })
+
+
+def test_running_total_ties_match_duckdb(ray_session, ties_table):
+    out = running_total(rd.from_arrow(ties_table), "user_id", "ts",
+                        "event_id", "value").to_pandas()
+    oracle = duckdb.sql("""
+        SELECT event_id, user_id,
+               SUM(CAST(ROUND(value*1000000) AS BIGINT)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS running_micros
+        FROM ties_table""").df()
+    pd.testing.assert_frame_equal(_canon(out), _canon(oracle),
+                                  check_dtype=False)
+
+
+def test_rolling_range_frame_peers_match_duckdb(ray_session, ties_table):
+    out = rolling_time_window(rd.from_arrow(ties_table), "user_id", "ts",
+                              "event_id", "value", window_s=3600).to_pandas()
+    oracle = duckdb.sql("""
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+               SUM(micros) OVER w AS sum_window_micros
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(ROUND(value*1000000) AS BIGINT) AS micros
+              FROM ties_table)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                     AND CURRENT ROW)""").df()
+    pd.testing.assert_frame_equal(_canon(out), _canon(oracle),
+                                  check_dtype=False)
+    # peers: user 1's three tied rows must each see all three (RANGE, not ROWS)
+    u1 = out[(out.user_id == 1) & (out.event_id <= 3)]
+    assert set(u1.n_window) == {3}
+
+
+def test_rolling_many_keys_vectorized(ray_session):
+    # 5k keys × ~20 rows: exercises the chunked offset-searchsorted path
+    rng = np.random.default_rng(7)
+    n = 100_000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 5000, n).astype(np.int64)),
+        "value": pa.array(rng.normal(10, 3, n)),
+        "ts": pa.array(rng.integers(0, 86_400_000_000, n).astype("int64"),
+                       pa.timestamp("us")),
+    })
+    out = rolling_time_window(rd.from_arrow(t), "user_id", "ts", "event_id",
+                              "value", window_s=3600).to_pandas()
+    oracle = duckdb.sql("""
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+               SUM(micros) OVER w AS sum_window_micros
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(ROUND(value*1000000) AS BIGINT) AS micros FROM t)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                     AND CURRENT ROW)""").df()
+    pd.testing.assert_frame_equal(_canon(out), _canon(oracle),
+                                  check_dtype=False)
+
+
+def test_funnel_strictly_after(ray_session):
+    # user 1 completes all 3; user 2's purchase is BEFORE its click (only 2
+    # steps); user 3's click ties its view timestamp exactly (strict > ⇒
+    # click does not count)
+    t = pa.table({
+        "event_id": pa.array(list(range(1, 10)), pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2, 2, 3, 3, 3], pa.int64()),
+        "event_type": pa.array(["view", "click", "purchase",
+                                "view", "purchase", "click",
+                                "view", "click", "purchase"]),
+        "ts": pa.array([10, 20, 30, 10, 15, 20, 10, 10, 30],
+                       pa.timestamp("us")),
+    })
+    out = funnel(rd.from_arrow(t), "user_id", "ts", "event_type",
+                 ["view", "click", "purchase"]).to_pandas()
+    got = dict(zip(out.step, out.n_keys))
+    assert got == {1: 3, 2: 2, 3: 1}
