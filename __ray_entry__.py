@@ -109,6 +109,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total_events": q.running_total_events,
         "rolling_hour_events": q.rolling_hour_events,
         "funnel_events": q.funnel_events,
+        "customers_without_orders": q.customers_without_orders,
+        "rollup_pricing_lineitem": q.rollup_pricing_lineitem,
+        "pivot_orders_status": q.pivot_orders_status,
+        "histogram_totalprice": q.histogram_totalprice,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -183,6 +187,10 @@ def oracle_sql() -> dict[str, str]:
         "running_total_events": q.running_total_events_sql(),
         "rolling_hour_events": q.rolling_hour_events_sql(),
         "funnel_events": q.funnel_events_sql(),
+        "customers_without_orders": q.customers_without_orders_sql(),
+        "rollup_pricing_lineitem": q.rollup_pricing_lineitem_sql(),
+        "pivot_orders_status": q.pivot_orders_status_sql(),
+        "histogram_totalprice": q.histogram_totalprice_sql(),
         "quality_counts_documents": q.quality_counts_documents_sql(),
         "repetition_lines_documents": q.repetition_lines_documents_sql(),
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),

@@ -2064,3 +2064,106 @@ SELECT * FROM (
   UNION ALL
   SELECT 3, 'purchase', COUNT(*) FROM t3)
 """
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti-join (NOT EXISTS): customers with no URGENT order, counted per
+    nation. Distinct right keys broadcast once (bucketed key exchange beyond
+    the limit — pipelines/joins.anti_join); nation is a broadcast pyarrow
+    join; the count is a pre-aggregated grouped sum."""
+    import pyarrow.parquet as pq
+
+    from raycontract.pipelines.joins import anti_join, broadcast_hash_join
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'")
+    no_orders = anti_join(cust, "c_custkey", orders, "o_custkey")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    named = broadcast_hash_join(no_orders, nation,
+                                ("c_nationkey", "n_nationkey"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"n_name": batch["n_name"],
+                      "n_customers": pa.array(
+                          np.ones(batch.num_rows, dtype=np.int64))})
+        g = t.group_by(["n_name"]).aggregate([("n_customers", "sum")])
+        return g.rename_columns(["n_name", "n_customers"])
+
+    return groupby_sum(named.map_batches(partial, batch_format="pyarrow"),
+                       ["n_name"], ["n_customers"])
+
+
+def customers_without_orders_sql() -> str:
+    return """
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY n.n_name
+"""
+
+
+def rollup_pricing_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): one pre-aggregated scan
+    at the finest level; coarser levels re-aggregate the finest result
+    (bounded by group count). Integer units keep sums oracle-identical."""
+    from raycontract.pipelines.relational import rollup_sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+    return rollup_sum(li, ["l_returnflag", "l_linestatus"],
+                      {"sum_qty": ("l_quantity", 1.0),
+                       "sum_cents": ("l_extendedprice", 100.0)})
+
+
+def rollup_pricing_lineitem_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def pivot_orders_status(sf_dir: str):
+    """Pivot (COUNT FILTER): order counts per priority × status as wide
+    columns. Per-batch crosstab partials → small grouped-sum reduce."""
+    from raycontract.pipelines.relational import pivot_counts
+
+    o = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return pivot_counts(o, "o_orderpriority", "o_orderstatus",
+                        ["O", "F", "P"])
+
+
+def pivot_orders_status_sql() -> str:
+    return """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_O,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_F,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_P,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def histogram_totalprice(sf_dir: str):
+    """Fixed-width histogram of o_totalprice (the drift-check profiling
+    primitive as a standalone query): per-batch bucket counts, one small
+    grouped sum — shuffle-free."""
+    from raycontract.pipelines.relational import fixed_width_histogram
+
+    o = _read(sf_dir, "orders", ["o_totalprice"])
+    return fixed_width_histogram(o, "o_totalprice", 25000.0)
+
+
+def histogram_totalprice_sql() -> str:
+    return """
+SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1
+"""

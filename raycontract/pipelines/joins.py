@@ -294,3 +294,142 @@ def broadcast_hash_join(ds, small: pa.Table, on, how: str = "inner",
     return ds.map_batches(Joiner, fn_constructor_args=(ref,),
                           batch_format="pyarrow", concurrency=concurrency,
                           max_restarts=0)
+
+
+def anti_join(ds, key: str, right_ds, right_key: str,
+              broadcast_limit: int = 2_000_000, num_buckets: int = 64):
+    """Rows of ``ds`` whose ``key`` has NO match in ``right_ds.right_key``
+    (SQL ``WHERE NOT EXISTS``). Null left keys never match, so they are kept
+    — SQL NOT EXISTS semantics.
+
+    Scale shape: the right side is first reduced to DISTINCT keys inside
+    ``map_batches`` (partials bounded by keys × blocks).
+
+    - distinct right keys ≤ ``broadcast_limit``: shipped ONCE via
+      ``ray.put``; every left batch filters with vectorized
+      ``pc.invert(pc.is_in(...))`` — zero shuffle, rows never move.
+    - larger: the LEFT DISTINCT keys anti-join the right keys first over a
+      bucketed (bucket, key) exchange — shuffle volume is keys only — and
+      the surviving key set (bounded by the true anti-key count, usually
+      tiny relative to the corpus) broadcast-filters the left rows. A left
+      whose anti-key set itself exceeds the broadcast limit needs the full
+      bucketed row exchange (``shuffle_hash_join`` with how='anti') —
+      raised loudly rather than silently materializing.
+    """
+    from raycontract.functions.hashing import hash64
+
+    def distinct_keys(col_name):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"k": pc.unique(
+                pc.drop_null(batch[col_name].combine_chunks()))})
+        return fn
+
+    rkeys = right_ds.select_columns([right_key]).map_batches(
+        distinct_keys(right_key), batch_format="pyarrow").materialize()
+
+    def broadcast_filter(keys_arr: pa.Array):
+        ref = ray.put(keys_arr)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            present = ray.get(ref)
+            mask = pc.invert(pc.is_in(batch[key], value_set=present))
+            # is_in(null) is false ⇒ invert keeps nulls: NOT EXISTS semantics
+            return batch.filter(mask)
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    def collect(small_ds) -> pa.Array:
+        chunks = [b["k"].combine_chunks()
+                  for b in small_ds.iter_batches(batch_size=1 << 20,
+                                                 batch_format="pyarrow")
+                  if b.num_rows]
+        if not chunks:
+            lt = dict(zip(ds.schema().names, ds.schema().types))[key]
+            return pa.array([], type=lt)
+        u = pc.unique(pa.chunked_array(chunks))
+        return u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+
+    if rkeys.count() <= broadcast_limit:
+        return broadcast_filter(collect(rkeys))
+
+    # bucketed key-only anti: which LEFT keys survive?
+    lkeys = ds.select_columns([key]).map_batches(
+        distinct_keys(key), batch_format="pyarrow")
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            col = batch["k"].combine_chunks()
+            b = (hash64(col) % np.uint64(num_buckets)).astype(np.int64)
+            return pa.table({"_b": pa.array(b), "k": col,
+                             "_side": pa.array(
+                                 np.full(len(col), side, dtype=np.int8))})
+        return fn
+
+    both = lkeys.map_batches(tag(0), batch_format="pyarrow").union(
+        rkeys.map_batches(tag(1), batch_format="pyarrow"))
+
+    def anti(group: pa.Table) -> pa.Table:
+        side = group["_side"]
+        present = pc.unique(group["k"].filter(pc.equal(side, 1)))
+        left = pc.unique(group["k"].filter(pc.equal(side, 0)))
+        return pa.table({"k": left.filter(
+            pc.invert(pc.is_in(left, value_set=present)))})
+
+    surviving = both.groupby("_b").map_groups(
+        anti, batch_format="pyarrow").materialize()
+    if surviving.count() <= broadcast_limit:
+        anti_keys = collect(surviving)
+        ref = ray.put(anti_keys)
+
+        def keep_anti(batch: pa.Table) -> pa.Table:
+            keys_ok = ray.get(ref)
+            mask = pc.is_in(batch[key], value_set=keys_ok)
+            mask = pc.or_kleene(mask, pc.is_null(batch[key]))
+            return batch.filter(pc.fill_null(mask, False))
+
+        return ds.map_batches(keep_anti, batch_format="pyarrow")
+
+    # anti-key set itself too big to broadcast: full bucketed row exchange —
+    # rows move exactly once, co-located with their bucket's anti-key slice
+    row_cols = list(ds.schema().names)
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        col = batch[key].combine_chunks()
+        nulls = batch.filter(pc.is_null(col))
+        nn = batch.filter(pc.is_valid(col))
+        b = (hash64(nn[key].combine_chunks()) %
+             np.uint64(num_buckets)).astype(np.int64)
+        tagged = nn.append_column("_b", pa.array(b)).append_column(
+            "_side", pa.array(np.zeros(nn.num_rows, dtype=np.int8)))
+        # null keys never match: route to bucket 0 marked side=2 (always kept)
+        nt = nulls.append_column(
+            "_b", pa.array(np.zeros(nulls.num_rows, dtype=np.int64))
+        ).append_column("_side",
+                        pa.array(np.full(nulls.num_rows, 2, dtype=np.int8)))
+        return pa.concat_tables([tagged, nt])
+
+    def tag_keys(batch: pa.Table) -> pa.Table:
+        col = batch["k"].combine_chunks()
+        b = (hash64(col) % np.uint64(num_buckets)).astype(np.int64)
+        t = pa.table({key: col, "_b": pa.array(b),
+                      "_side": pa.array(np.ones(len(col), dtype=np.int8))})
+        for c in row_cols:
+            if c != key:
+                t = t.append_column(c, pa.nulls(len(col), dict(
+                    zip(ds.schema().names, ds.schema().types))[c]))
+        return t.select(row_cols + ["_b", "_side"])
+
+    rows_tagged = ds.map_batches(tag_rows, batch_format="pyarrow")
+    keys_tagged = surviving.map_batches(tag_keys, batch_format="pyarrow")
+
+    def keep_group(group: pa.Table) -> pa.Table:
+        side = group["_side"]
+        ok = pc.unique(pc.drop_null(group[key].filter(pc.equal(side, 1))))
+        rows = group.filter(pc.not_equal(side, 1))
+        mask = pc.or_kleene(pc.is_in(rows[key], value_set=ok),
+                            pc.equal(rows["_side"], 2))
+        return rows.filter(pc.fill_null(mask, False)).drop_columns(
+            ["_b", "_side"])
+
+    return rows_tagged.union(keys_tagged).groupby("_b").map_groups(
+        keep_group, batch_format="pyarrow")

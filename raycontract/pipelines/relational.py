@@ -13,7 +13,7 @@ expressed with the scale patterns from SURVEY.md §4:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
@@ -540,3 +540,99 @@ def _collect_ranks(proj, column: str, states: list) -> None:
             continue
         k = min(s["k"], vals.size - 1)
         s["val"] = float(np.partition(vals, k)[k])
+
+
+def rollup_sum(ds, keys: Sequence[str], sums: dict[str, tuple[str, float]]):
+    """``GROUP BY ROLLUP(keys)``: counts + exact integer sums at every
+    prefix level (finest → grand total), rolled-up dimensions NULL.
+
+    Scale shape: ONE pre-aggregated pass at the finest level (per-batch
+    ``pyarrow`` group_by partials, reduce via ``smallagg.groupby_sum``);
+    every coarser level is re-aggregated from the FINEST RESULT (bounded by
+    its group count, not the input), so the input is scanned once. ``sums``
+    maps output column → (source column, scale); values are rounded into
+    integer units (cents/micros) BEFORE summation so distributed sums are
+    bit-identical to the SQL oracle."""
+    import polars as pl
+
+    keys = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {k: batch[k] for k in keys}
+        for out, (src, scale) in sums.items():
+            cols[out] = pc.cast(pc.round(pc.multiply(
+                pc.cast(batch[src], pa.float64()), float(scale))), pa.int64())
+        cols["n_rows"] = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        t = pa.table(cols)
+        aggs = [(c, "sum") for c in (*sums, "n_rows")]
+        g = t.group_by(keys).aggregate(aggs)
+        return g.rename_columns(keys + [c for c in (*sums, "n_rows")])
+
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    finest = groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys, [*sums, "n_rows"])
+    base = pl.from_arrow(pa.concat_tables(
+        [pa.table(b) for b in finest.iter_batches(batch_size=1 << 20,
+                                                  batch_format="pyarrow")],
+        promote_options="default"))
+    vals = [*sums, "n_rows"]
+    levels = [base]
+    for i in range(len(keys), 0, -1):
+        lvl = (base.group_by(keys[: i - 1]).agg([pl.col(c).sum() for c in vals])
+               if i > 1 else
+               base.select([pl.col(c).sum() for c in vals]))
+        for k in keys[i - 1:]:
+            lvl = lvl.with_columns(pl.lit(None, dtype=base[k].dtype).alias(k))
+        levels.append(lvl.select(keys + vals))
+    out = pl.concat([lv.select(keys + vals) for lv in levels]).to_arrow()
+    schema = pa.schema([(k, pa.string() if pa.types.is_large_string(out[k].type)
+                         or pa.types.is_string(out[k].type) else out[k].type)
+                        for k in out.column_names])
+    return out.cast(schema)
+
+
+def pivot_counts(ds, row_key: str, col_key: str, values: Sequence[str]):
+    """Pivot: one row per ``row_key``, one count column per listed
+    ``col_key`` value plus ``n_total`` (SQL ``COUNT(*) FILTER (WHERE
+    col_key = v)``). Per-batch partial crosstab (groups × blocks rows) →
+    small grouped-sum reduce; unlisted values count only toward n_total."""
+    values = list(values)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {row_key: batch[row_key]}
+        ck = batch[col_key]
+        for v in values:
+            cols[f"n_{v}"] = pc.cast(
+                pc.fill_null(pc.equal(ck, v), False), pa.int64())
+        cols["n_total"] = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        t = pa.table(cols)
+        cnt_cols = [f"n_{v}" for v in values] + ["n_total"]
+        g = t.group_by([row_key]).aggregate([(c, "sum") for c in cnt_cols])
+        return g.rename_columns([row_key] + cnt_cols)
+
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    return groupby_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                       [row_key], [f"n_{v}" for v in values] + ["n_total"])
+
+
+def fixed_width_histogram(ds, column: str, width: float):
+    """Fixed-width histogram: ``bucket = FLOOR(column / width)`` →
+    count. The shuffle-free profiling primitive behind drift checks: each
+    batch emits its (bucket, count) partial — bounded by buckets × blocks,
+    not rows — and one small grouped sum folds them."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(
+            pc.cast(batch[column], pa.float64()), float(width))), pa.int64())
+        t = pa.table({"bucket": b,
+                      "n": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+        g = t.group_by(["bucket"]).aggregate([("n", "sum")])
+        return g.rename_columns(["bucket", "n"])
+
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    return groupby_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["bucket"], ["n"])
