@@ -113,6 +113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_pricing_lineitem": q.rollup_pricing_lineitem,
         "pivot_orders_status": q.pivot_orders_status,
         "histogram_totalprice": q.histogram_totalprice,
+        "word_diversity_documents": q.word_diversity_documents,
+        "bigram_topk_documents": q.bigram_topk_documents,
+        "json_props_events": q.json_props_events,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -191,6 +194,9 @@ def oracle_sql() -> dict[str, str]:
         "rollup_pricing_lineitem": q.rollup_pricing_lineitem_sql(),
         "pivot_orders_status": q.pivot_orders_status_sql(),
         "histogram_totalprice": q.histogram_totalprice_sql(),
+        "word_diversity_documents": q.word_diversity_documents_sql(),
+        "bigram_topk_documents": q.bigram_topk_documents_sql(),
+        "json_props_events": q.json_props_events_sql(),
         "quality_counts_documents": q.quality_counts_documents_sql(),
         "repetition_lines_documents": q.repetition_lines_documents_sql(),
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),

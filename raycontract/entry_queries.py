@@ -2167,3 +2167,57 @@ SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM orders GROUP BY 1
 """
+
+
+def word_diversity_documents(sf_dir: str):
+    """Per-document type-token counts: distinct words via per-batch
+    dictionary-encode + packed (row, code) np.unique — zero shuffle."""
+    from raycontract.pipelines.textpipe import word_diversity
+
+    return word_diversity(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def word_diversity_documents_sql() -> str:
+    return """
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_unique_words
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY doc_id
+"""
+
+
+def bigram_topk_documents(sf_dir: str):
+    """Corpus top-100 word bigrams: per-batch boundary-masked adjacent-word
+    join + value_counts partials, grouped sum, deterministic ordering."""
+    from raycontract.pipelines.textpipe import bigram_topk
+
+    return bigram_topk(_read(sf_dir, "documents", ["text"]), k=100)
+
+
+def bigram_topk_documents_sql() -> str:
+    return """
+SELECT bigram, CAST(SUM(1) AS BIGINT) AS cnt FROM (
+  SELECT unnest(list_filter(list_transform(
+           list_zip(w[1:len(w)-1], w[2:len(w)]),
+           x -> x[1] || ' ' || x[2]), x -> x IS NOT NULL)) AS bigram
+  FROM (SELECT string_split(text, ' ') AS w FROM documents))
+GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 100
+"""
+
+
+def json_props_events(sf_dir: str):
+    """Semi-structured extraction: per event_type COUNT(*) + SUM of the
+    integer JSON field props.k, parsed vectorized in embedded DuckDB."""
+    from raycontract.pipelines.relational import json_field_sum
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    return json_field_sum(ev, "props", "k", "event_type")
+
+
+def json_props_events_sql() -> str:
+    return """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""

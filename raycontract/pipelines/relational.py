@@ -636,3 +636,35 @@ def fixed_width_histogram(ds, column: str, width: float):
 
     return groupby_sum(ds.map_batches(partial, batch_format="pyarrow"),
                        ["bucket"], ["n"])
+
+
+def json_field_sum(ds, json_col: str, field: str, group_col: str):
+    """Grouped integer aggregate over a JSON string column (semi-structured
+    props parsing): per group, COUNT(*) and SUM of ``$.field``.
+
+    Each batch is parsed + pre-aggregated by EMBEDDED DuckDB
+    (``json_extract_string`` — vectorized C++ JSON, one cached
+    ``threads=1`` connection per worker, same pattern as
+    ``functions/strhash.py``), so the result is identical to the SQL oracle
+    by construction and shuffle volume is groups × blocks."""
+    from raycontract.functions.strhash import _connection
+
+    if "'" in field or '"' in field:
+        raise ValueError("field must be a plain JSON key")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = pa.table({"g": batch[group_col], "j": batch[json_col]})  # noqa: F841
+        out = _connection().execute(
+            f"SELECT g, SUM(CAST(json_extract_string(j, '$.{field}') AS BIGINT))"
+            f" AS s, CAST(COUNT(*) AS BIGINT) AS n FROM tbl GROUP BY g").arrow()
+        return out.rename_columns(["g", f"sum_{field}", "n"])
+
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    out = groupby_sum(ds.select_columns([group_col, json_col]).map_batches(
+        partial, batch_format="pyarrow"), ["g"], [f"sum_{field}", "n"])
+
+    def shaped(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([group_col, f"sum_{field}", "n"])
+
+    return out.map_batches(shaped, batch_format="pyarrow")

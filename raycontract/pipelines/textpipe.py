@@ -536,3 +536,66 @@ def tfidf_topk(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
         [pa.table(b) for b in ray.get(df_ds.to_arrow_refs())])
     topk = proj.map_batches(topk_pass, batch_format="pyarrow")
     return broadcast_hash_join(topk, df_tab, on="term")
+
+
+def word_diversity(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document type-token counts (vocabulary richness — a standard
+    LLM-corpus quality signal): total words and DISTINCT words per doc.
+
+    Pure per-batch map (zero shuffle): ``split_pattern`` → flatten →
+    ``dictionary_encode`` gives integer word codes; (row, code) pairs are
+    packed into one uint64 and ``np.unique`` + ``bincount`` count distincts
+    for every row in the batch at once — no per-row Python."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch[text_col], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n_words = np.asarray(pc.cast(pc.list_value_length(words), pa.int64()))
+        flat = words.flatten()
+        enc = pc.dictionary_encode(flat)
+        codes = np.asarray(enc.indices, dtype=np.uint64)
+        row = np.repeat(np.arange(batch.num_rows, dtype=np.uint64), n_words)
+        key = (row << np.uint64(32)) | codes  # batch vocab << 2^32
+        uniq_rows = (np.unique(key) >> np.uint64(32)).astype(np.int64)
+        n_unique = np.bincount(uniq_rows, minlength=batch.num_rows)
+        return pa.table({id_col: batch[id_col],
+                         "n_words": pa.array(n_words),
+                         "n_unique_words": pa.array(n_unique.astype(np.int64))})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow")
+
+
+def bigram_topk(ds, text_col: str = "text", k: int = 100):
+    """Corpus top-k word bigrams by frequency (n-gram LM / tokenizer-merge
+    statistics). Same combiner shape as :func:`vocab_topk`: per-batch
+    partials — adjacent flattened words joined vectorized, row-boundary
+    pairs masked out, ``value_counts`` — so shuffle volume is the
+    batch-distinct bigram vocabulary, then one grouped sum + deterministic
+    top-k (count desc, bigram asc)."""
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch[text_col], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        joined = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), " ")
+        mask = np.ones(len(flat) - 1, dtype=bool)
+        # positions whose right neighbour starts the next row are not bigrams
+        offs = np.asarray(words.offsets, dtype=np.int64)
+        boundaries = offs[1:-1] - 1  # last word index of every row but the last
+        mask[boundaries[boundaries >= 0]] = False
+        vc = pc.value_counts(joined.filter(pa.array(mask)))
+        return pa.table({"bigram": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow")
+    agg = groupby_sum(partials, ["bigram"], ["cnt"])
+    return agg.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
