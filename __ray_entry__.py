@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_diversity_documents": q.word_diversity_documents,
         "bigram_topk_documents": q.bigram_topk_documents,
         "json_props_events": q.json_props_events,
+        "quartile_orders": q.quartile_orders,
+        "user_overlap_events_orders": q.user_overlap_events_orders,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -197,6 +199,8 @@ def oracle_sql() -> dict[str, str]:
         "word_diversity_documents": q.word_diversity_documents_sql(),
         "bigram_topk_documents": q.bigram_topk_documents_sql(),
         "json_props_events": q.json_props_events_sql(),
+        "quartile_orders": q.quartile_orders_sql(),
+        "user_overlap_events_orders": q.user_overlap_events_orders_sql(),
         "quality_counts_documents": q.quality_counts_documents_sql(),
         "repetition_lines_documents": q.repetition_lines_documents_sql(),
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),

@@ -2221,3 +2221,52 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY event_type
 """
+
+
+def quartile_orders(sf_dir: str):
+    """Per-row quartile assignment: exact distributed quantile boundaries
+    (radix-histogram selection, quantile_disc semantics) + one zero-shuffle
+    searchsorted pass."""
+    from raycontract.pipelines.relational import quantile_buckets
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return quantile_buckets(o, "o_totalprice", "o_orderkey",
+                            qs=(0.25, 0.5, 0.75), out_col="quartile")
+
+
+def quartile_orders_sql() -> str:
+    return """
+WITH b AS (SELECT quantile_disc(o_totalprice, [0.25, 0.5, 0.75]) AS q
+           FROM orders)
+SELECT o_orderkey,
+       CAST(1 + CAST(o_totalprice >= q[1] AS INT)
+              + CAST(o_totalprice >= q[2] AS INT)
+              + CAST(o_totalprice >= q[3] AS INT) AS BIGINT) AS quartile
+FROM orders, b
+"""
+
+
+def user_overlap_events_orders(sf_dir: str):
+    """INTERSECT / EXCEPT profile of two key columns (event users vs order
+    customers) as distinct-key counts: per-batch distinct partials, tagged
+    union, presence-bit grouped sum."""
+    from raycontract.pipelines.relational import distinct_key_overlap
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    o = _read(sf_dir, "orders", ["o_custkey"])
+    return distinct_key_overlap(ev, "user_id", o, "o_custkey")
+
+
+def user_overlap_events_orders_sql() -> str:
+    return """
+WITH l AS (SELECT DISTINCT user_id AS k FROM events WHERE user_id IS NOT NULL),
+     r AS (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE o_custkey IS NOT NULL),
+     j AS (SELECT COALESCE(l.k, r.k) AS k,
+                  l.k IS NOT NULL AS in_l, r.k IS NOT NULL AS in_r
+           FROM l FULL OUTER JOIN r ON l.k = r.k)
+SELECT CAST(COUNT(*) FILTER (in_l AND in_r) AS BIGINT) AS n_both,
+       CAST(COUNT(*) FILTER (in_l AND NOT in_r) AS BIGINT) AS n_left_only,
+       CAST(COUNT(*) FILTER (in_r AND NOT in_l) AS BIGINT) AS n_right_only
+FROM j
+"""

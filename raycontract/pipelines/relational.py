@@ -668,3 +668,68 @@ def json_field_sum(ds, json_col: str, field: str, group_col: str):
         return batch.rename_columns([group_col, f"sum_{field}", "n"])
 
     return out.map_batches(shaped, batch_format="pyarrow")
+
+
+def quantile_buckets(ds, column: str, id_col: str,
+                     qs=(0.25, 0.5, 0.75), out_col: str = "bucket"):
+    """Assign every row its quantile bucket (1-based: rows below the first
+    boundary → 1, ≥ last boundary → len(qs)+1). Boundaries come from the
+    EXACT distributed quantile machinery (:func:`exact_quantiles`,
+    DuckDB ``quantile_disc`` semantics), then one zero-shuffle vectorized
+    ``searchsorted`` pass assigns buckets — the composition used for
+    stratifying a corpus by a score column before mixture sampling."""
+    bounds = [v for _, v in exact_quantiles(ds, column, qs=qs)]
+    b = np.asarray(bounds, dtype=np.float64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = np.asarray(pc.cast(batch[column].combine_chunks(), pa.float64()))
+        buckets = 1 + np.searchsorted(b, v, side="right")
+        return pa.table({id_col: batch[id_col],
+                         out_col: pa.array(buckets.astype(np.int64))})
+
+    return ds.select_columns([id_col, column]).map_batches(
+        assign, batch_format="pyarrow")
+
+
+def distinct_key_overlap(left_ds, left_key: str, right_ds, right_key: str):
+    """Set-operation profile of two key columns: |L ∩ R|, |L \\ R|, |R \\ L|
+    over DISTINCT non-null keys (the INTERSECT / EXCEPT triple as counts —
+    the referential-drift profile between two tables).
+
+    Scale shape: each side reduces to per-batch DISTINCT keys (partials
+    bounded by keys × blocks), the tagged union groups by key summing
+    presence bits (adaptive driver fold / distributed groupby via
+    ``smallagg.groupby_sum``), and the 3 counts fold from the per-key
+    presence pairs."""
+
+    def distinct(col_name, bit):
+        def fn(batch: pa.Table) -> pa.Table:
+            u = pc.unique(pc.drop_null(batch[col_name].combine_chunks()))
+            ones = np.ones(len(u), dtype=np.int64)
+            return pa.table({"k": u, "in_l": pa.array(ones * (1 - bit)),
+                             "in_r": pa.array(ones * bit)})
+        return fn
+
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    both = left_ds.select_columns([left_key]).map_batches(
+        distinct(left_key, 0), batch_format="pyarrow").union(
+        right_ds.select_columns([right_key]).map_batches(
+            distinct(right_key, 1), batch_format="pyarrow"))
+    per_key = groupby_sum(both, ["k"], ["in_l", "in_r"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        in_l = np.asarray(batch["in_l"]) > 0
+        in_r = np.asarray(batch["in_r"]) > 0
+        return pa.table({
+            "n_both": pa.array([int((in_l & in_r).sum())], pa.int64()),
+            "n_left_only": pa.array([int((in_l & ~in_r).sum())], pa.int64()),
+            "n_right_only": pa.array([int((~in_l & in_r).sum())], pa.int64()),
+        })
+
+    parts = per_key.map_batches(fold, batch_format="pyarrow")
+    t = pa.concat_tables([pa.table(b) for b in parts.iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")],
+        promote_options="default")
+    return pa.table({c: pa.array([int(pc.sum(t[c]).as_py() or 0)], pa.int64())
+                     for c in ("n_both", "n_left_only", "n_right_only")})
