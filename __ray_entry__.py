@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores_documents": q.repetition_scores_documents,
         "fingerprints_documents": q.fingerprints_documents,
         "image_features_sample": q.image_features_sample,
+        "jpeg_psnr_images": q.jpeg_psnr_images,
         "audio_features_sample": q.audio_features_sample,
         "video_frames_sample": q.video_frames_sample,
     }

@@ -2270,3 +2270,44 @@ SELECT CAST(COUNT(*) FILTER (in_l AND in_r) AS BIGINT) AS n_both,
        CAST(COUNT(*) FILTER (in_r AND NOT in_l) AS BIGINT) AS n_right_only
 FROM j
 """
+
+
+def jpeg_psnr_images(sf_dir: str):
+    """North-star lossy invariant, REAL end-to-end: baseline JPEG rows
+    (vendored pure-numpy T.81 codec) decoded on the actor pool and compared
+    to their lossless PNG masters — PSNR ≥ 40 dB per row, plus dims/phash/
+    decodability. Injected violations (4 low-quality, 4 truncated, 4 wrong
+    dims) must be counted EXACTLY; the query raises otherwise, so the
+    emitted counter row is deterministic (sf_dir sets scale only; the
+    corpus is self-synthesized)."""
+    import pyarrow.parquet as pq
+    import tempfile
+
+    from raycontract.fixtures import make_jpeg_master_rows
+    from raycontract.plans import ImageSpec
+    from raycontract.stages.image import image_conformance_stats
+
+    d = os.path.join(tempfile.gettempdir(), "raycontract_jpeg_240_v2")
+    path = os.path.join(d, "images.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(make_jpeg_master_rows(240), path)
+    ds = rd.read_parquet(path)
+    spec = ImageSpec(check_key="images__bytes__jpeg_conformance",
+                     master_column="master")
+    st = image_conformance_stats(ds, spec, batch_size=64)
+    expected = {"psnr_below": 4, "decode_error": 4, "dim_mismatch": 4,
+                "phash_mismatch": 0, "fmt_mismatch": 0, "null_bytes": 0}
+    for k, v in expected.items():
+        if int(st.get(k, 0)) != v:
+            raise AssertionError(
+                f"jpeg conformance drifted: {k}={st.get(k)} expected {v}")
+    return pa.table({
+        "n_rows": pa.array([int(st["row_count"])], pa.int64()),
+        "psnr_below": pa.array([int(st["psnr_below"])], pa.int64()),
+        "decode_error": pa.array([int(st["decode_error"])], pa.int64()),
+        "dim_mismatch": pa.array([int(st["dim_mismatch"])], pa.int64()),
+        "phash_mismatch": pa.array([int(st["phash_mismatch"])], pa.int64()),
+        "clean_rows": pa.array([int(st["row_count"] - st["invalid_count"])],
+                               pa.int64()),
+    })

@@ -211,3 +211,56 @@ def make_image_refs_table(images: pa.Table, n_refs: int = 100, dangling: int = 5
         "image_id": pa.array(picked),
         "tag": pa.array(tags),
     })
+
+
+def make_jpeg_master_rows(n: int = 240, seed: int = 42) -> pa.Table:
+    """Deterministic lossy-conformance corpus: each row is a smooth synthetic
+    image stored as baseline JPEG ``bytes`` (vendored codec,
+    ``functions/jpeg.py``) alongside its lossless PNG ``master`` — the pair
+    the north-star "decoded-pixel PSNR≥40dB for lossy" invariant compares.
+
+    Injected violations (disjoint tail ranges, exact counts for the check):
+    - rows n-12..n-9: encoded at quality 8 → PSNR vs master < 40 (psnr_below)
+    - rows n-8..n-5:  truncated JPEG bytes (decode_error)
+    - rows n-4..n-1:  declared w off by one (dim_mismatch)
+    ``phash`` is the hash of the row's DECODED bytes (what the column
+    describes), so clean rows phash-match exactly.
+    """
+    from raycontract.functions.codecs import encode_image, phash64
+    from raycontract.functions.jpeg import decode_jpeg, encode_jpeg
+
+    ids, blobs, masters, ws, hs, fmts, phs = [], [], [], [], [], [], []
+    for i in range(n):
+        rng = np.random.default_rng(np.random.PCG64(seed * 7_000_003 + i))
+        h = int(rng.integers(24, 72))
+        w = int(rng.integers(24, 72))
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        f1, f2 = float(rng.uniform(10, 40)), float(rng.uniform(10, 40))
+        img = np.stack([
+            128 + 90 * np.sin(xx / f1) * np.cos(yy / f2),
+            40 + xx * (180.0 / max(w - 1, 1)),
+            220 - yy * (170.0 / max(h - 1, 1)),
+        ], axis=-1)
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        quality = 8 if n - 12 <= i < n - 8 else 90
+        # 4:4:4 — chroma subsampling on saturated gradients sits at the
+        # 40 dB boundary; the clean rows must clear it with margin
+        data = encode_jpeg(img, quality=quality, subsample=False)
+        if n - 8 <= i < n - 4:
+            data = data[: len(data) // 2]  # truncated → decode_error
+            ph = 0
+        else:
+            ph = phash64(decode_jpeg(data))
+        ids.append(f"jpg-{i:012d}")
+        blobs.append(data)
+        masters.append(encode_image(img, "png"))
+        ws.append(w + 1 if i >= n - 4 else w)  # dim_mismatch tail
+        hs.append(h)
+        fmts.append("jpeg")
+        phs.append(ph)
+    return pa.table({
+        "image_id": pa.array(ids), "bytes": pa.array(blobs, pa.binary()),
+        "master": pa.array(masters, pa.binary()),
+        "w": pa.array(ws, pa.int32()), "h": pa.array(hs, pa.int32()),
+        "fmt": pa.array(fmts), "phash": pa.array(phs, pa.int64()),
+    })

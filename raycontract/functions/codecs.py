@@ -10,9 +10,12 @@ implemented from the public format specifications:
 - **PNG**: zlib-deflated scanlines, color type 2 (truecolor 8-bit), filters
   0-4 implemented per the PNG spec (decode); encode uses filter 0.
 
-All three are lossless, so the per-row invariant vs a reference decoder is
-exact equality (PSNR = ∞ ≥ 40dB); the ``fmt`` dispatch and the PSNR path are
-still exercised so a lossy codec can slot in.
+- **JPEG (baseline)**: REAL pure-numpy encoder + decoder from the public
+  ITU-T T.81 spec (``functions/jpeg.py``) — the lossy branch of the
+  conformance stage (PSNR vs a lossless master ≥ 40 dB) is executable.
+
+PNG/BMP/PPM are lossless (reference invariant = exact equality, PSNR = ∞);
+JPEG exercises the real lossy PSNR path.
 
 The perceptual hash is the standard DCT-based pHash: resize (area-average) to
 32×32 grayscale → 2-D DCT-II → top-left 8×8 low-frequency block minus DC →
@@ -211,9 +214,23 @@ def decode_png(data: bytes) -> np.ndarray:
 
 # ----------------------------------------------------------------- dispatch
 
-ENCODERS = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm}
-DECODERS = {"png": decode_png, "bmp": decode_bmp, "ppm": decode_ppm}
-LOSSLESS_FORMATS = frozenset(ENCODERS)
+def _encode_jpeg(img, quality: int = 90, subsample: bool = True):
+    from raycontract.functions.jpeg import encode_jpeg as _enc
+
+    return _enc(img, quality=quality, subsample=subsample)
+
+
+def _decode_jpeg(data: bytes):
+    from raycontract.functions.jpeg import decode_jpeg as _dec
+
+    return _dec(data)
+
+
+ENCODERS = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm,
+            "jpeg": _encode_jpeg}
+DECODERS = {"png": decode_png, "bmp": decode_bmp, "ppm": decode_ppm,
+            "jpeg": _decode_jpeg}
+LOSSLESS_FORMATS = frozenset({"png", "bmp", "ppm"})
 
 
 def encode_image(img: np.ndarray, fmt: str) -> bytes:
@@ -238,17 +255,16 @@ def sniff_format(data: bytes) -> str | None:
         return "bmp"
     if data.startswith(b"P6"):
         return "ppm"
+    if data.startswith(b"\xff\xd8"):
+        return "jpeg"
     return None
 
 
-# JPEG decode would need a real DCT/huffman implementation or an external
-# library — STUBBED per the environment constraints; the dispatch and the
-# PSNR path are real.
+# Baseline JPEG is REAL since round 4: pure-numpy encoder + decoder from the
+# public T.81 spec (``functions/jpeg.py``) — the lossy PSNR branch of the
+# image conformance stage is reachable. Kept as a named alias for callers.
 def decode_jpeg(data: bytes) -> np.ndarray:
-    raise NotImplementedError(
-        "JPEG decode requires an external codec library not available in this "
-        "environment; plug a decoder into DECODERS['jpeg'] to enable"
-    )
+    return _decode_jpeg(data)
 
 
 # ----------------------------------------------------------- phash and PSNR

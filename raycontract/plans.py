@@ -88,8 +88,12 @@ class ImageSpec:
 
     Decode ``bytes_column`` with the vendored codecs, verify decoded
     dimensions == (w,h) columns, format dispatch == fmt column, recomputed
-    perceptual hash == phash column, and (for lossy formats) PSNR >= min_psnr
-    against the re-encoded roundtrip.
+    perceptual hash == phash column, and — when the row carries a lossless
+    MASTER of the same image (``master_column``, sniffed format) — PSNR of
+    the lossy decode vs the master decode >= min_psnr (the north-star
+    "decoded-pixel allclose, PSNR≥40dB for lossy" invariant; real since the
+    vendored baseline JPEG codec, ``functions/jpeg.py``). Lossy rows with no
+    master are decode/dims/phash-checked only.
     """
 
     check_key: str
@@ -100,6 +104,7 @@ class ImageSpec:
     phash_column: Optional[str] = "phash"
     id_column: str = "image_id"
     min_psnr: float = 40.0
+    master_column: Optional[str] = None
 
 
 @dataclass(frozen=True)

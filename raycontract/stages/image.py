@@ -3,9 +3,10 @@
 North-star extension (BASELINE.json north_star): decode each row's ``bytes``
 with the vendored codecs, verify decoded dimensions match the declared
 ``w``/``h`` columns, the format dispatch matches ``fmt``, the recomputed DCT
-phash equals the stored ``phash``, and (for lossy formats) PSNR ≥ min_psnr
-against a reference re-decode. Our vendored codecs are lossless, so the PSNR
-branch passes trivially but is exercised.
+phash equals the stored ``phash``, and (for lossy formats, when the row
+carries a lossless master) PSNR of the lossy decode vs the master decode ≥
+min_psnr — REAL since the vendored baseline JPEG codec
+(``functions/jpeg.py``); see ``fixtures.make_jpeg_master_rows``.
 
 Scale design: a callable CLASS → ``map_batches(ImageConformance,
 concurrency=(1,N), batch_size=small)`` actor pool — decode state (DCT
@@ -43,6 +44,9 @@ class ImageConformance:
         hs = batch[s.height_column].to_pylist()
         fmts = batch[s.fmt_column].to_pylist()
         phashes = batch[s.phash_column].to_pylist() if s.phash_column else [None] * n
+        masters = (batch[s.master_column].to_pylist()
+                   if s.master_column and s.master_column in batch.column_names
+                   else [None] * n)
 
         counters = {"decode_error": 0, "dim_mismatch": 0, "fmt_mismatch": 0,
                     "phash_mismatch": 0, "psnr_below": 0, "null_bytes": 0}
@@ -77,11 +81,19 @@ class ImageConformance:
             if phashes[i] is not None:
                 pending.append(i)
                 smalls.append(self.codecs._area_resize_gray(img, 32))
-            if fmt not in self.codecs.LOSSLESS_FORMATS:
-                # lossy path: roundtrip PSNR vs the decode (real check once a
-                # lossy codec is plugged in; unreachable with vendored codecs)
-                ref = img
-                p = self.codecs.psnr(img, ref)
+            if fmt not in self.codecs.LOSSLESS_FORMATS and masters[i] is not None:
+                # lossy path (REAL since the vendored baseline JPEG codec):
+                # decoded pixels vs the row's lossless MASTER — the
+                # north-star "PSNR≥40dB for lossy" invariant
+                try:
+                    mfmt = self.codecs.sniff_format(masters[i]) or ""
+                    ref = self.codecs.decode_image(masters[i], mfmt)
+                    p = (self.codecs.psnr(img, ref)
+                         if ref.shape == img.shape else 0.0)
+                except Exception as e:
+                    counters["decode_error"] += 1
+                    self._sample(samples, ids[i], f"master decode failed: {e}")
+                    continue
                 if p < s.min_psnr:
                     counters["psnr_below"] += 1
                     self._sample(samples, ids[i], f"PSNR {p:.1f} < {s.min_psnr}")
@@ -116,12 +128,14 @@ def image_conformance_stats(
 
         cpus = int(ray.cluster_resources().get("CPU", 8))
         concurrency = max(2, cpus - 2)
+    # max_restarts=0: constructor args live in the object store (ray#53727)
     out_ds = ds.map_batches(
         ImageConformance,
         fn_constructor_args=(spec, max_samples),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        max_restarts=0,
     )
     rows = out_ds.take_all()
     agg: dict[str, Any] = {"row_count": 0, "invalid_count": 0, "samples": []}

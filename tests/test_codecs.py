@@ -61,6 +61,8 @@ def test_psnr_values():
     assert psnr(a, np.zeros((4, 4, 3), dtype=np.uint8)) == 0.0
 
 
-def test_jpeg_stub():
-    with pytest.raises(NotImplementedError):
+def test_jpeg_real_decode_rejects_garbage():
+    # baseline JPEG is REAL since round 4 (functions/jpeg.py): malformed
+    # bytes raise the codec error, not NotImplementedError
+    with pytest.raises(ImageDecodeError):
         decode_jpeg(b"\xff\xd8\xff")
