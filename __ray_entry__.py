@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints_documents": q.fingerprints_documents,
         "image_features_sample": q.image_features_sample,
         "jpeg_psnr_images": q.jpeg_psnr_images,
+        "semantic_dedup_embeddings": q.semantic_dedup_embeddings,
         "audio_features_sample": q.audio_features_sample,
         "video_frames_sample": q.video_frames_sample,
     }

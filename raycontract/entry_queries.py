@@ -2311,3 +2311,48 @@ def jpeg_psnr_images(sf_dir: str):
         "clean_rows": pa.array([int(st["row_count"] - st["invalid_count"])],
                                pa.int64()),
     })
+
+
+def semantic_dedup_embeddings(sf_dir: str):
+    """SemDeDup-style semantic dedup (cluster → exact within-cluster
+    near-dup → keep min-id) VERIFIED IN-QUERY against the oracle-paired
+    exact global machinery (`embedding_neardup_pairs` + `neardup_keep_first`,
+    cosine ≥ 0.45 — the fixture's max pairwise cosine is 0.51, a WEAK-
+    similarity regime where cross-cluster misses are expected): semantic
+    drops must be a SUBSET of exact drops (every within-cluster pair is a
+    true pair — the query raises if precision < 100%), and drop recall is
+    emitted as a deterministic integer column (k-means seed, sample and
+    union-find are all deterministic)."""
+    from raycontract.pipelines.dedup import (embedding_neardup_pairs,
+                                             neardup_keep_first,
+                                             semantic_dedup_keep_first)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sem = semantic_dedup_keep_first(ds, threshold=0.45, k=8)
+    sem_t = pa.concat_tables(
+        [pa.table(b) for b in sem.iter_batches(batch_size=1 << 20,
+                                               batch_format="pyarrow")],
+        promote_options="default")
+    drops_sem = set(sem_t.filter(
+        pc.invert(sem_t["keep"]))["vec_id"].to_pylist())
+
+    pairs = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.45)
+    kept_exact = set()
+    for b in neardup_keep_first(ds, pairs, "vec_id").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"):
+        kept_exact.update(b["vec_id"].to_pylist())
+    all_ids = set(sem_t["vec_id"].to_pylist())
+    drops_exact = all_ids - kept_exact
+
+    not_subset = drops_sem - drops_exact
+    if not_subset:
+        raise AssertionError(
+            f"semantic drops not a subset of exact drops: {sorted(not_subset)[:5]}")
+    recall_pct = (100 * len(drops_sem & drops_exact) // max(1, len(drops_exact)))
+    return pa.table({
+        "n_vectors": pa.array([len(all_ids)], pa.int64()),
+        "n_dropped_exact": pa.array([len(drops_exact)], pa.int64()),
+        "n_dropped_semantic": pa.array([len(drops_sem)], pa.int64()),
+        "precision_pct": pa.array([100], pa.int64()),  # asserted above
+        "drop_recall_pct": pa.array([recall_pct], pa.int64()),
+    })

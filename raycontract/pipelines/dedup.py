@@ -1072,3 +1072,99 @@ def embedding_neardup_pairs_lsh(ds, emb_col: str, id_col: str, threshold: float 
                          "cosine": pa.array(cos[keep], type=pa.float64())})
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def semantic_dedup_keep_first(ds, emb_col: str = "embedding",
+                              id_col: str = "vec_id", threshold: float = 0.9,
+                              k: int = 32, train_rows: int = 50_000,
+                              kmeans_iters: int = 10):
+    """Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
+    spherical k-means clusters the corpus, EXACT cosine near-dup runs WITHIN
+    each cluster only, and every duplicate group keeps its min-id
+    representative. Compute is O(Σ n_c²) instead of the exact all-pairs
+    O(N²); recall < 1 by construction (cross-cluster near-dups are missed —
+    raise ``k`` slower than N so clusters stay balanced, or verify against
+    :func:`embedding_neardup_pairs` on a sample as ``semantic_dedup_embeddings``
+    does in-query).
+
+    Scale shape: centroids train on a bounded driver sample (k-means is not
+    the scan); ONE distributed assign pass tags each row's cluster; ONE
+    groupby co-locates each cluster; the per-cluster kernel (normalized
+    matmul + union-find over qualifying pairs) is invoked once per CLUSTER
+    (k calls, not N). Partitioning assumption: one cluster's vectors fit a
+    worker — size ``k`` to data volume.
+
+    Returns (id, keep:bool, cluster:int32) — keep=False rows have a
+    smaller-id near-duplicate within their cluster group."""
+    import ray.data as rd
+
+    from raycontract.pipelines.similarity import _kmeans_cosine
+
+    # deterministic training sample: collect (id, emb), ORDER BY id on the
+    # driver — block boundaries vary run to run, and k-means init indexes
+    # into the sample, so row order must be pinned
+    sample = ds.select_columns([id_col, emb_col]).limit(train_rows)
+    tabs = [pa.table(t) for t in ray.get(sample.to_arrow_refs()) if t.num_rows]
+    st = pa.concat_tables(tabs, promote_options="default")
+    st = st.take(pc.sort_indices(st, sort_keys=[(id_col, "ascending")]))
+    X = _normalize_rows(_emb_matrix(st, emb_col))
+    centroids = _kmeans_cosine(X, k, iters=kmeans_iters)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        En = _normalize_rows(_emb_matrix(batch, emb_col))
+        if batch.num_rows == 0 or En.size == 0:
+            return pa.table({"cluster": pa.array([], pa.int32()),
+                             id_col: batch[id_col],
+                             "_emb": pa.array([], pa.list_(pa.float64(),
+                                                           C.shape[1]))})
+        cid = np.argmax(En @ C.T, axis=1).astype(np.int32)
+        return pa.table({
+            "cluster": pa.array(cid),
+            id_col: batch[id_col],
+            "_emb": pa.FixedSizeListArray.from_arrays(
+                pa.array(En.ravel(), type=pa.float64()), En.shape[1]),
+        })
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        ids = np.asarray(pc.cast(group[id_col].combine_chunks(), pa.int64()))
+        emb = group["_emb"].combine_chunks()
+        dim = emb.type.list_size
+        M = np.asarray(emb.flatten(), dtype=np.float64).reshape(n, dim)
+        order = np.argsort(ids, kind="stable")
+        ids, M = ids[order], M[order]
+        sims = M @ M.T
+        ia, ib = np.triu_indices(n, k=1)
+        hit = sims[ia, ib] >= threshold
+        # union-find over qualifying pairs → min-id per component
+        parent = np.arange(n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ia[hit], ib[hit]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(n)])
+        keep = roots == np.arange(n)  # ids sorted ⇒ root is the min id
+        return pa.table({id_col: pa.array(ids),
+                         "keep": pa.array(keep),
+                         "cluster": group["cluster"][:1].take(
+                             pa.array(np.zeros(n, dtype=np.int64)))})
+
+    tagged = ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow")
+    return tagged.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pyarrow")
+
+
+def _normalize_rows(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
