@@ -154,6 +154,11 @@ servers:
         ("distinct_counts", q.distinct_counts),
         ("asof_join_events_orders", lambda d: q.asof_join_events_orders(d).to_pandas()),
         ("exact_quantiles_totalprice", q.exact_quantiles_totalprice),
+        # round-4b representatives: time-RANGE window frames (partition
+        # kernel), corpus bigram combiner, exact-quantile bucket assignment
+        ("rolling_hour_events", lambda d: q.rolling_hour_events(d).to_pandas()),
+        ("bigram_topk_documents", lambda d: q.bigram_topk_documents(d).to_pandas()),
+        ("quartile_orders", lambda d: q.quartile_orders(d).to_pandas()),
     ]
     for name, fn in secondary:
         t0 = time.time()
