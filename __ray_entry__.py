@@ -48,7 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_violations_orders": q.nested_violations_orders,
         "jsonschema_violations_documents": q.jsonschema_violations_documents,
         # uniqueness / distinct (shuffle paths)
-        "distinct_counts": q.distinct_counts,
+        "distinct_users_per_type": q.distinct_users_per_type,
         # relational (pre-aggregated groupbys, broadcast join, top-k, windows)
         "pricing_summary": q.pricing_summary_q,
         "top_customers_by_revenue": q.top_customers_q,
@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_counts": q.row_counts,
         "null_counts_lineitem": q.null_counts_lineitem,
         "range_violations_lineitem": q.range_violations_lineitem,
+        "distinct_counts": q.distinct_counts,
         "duplicate_user_events": q.duplicate_user_events_q,
         "events_sliding_windows": q.events_sliding_windows,
         "sessionize_events": q.sessionize_events_q,
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_events": q.json_props_events_sql(),
         "quartile_orders": q.quartile_orders_sql(),
         "user_overlap_events_orders": q.user_overlap_events_orders_sql(),
+        "distinct_users_per_type": q.distinct_users_per_type_sql(),
         "quality_counts_documents": q.quality_counts_documents_sql(),
         "repetition_lines_documents": q.repetition_lines_documents_sql(),
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),

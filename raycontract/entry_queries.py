@@ -2356,3 +2356,20 @@ def semantic_dedup_embeddings(sf_dir: str):
         "precision_pct": pa.array([100], pa.int64()),  # asserted above
         "drop_recall_pct": pa.array([recall_pct], pa.int64()),
     })
+
+
+def distinct_users_per_type(sf_dir: str):
+    """Exact grouped COUNT DISTINCT (distinct users per event type): two-
+    level combiner — per-batch distinct pairs, global pair dedup, per-group
+    count."""
+    from raycontract.pipelines.relational import grouped_count_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_count_distinct(ev, "event_type", "user_id")
+
+
+def distinct_users_per_type_sql() -> str:
+    return """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""

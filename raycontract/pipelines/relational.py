@@ -733,3 +733,46 @@ def distinct_key_overlap(left_ds, left_key: str, right_ds, right_key: str):
         promote_options="default")
     return pa.table({c: pa.array([int(pc.sum(t[c]).as_py() or 0)], pa.int64())
                      for c in ("n_both", "n_left_only", "n_right_only")})
+
+
+def grouped_count_distinct(ds, group_col: str, value_col: str):
+    """Exact ``COUNT(DISTINCT value) GROUP BY group`` — the two-level
+    combiner: each batch emits its DISTINCT (group, value) pairs (bounded by
+    batch-distinct pairs, not rows), one grouped pass dedups pairs globally
+    and counts per group. Shuffle volume is the distinct-pair set — the same
+    shape DuckDB/BigQuery use for exact grouped distincts. For sketch-bound
+    shuffles at extreme cardinality use the HLL path
+    (``functions/sketches.py``) instead."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({"g": batch[group_col], "v": batch[value_col]})
+        g = t.group_by(["g", "v"]).aggregate([])
+        return g.rename_columns(["g", "v"])
+
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    def tag_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    # dedup pairs globally, then count per group: both are grouped sums over
+    # pre-aggregated partials (pair rows ≤ distinct pairs × blocks)
+    deduped = groupby_sum(
+        ds.select_columns([group_col, value_col]).map_batches(
+            pairs, batch_format="pyarrow").map_batches(
+            tag_one, batch_format="pyarrow"), ["g", "v"], ["n"])
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        t = pa.table({"g": batch["g"],
+                      "n_distinct": pa.array(
+                          np.ones(batch.num_rows, dtype=np.int64))})
+        out = t.group_by(["g"]).aggregate([("n_distinct", "sum")])
+        return out.rename_columns(["g", "n_distinct"])
+
+    out = groupby_sum(deduped.map_batches(count_rows, batch_format="pyarrow"),
+                      ["g"], ["n_distinct"])
+
+    def shaped(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([group_col, "n_distinct"])
+
+    return out.map_batches(shaped, batch_format="pyarrow")
