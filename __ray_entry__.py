@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_sample": q.image_features_sample,
         "jpeg_psnr_images": q.jpeg_psnr_images,
         "semantic_dedup_embeddings": q.semantic_dedup_embeddings,
+        "bpe_merges_documents": q.bpe_merges_documents,
         "audio_features_sample": q.audio_features_sample,
         "video_frames_sample": q.video_frames_sample,
     }

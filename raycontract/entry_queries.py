@@ -2373,3 +2373,20 @@ def distinct_users_per_type_sql() -> str:
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY event_type
 """
+
+
+def bpe_merges_documents(sf_dir: str):
+    """First 20 BPE merge rules learned over the corpus — deterministic
+    integer counts with (count desc, pair asc) tie-break. The DRIVER and
+    DISTRIBUTED training paths both run and must agree exactly (the query
+    raises otherwise), so the distributed rounds — per-batch weighted
+    pair-count partials over the vocab table, grouped sum, broadcast merge —
+    get a hard equality check every run."""
+    from raycontract.pipelines.textpipe import bpe_train_merges
+
+    ds = _read(sf_dir, "documents", ["text"])
+    a = bpe_train_merges(ds, num_merges=20, force="driver")
+    b = bpe_train_merges(ds, num_merges=20, force="distributed")
+    if not a.equals(b):
+        raise AssertionError("driver vs distributed BPE training diverged")
+    return a

@@ -599,3 +599,141 @@ def bigram_topk(ds, text_col: str = "text", k: int = 100):
         partial, batch_format="pyarrow")
     agg = groupby_sum(partials, ["bigram"], ["cnt"])
     return agg.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
+
+
+def word_counts(ds, text_col: str = "text"):
+    """(word, cnt) corpus table — the zipf-bounded combiner reduction every
+    tokenizer-training pipeline starts from (same partial shape as
+    :func:`vocab_topk`, without the top-k cut)."""
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch[text_col], " "))
+        vc = pc.value_counts(flat)
+        return pa.table({"word": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    return groupby_sum(ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow"), ["word"], ["cnt"])
+
+
+def _bpe_pairs_of(syms: list, cnt: int, acc: dict):
+    for a, b in zip(syms[:-1], syms[1:]):
+        acc[(a, b)] = acc.get((a, b), 0) + cnt
+
+
+def _bpe_apply(syms: list, left: str, right: str) -> list:
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_driver(words: list[list], cnts: list[int], num_merges: int):
+    merges = []
+    words = [list(w) for w in words]
+    for _ in range(num_merges):
+        acc: dict = {}
+        for syms, c in zip(words, cnts):
+            _bpe_pairs_of(syms, c, acc)
+        if not acc:
+            break
+        # deterministic argmax: count desc, then (left, right) asc
+        (left, right), cnt = min(acc.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+        merges.append((left, right, cnt))
+        words = [_bpe_apply(w, left, right) for w in words]
+    return merges
+
+
+def bpe_train_merges(ds, text_col: str = "text", num_merges: int = 20,
+                     driver_limit: int = 2_000_000, force: str = "auto"):
+    """Learn the first ``num_merges`` BPE merge rules over the corpus
+    (Sennrich et al. 2016, arXiv:1508.07909): character symbols, most-
+    frequent adjacent pair merged per round, frequencies weighted by word
+    count. Deterministic: integer counts, argmax tie-break (count desc,
+    pair asc).
+
+    Scale shape: training never touches the corpus again after ONE
+    distributed word-count pass — BPE operates on the zipf-bounded (word,
+    cnt) table. ≤ ``driver_limit`` vocab rows train on the driver (pure
+    Python over the small table); larger vocabularies run DISTRIBUTED
+    rounds: per-batch weighted pair-count partials → adaptive grouped sum →
+    driver argmax of the (pairs, count) table → broadcast merge applied per
+    batch. Each round is two small executions over the materialized vocab,
+    never the corpus. ``force`` ∈ {auto, driver, distributed} pins a path
+    (the entry query cross-checks both).
+
+    Returns (rank:int64 1-based, left, right, count:int64)."""
+    import ray.data as rd
+
+    wc = word_counts(ds, text_col).materialize()
+    n_vocab = wc.count()
+
+    def to_syms(batch: pa.Table) -> pa.Table:
+        words = batch["word"].to_pylist()
+        return pa.table({
+            "syms": pa.array([list(w) for w in words],
+                             type=pa.list_(pa.string())),
+            "cnt": batch["cnt"],
+        })
+
+    if force == "driver" or (force == "auto" and n_vocab <= driver_limit):
+        words, cnts = [], []
+        for b in wc.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            words.extend([list(w) for w in b["word"].to_pylist()])
+            cnts.extend(b["cnt"].to_pylist())
+        merges = _bpe_train_driver(words, cnts, num_merges)
+    else:
+        from raycontract.pipelines.smallagg import groupby_sum
+
+        cur = wc.map_batches(to_syms, batch_format="pyarrow").materialize()
+        merges = []
+        for _ in range(num_merges):
+            def pairs(batch: pa.Table) -> pa.Table:
+                acc: dict = {}
+                cnts_b = batch["cnt"].to_pylist()
+                for syms, c in zip(batch["syms"].to_pylist(), cnts_b):
+                    _bpe_pairs_of(syms, c, acc)
+                if not acc:
+                    return pa.table({"l": pa.array([], pa.string()),
+                                     "r": pa.array([], pa.string()),
+                                     "n": pa.array([], pa.int64())})
+                ls, rs = zip(*acc.keys())
+                return pa.table({"l": pa.array(ls), "r": pa.array(rs),
+                                 "n": pa.array(list(acc.values()), pa.int64())})
+
+            folded = groupby_sum(cur.map_batches(pairs, batch_format="pyarrow"),
+                                 ["l", "r"], ["n"])
+            t = pa.concat_tables([pa.table(b) for b in folded.iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow")],
+                promote_options="default")
+            if t.num_rows == 0:
+                break
+            rows = sorted(zip(t["l"].to_pylist(), t["r"].to_pylist(),
+                              t["n"].to_pylist()),
+                          key=lambda x: (-x[2], x[0], x[1]))
+            left, right, cnt = rows[0]
+            merges.append((left, right, int(cnt)))
+
+            def apply(batch: pa.Table, _l=left, _r=right) -> pa.Table:
+                return pa.table({
+                    "syms": pa.array([_bpe_apply(s, _l, _r)
+                                      for s in batch["syms"].to_pylist()],
+                                     type=pa.list_(pa.string())),
+                    "cnt": batch["cnt"],
+                })
+
+            cur = cur.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "rank": pa.array(range(1, len(merges) + 1), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "count": pa.array([m[2] for m in merges], pa.int64()),
+    })
