@@ -2390,3 +2390,23 @@ def bpe_merges_documents(sf_dir: str):
     if not a.equals(b):
         raise AssertionError("driver vs distributed BPE training diverged")
     return a
+
+
+def label_centroids_embeddings(sf_dir: str):
+    """Per-label element-wise embedding sums (centroid numerators) in exact
+    integer millis + row counts: one one-hot matmul per batch, grouped-sum
+    reduce — shuffle volume is labels × dims × blocks, never rows."""
+    from raycontract.pipelines.similarity import grouped_vector_sum
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return grouped_vector_sum(ds, "embedding", "label", scale=1000)
+
+
+def label_centroids_embeddings_sql() -> str:
+    return """
+SELECT label, CAST(i AS BIGINT) AS dim,
+       SUM(CAST(ROUND(embedding[i] * 1000) AS BIGINT)) AS sum_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM embeddings, generate_series(1, 64) t(i)
+GROUP BY label, i
+"""

@@ -507,3 +507,55 @@ def lsh_knn(ds, query_ids: list[int], query_matrix: np.ndarray,
     result, _stats = query_lsh_index(index, query_ids, query_matrix, k=k,
                                      probe_hamming=probe_hamming)
     return rd.from_arrow(result)
+
+
+def grouped_vector_sum(ds, emb_col: str = "embedding", group_col: str = "label",
+                       scale: int = 1000):
+    """Element-wise vector aggregation per group (class centroids / mean
+    pooling): for every (group, dimension), the exact integer sum of
+    ``ROUND(embedding[dim] * scale)`` plus the group's row count — the
+    numerator/denominator of a centroid, kept in integers so the
+    distributed result is bit-identical to the SQL oracle regardless of
+    summation order.
+
+    Scale shape: each batch one-hot-groups its vectors with ONE matmul
+    (groups×dim partial per batch — shuffle volume is groups × dims ×
+    blocks, never rows), exploded to (group, dim, s) rows for the adaptive
+    grouped-sum reduce."""
+    import pyarrow.compute as _pc
+
+    from raycontract.pipelines.dedup import _emb_matrix
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"g": pa.array([], batch[group_col].type),
+                          "dim": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        M = _emb_matrix(batch, emb_col)
+        scaled = np.asarray(_pc.cast(_pc.round(pa.array(
+            (M * float(scale)).ravel())), pa.int64())).reshape(M.shape)
+        enc = _pc.dictionary_encode(batch[group_col].combine_chunks())
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        k = len(enc.dictionary)
+        onehot = np.zeros((k, len(codes)), dtype=np.int64)
+        onehot[codes, np.arange(len(codes))] = 1
+        sums = onehot @ scaled                    # (k, dim) int64 exact
+        counts = onehot.sum(axis=1)               # (k,)
+        dim = M.shape[1]
+        return pa.table({
+            "g": enc.dictionary.take(pa.array(np.repeat(np.arange(k), dim))),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1), k)),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(counts, dim)),
+        })
+
+    out = groupby_sum(ds.select_columns([group_col, emb_col]).map_batches(
+        partial, batch_format="pyarrow"), ["g", "dim"], ["s", "n"])
+
+    def shaped(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([group_col, "dim", "sum_scaled", "n"])
+
+    return out.map_batches(shaped, batch_format="pyarrow")
