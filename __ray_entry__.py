@@ -33,11 +33,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's CORRECTNESS record caps at 50 entries, so
     # 49 oracle-paired queries come FIRST — they get the hard
     # rows+schema+hash gate — with the north-star contract_images_validation
-    # pipeline at slot 50. oracle_sql() has 66 entries; the gate rotates so
-    # every oracle-paired query gets a driver-green round: the 17 sitting
+    # pipeline at slot 50. oracle_sql() has 67 entries; the gate rotates so
+    # every oracle-paired query gets a driver-green round: the 18 sitting
     # just past the cap this round were each driver-green in rounds 1-3,
     # while every never-driver-checked query (the round-4 additions) is in.
-    # tests/test_entry_parity.py enforces parity locally for ALL 66 on every
+    # tests/test_entry_parity.py enforces parity locally for ALL 67 on every
     # pytest run.
     return {
         # -------- oracle-paired (every key here has an oracle_sql() entry)
@@ -68,7 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine_embeddings": q.knn_cosine_embeddings,
         # text analysis
-        "text_stats_documents": q.text_stats_documents,
         "langid_documents": q.langid_documents,
         "chunk_documents": q.chunk_documents_q,
         "vocab_topk_documents": q.vocab_topk_documents,
@@ -100,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quartile_orders": q.quartile_orders,
         "user_overlap_events_orders": q.user_overlap_events_orders,
         "label_centroids_embeddings": q.label_centroids_embeddings,
+        "user_journeys_events": q.user_journeys_events,
         # -------- north-star pipeline: slot 50, the last driver-recorded entry
         "contract_images_validation": q.contract_images_validation,
         # -------- oracle-paired BEYOND the driver's 50-entry record this
@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_violations_lineitem": q.range_violations_lineitem,
         "distinct_counts": q.distinct_counts,
         "events_hourly": q.events_hourly_q,
+        "text_stats_documents": q.text_stats_documents,
         "duplicate_user_events": q.duplicate_user_events_q,
         "events_sliding_windows": q.events_sliding_windows,
         "sessionize_events": q.sessionize_events_q,
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "user_overlap_events_orders": q.user_overlap_events_orders_sql(),
         "distinct_users_per_type": q.distinct_users_per_type_sql(),
         "label_centroids_embeddings": q.label_centroids_embeddings_sql(),
+        "user_journeys_events": q.user_journeys_events_sql(),
         "quality_counts_documents": q.quality_counts_documents_sql(),
         "repetition_lines_documents": q.repetition_lines_documents_sql(),
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),

@@ -2410,3 +2410,21 @@ SELECT label, CAST(i AS BIGINT) AS dim,
 FROM embeddings, generate_series(1, 64) t(i)
 GROUP BY label, i
 """
+
+
+def user_journeys_events(sf_dir: str):
+    """Per-user ordered event-type journey string (string_agg ... ORDER BY
+    ts, id): one lexsort + ONE vectorized binary_join over key-run offsets
+    per partition — no per-key Python."""
+    from raycontract.pipelines.window import ordered_string_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return ordered_string_agg(ev, "user_id", "ts", "event_id", "event_type")
+
+
+def user_journeys_events_sql() -> str:
+    return """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+FROM events GROUP BY user_id
+"""

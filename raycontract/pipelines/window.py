@@ -181,3 +181,40 @@ def funnel(ds, key: str, ts: str, step_col: str, steps: Sequence[str],
     partials = partition_map(ds.select_columns([key, ts, step_col]), key,
                              per_partition, num_partitions)
     return groupby_sum(partials, ["step", "event_type"], ["n_keys"])
+
+
+def ordered_string_agg(ds, key: str, ts: str, id_col: str, value_col: str,
+                       sep: str = ">", out_col: str = "journey",
+                       num_partitions: Optional[int] = None):
+    """Per-key ordered string aggregation — SQL ``string_agg(value, sep
+    ORDER BY ts, id) GROUP BY key`` (the "user journey" analytics shape).
+
+    Kernel: one lexsort by (key, ts, id), then the per-key concat is ONE
+    vectorized ``pc.binary_join`` over a ListArray built directly from the
+    key-run offsets — no per-key Python, no string loops. Partitioning
+    assumption as for every partition kernel: one partition fits a worker."""
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({key: pa.array([], part[key].type),
+                             out_col: pa.array([], pa.string())})
+        t = np.asarray(pc.cast(part[ts].combine_chunks(), pa.int64()))
+        ids = np.asarray(part[id_col])
+        kc = key_codes(part[key])
+        order = np.lexsort((ids, t, kc))
+        vals = pc.cast(part[value_col].combine_chunks(), pa.string()).take(
+            pa.array(order))
+        ks = kc[order]
+        n = len(ks)
+        starts = np.r_[0, np.flatnonzero(ks[1:] != ks[:-1]) + 1]
+        offsets = pa.array(np.r_[starts, n].astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, vals.combine_chunks()
+                                         if isinstance(vals, pa.ChunkedArray)
+                                         else vals)
+        keys_out = part[key].combine_chunks().take(
+            pa.array(order[starts]))
+        return pa.table({key: keys_out,
+                         out_col: pc.binary_join(lists, sep)})
+
+    return partition_map(ds.select_columns([key, ts, id_col, value_col]),
+                         key, per_partition, num_partitions)
