@@ -573,11 +573,57 @@ def rollup_sum(ds, keys: Sequence[str], sums: dict[str, tuple[str, float]]):
     finest = groupby_sum(
         ds.map_batches(partial, batch_format="pyarrow"),
         keys, [*sums, "n_rows"])
+    vals_cols = [*sums, "n_rows"]
+    finest = finest.materialize()
+    if finest.count() > 2_000_000:
+        # finest level too big to fold on the driver: every coarser level is
+        # its own distributed grouped sum over the SAME materialized finest
+        # result (still never re-scans the input); levels stream to the
+        # caller as a union Dataset
+        import ray.data as rd
+
+        levels_ds = [finest]
+        schema = finest.schema()
+        types = dict(zip(schema.names, schema.types))
+        for i in range(len(keys), 0, -1):
+            kcols = keys[: i - 1]
+            lvl = (groupby_sum(finest, kcols, vals_cols) if kcols else None)
+            if lvl is None:
+                # grand total: per-batch 1-row sum partials, tiny driver fold
+                def total_partial(batch: pa.Table) -> pa.Table:
+                    return pa.table({c: pa.array(
+                        [int(pc.sum(batch[c]).as_py() or 0)], pa.int64())
+                        for c in vals_cols})
+
+                t = pa.concat_tables([pa.table(b) for b in
+                                      finest.map_batches(
+                                          total_partial,
+                                          batch_format="pyarrow")
+                                      .iter_batches(batch_size=1 << 20,
+                                                    batch_format="pyarrow")],
+                                     promote_options="default")
+                gt = pa.table({c: pa.array([int(pc.sum(t[c]).as_py() or 0)],
+                                           pa.int64()) for c in vals_cols})
+                lvl = rd.from_arrow(gt)
+
+            def pad(batch: pa.Table, _have=tuple(kcols)) -> pa.Table:
+                for k in keys:
+                    if k not in _have:
+                        batch = batch.append_column(
+                            k, pa.nulls(batch.num_rows, types[k]))
+                return batch.select(keys + vals_cols)
+
+            levels_ds.append(lvl.map_batches(pad, batch_format="pyarrow"))
+        out = levels_ds[0].map_batches(
+            lambda b: b.select(keys + vals_cols), batch_format="pyarrow")
+        for lv in levels_ds[1:]:
+            out = out.union(lv)
+        return out
     base = pl.from_arrow(pa.concat_tables(
         [pa.table(b) for b in finest.iter_batches(batch_size=1 << 20,
                                                   batch_format="pyarrow")],
         promote_options="default"))
-    vals = [*sums, "n_rows"]
+    vals = vals_cols
     levels = [base]
     for i in range(len(keys), 0, -1):
         lvl = (base.group_by(keys[: i - 1]).agg([pl.col(c).sum() for c in vals])

@@ -61,3 +61,18 @@ def test_histogram_negative_values_floor(ray_session):
     out = fixed_width_histogram(rd.from_arrow(t), "x", 1.0).to_pandas()
     got = dict(zip(out.bucket, out.n))
     assert got == {-1: 2, 0: 2, 1: 1, 2: 1}  # FLOOR, not truncation
+
+
+def test_rollup_distributed_fallback_matches_driver(ray_session, monkeypatch):
+    t = pa.table({"a": ["x", "x", "y", "y", "z"], "b": ["p", "q", "p", "p", "q"],
+                  "m": [1.0, 2.0, 4.0, 8.0, 16.0]})
+    ref = rollup_sum(rd.from_arrow(t), ["a", "b"],
+                     {"sum_m": ("m", 100.0)}).to_pandas()
+    monkeypatch.setattr(rd.Dataset, "count", lambda self: 3_000_000)
+    out = rollup_sum(rd.from_arrow(t), ["a", "b"],
+                     {"sum_m": ("m", 100.0)}).to_pandas()
+    cols = sorted(ref.columns)
+    pd.testing.assert_frame_equal(
+        out[cols].sort_values(cols).reset_index(drop=True),
+        ref[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
