@@ -116,18 +116,24 @@ class CleanFilter(StatsKernel):
 
 
 def extract_clean(ds, plan: ModelPlan, out_dir: Optional[str] = None,
-                  batch_size: Optional[int] = None):
+                  batch_size: Optional[int] = None,
+                  partition_cols: Optional[list] = None):
     """Full rows passing EVERY constraint (inverse of
     :func:`extract_violations`) — streamed, never materialized; the natural
     'contract-validated training set' sink. Returns the lazy Dataset, or the
-    kept-row count when ``out_dir`` is given (partitioned Parquet written)."""
+    kept-row count when ``out_dir`` is given. ``partition_cols`` writes
+    hive-partitioned Parquet (one ``col=value/`` directory per key) so a
+    resumed or downstream job can prune whole partitions at the read."""
     kwargs = {"batch_format": "pyarrow"}
     if batch_size:
         kwargs["batch_size"] = batch_size
     out = ds.map_batches(CleanFilter(plan), **kwargs)
     if out_dir is not None:
-        out.write_parquet(out_dir)
         import ray.data as rd
 
+        if partition_cols:
+            out.write_parquet(out_dir, partition_cols=list(partition_cols))
+        else:
+            out.write_parquet(out_dir)
         return rd.read_parquet(out_dir).count()
     return out

@@ -169,3 +169,38 @@ models:
     assert by_key["m__v__field_minimum"] == ["2"]
     assert by_key["m__addr.zip__field_regex"] == ["3"]   # nested pk mapping
     assert by_key["m__scores[]__field_maximum"] == ["4"]
+
+
+def test_extract_clean_hive_partitioned(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from raycontract.compile import compile_contract
+    from raycontract.contract import DataContractSpecification
+    from raycontract.stages.violations import extract_clean
+
+    yaml = """
+dataContractSpecification: 1.1.0
+id: docs
+info: {title: docs, version: 1.0.0}
+models:
+  documents:
+    fields:
+      doc_id: {type: long, required: true}
+      lang: {type: string, enum: [en, de]}
+"""
+    spec = DataContractSpecification.from_string(yaml)
+    mp = compile_contract(spec, None).models["documents"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3, None], pa.int64()),
+                  "lang": ["en", "de", "en", "en"]})
+    out = str(tmp_path / "clean")
+    n = extract_clean(rd.from_arrow(t), mp, out_dir=out,
+                      partition_cols=["lang"])
+    assert n == 3  # the null doc_id row is dirty
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert dirs == ["lang=de", "lang=en"]  # hive layout → prunable reads
+    back = rd.read_parquet(os.path.join(out, "lang=en")).count()
+    assert back == 2
