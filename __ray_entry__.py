@@ -33,11 +33,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's CORRECTNESS record caps at 50 entries, so
     # 49 oracle-paired queries come FIRST — they get the hard
     # rows+schema+hash gate — with the north-star contract_images_validation
-    # pipeline at slot 50. oracle_sql() has 67 entries; the gate rotates so
-    # every oracle-paired query gets a driver-green round: the 18 sitting
+    # pipeline at slot 50. oracle_sql() has 68 entries; the gate rotates so
+    # every oracle-paired query gets a driver-green round: the 19 sitting
     # just past the cap this round were each driver-green in rounds 1-3,
     # while every never-driver-checked query (the round-4 additions) is in.
-    # tests/test_entry_parity.py enforces parity locally for ALL 67 on every
+    # tests/test_entry_parity.py enforces parity locally for ALL 68 on every
     # pytest run.
     return {
         # -------- oracle-paired (every key here has an oracle_sql() entry)
@@ -72,7 +72,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q.chunk_documents_q,
         "vocab_topk_documents": q.vocab_topk_documents,
         # curation (PII / split / sampling / decontamination)
-        "pii_scan_documents": q.pii_scan_documents,
         "hash_split_string_documents": q.hash_split_string_documents,
         "sample_fraction_documents": q.sample_fraction_documents,
         "bottomk_sample_orders": q.bottomk_sample_orders,
@@ -100,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_overlap_events_orders": q.user_overlap_events_orders,
         "label_centroids_embeddings": q.label_centroids_embeddings,
         "user_journeys_events": q.user_journeys_events,
+        "weighted_sample_documents": q.weighted_sample_documents,
         # -------- north-star pipeline: slot 50, the last driver-recorded entry
         "contract_images_validation": q.contract_images_validation,
         # -------- oracle-paired BEYOND the driver's 50-entry record this
@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens_documents": q.bpe_tokens_documents,
         "hash_split_documents": q.hash_split_documents,
         "exact_quantiles_totalprice": q.exact_quantiles_totalprice,
+        "pii_scan_documents": q.pii_scan_documents,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -212,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": q.distinct_users_per_type_sql(),
         "label_centroids_embeddings": q.label_centroids_embeddings_sql(),
         "user_journeys_events": q.user_journeys_events_sql(),
+        "weighted_sample_documents": q.weighted_sample_documents_sql(),
         "quality_counts_documents": q.quality_counts_documents_sql(),
         "repetition_lines_documents": q.repetition_lines_documents_sql(),
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),

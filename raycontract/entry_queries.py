@@ -2428,3 +2428,23 @@ SELECT user_id,
        string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
 FROM events GROUP BY user_id
 """
+
+
+def weighted_sample_documents(sf_dir: str):
+    """Deterministic weighted Bernoulli sample: inclusion probability
+    proportional to document length (min(1, n_chars/2000)) via the salted
+    id-hash — zero shuffle, engine-reproducible."""
+    from raycontract.pipelines.sampling import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(ds, "doc_id", "n_chars", scale=2000.0, salt=7)
+
+
+def weighted_sample_documents_sql() -> str:
+    from raycontract.pipelines.sampling import hash_sql_expr
+
+    h = hash_sql_expr("doc_id", salt=7)
+    return f"""
+SELECT doc_id, n_chars FROM documents
+WHERE {h} < CAST(ROUND(4294967296 * LEAST(1.0, n_chars / 2000.0)) AS BIGINT)
+"""

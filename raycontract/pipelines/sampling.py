@@ -169,3 +169,28 @@ def mixture_sample_sql_pred(group_col: str, id_col: str,
                      for g, w in sorted(weights.items()))
     case = f"CASE {group_col} {whens} ELSE {int(default * _MOD)} END"
     return f"{hash_sql_expr(id_col, salt, string_id)} < {case}"
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, scale: float,
+                    salt: int = 0):
+    """Deterministic WEIGHTED Bernoulli sample (importance sampling for data
+    mixing): row i kept iff ``hash(id) < 2^32 · min(1, weight_i / scale)``
+    — inclusion probability proportional to the row's weight, capped at 1,
+    reproducible across engines, retries and resumes. One vectorized filter
+    per batch, zero shuffle. SQL oracle twin::
+
+        WHERE hash_expr < CAST(ROUND(4294967296 *
+              LEAST(1.0, weight / scale)) AS BIGINT)
+    """
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = hash_u32(batch[id_col], salt)
+        w = pc.cast(batch[weight_col].combine_chunks(), pa.float64())
+        p = pc.min_element_wise(pc.divide(w, float(scale)), 1.0)
+        thr = np.asarray(pc.cast(pc.round(
+            pc.multiply(p, float(_MOD))), pa.int64())).astype(np.uint64)
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
