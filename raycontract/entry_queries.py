@@ -2405,7 +2405,8 @@ def label_centroids_embeddings(sf_dir: str):
 def label_centroids_embeddings_sql() -> str:
     return """
 SELECT label, CAST(i AS BIGINT) AS dim,
-       SUM(CAST(ROUND(embedding[i] * 1000) AS BIGINT)) AS sum_scaled,
+       SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))
+         AS sum_scaled,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM embeddings, generate_series(1, 64) t(i)
 GROUP BY label, i

@@ -1107,13 +1107,13 @@ def semantic_dedup_keep_first(ds, emb_col: str = "embedding",
     tabs = [pa.table(t) for t in ray.get(sample.to_arrow_refs()) if t.num_rows]
     st = pa.concat_tables(tabs, promote_options="default")
     st = st.take(pc.sort_indices(st, sort_keys=[(id_col, "ascending")]))
-    X = _normalize_rows(_emb_matrix(st, emb_col))
+    X = _emb_matrix(st, emb_col)  # already L2-normalized
     centroids = _kmeans_cosine(X, k, iters=kmeans_iters)
     cref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
         C = ray.get(cref)
-        En = _normalize_rows(_emb_matrix(batch, emb_col))
+        En = _emb_matrix(batch, emb_col)  # already L2-normalized
         if batch.num_rows == 0 or En.size == 0:
             return pa.table({"cluster": pa.array([], pa.int32()),
                              id_col: batch[id_col],
@@ -1163,8 +1163,3 @@ def semantic_dedup_keep_first(ds, emb_col: str = "embedding",
     return tagged.groupby("cluster").map_groups(
         dedup_cluster, batch_format="pyarrow")
 
-
-def _normalize_rows(M: np.ndarray) -> np.ndarray:
-    n = np.linalg.norm(M, axis=1, keepdims=True)
-    n[n == 0] = 1.0
-    return M / n

@@ -338,14 +338,16 @@ def anti_join(ds, key: str, right_ds, right_key: str,
 
         return ds.map_batches(keep, batch_format="pyarrow")
 
-    def collect(small_ds) -> pa.Array:
+    rkey_type = dict(zip(right_ds.schema().names,
+                         right_ds.schema().types))[right_key]
+
+    def collect(small_ds, empty_type=rkey_type) -> pa.Array:
         chunks = [b["k"].combine_chunks()
                   for b in small_ds.iter_batches(batch_size=1 << 20,
                                                  batch_format="pyarrow")
                   if b.num_rows]
         if not chunks:
-            lt = dict(zip(ds.schema().names, ds.schema().types))[key]
-            return pa.array([], type=lt)
+            return pa.array([], type=empty_type)
         u = pc.unique(pa.chunked_array(chunks))
         return u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
 
@@ -378,7 +380,8 @@ def anti_join(ds, key: str, right_ds, right_key: str,
     surviving = both.groupby("_b").map_groups(
         anti, batch_format="pyarrow").materialize()
     if surviving.count() <= broadcast_limit:
-        anti_keys = collect(surviving)
+        lkey_type = dict(zip(ds.schema().names, ds.schema().types))[key]
+        anti_keys = collect(surviving, empty_type=lkey_type)
         ref = ray.put(anti_keys)
 
         def keep_anti(batch: pa.Table) -> pa.Table:

@@ -24,7 +24,9 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _cents(col) -> pa.Array:
-    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+    # half_towards_infinity = SQL ROUND; pc.round defaults to half-to-even
+    return pc.cast(pc.round(pc.multiply(col, 100.0),
+                            round_mode="half_towards_infinity"), pa.int64())
 
 
 def pricing_summary(lineitem_ds):
@@ -37,7 +39,7 @@ def pricing_summary(lineitem_ds):
             "l_linestatus": batch["l_linestatus"],
             "qty_c": _cents(batch["l_quantity"]),
             "price_c": _cents(batch["l_extendedprice"]),
-            "disc_bp": pc.cast(pc.round(pc.multiply(batch["l_discount"], 10000.0)), pa.int64()),
+            "disc_bp": pc.cast(pc.round(pc.multiply(batch["l_discount"], 10000.0), round_mode="half_towards_infinity"), pa.int64()),
             "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
         })
         return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
@@ -561,7 +563,8 @@ def rollup_sum(ds, keys: Sequence[str], sums: dict[str, tuple[str, float]]):
         cols = {k: batch[k] for k in keys}
         for out, (src, scale) in sums.items():
             cols[out] = pc.cast(pc.round(pc.multiply(
-                pc.cast(batch[src], pa.float64()), float(scale))), pa.int64())
+                pc.cast(batch[src], pa.float64()), float(scale)),
+                round_mode="half_towards_infinity"), pa.int64())
         cols["n_rows"] = pa.array(np.ones(batch.num_rows, dtype=np.int64))
         t = pa.table(cols)
         aggs = [(c, "sum") for c in (*sums, "n_rows")]
@@ -636,7 +639,10 @@ def rollup_sum(ds, keys: Sequence[str], sums: dict[str, tuple[str, float]]):
     schema = pa.schema([(k, pa.string() if pa.types.is_large_string(out[k].type)
                          or pa.types.is_string(out[k].type) else out[k].type)
                         for k in out.column_names])
-    return out.cast(schema)
+    import ray.data as rd
+
+    # same return type as the distributed branch
+    return rd.from_arrow(out.cast(schema))
 
 
 def pivot_counts(ds, row_key: str, col_key: str, values: Sequence[str]):
@@ -792,6 +798,7 @@ def grouped_count_distinct(ds, group_col: str, value_col: str):
 
     def pairs(batch: pa.Table) -> pa.Table:
         t = pa.table({"g": batch[group_col], "v": batch[value_col]})
+        t = t.filter(pc.is_valid(t["v"]))  # COUNT(DISTINCT v) ignores NULLs
         g = t.group_by(["g", "v"]).aggregate([])
         return g.rename_columns(["g", "v"])
 

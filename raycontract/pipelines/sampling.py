@@ -190,7 +190,8 @@ def weighted_sample(ds, id_col: str, weight_col: str, scale: float,
         w = pc.cast(batch[weight_col].combine_chunks(), pa.float64())
         p = pc.min_element_wise(pc.divide(w, float(scale)), 1.0)
         thr = np.asarray(pc.cast(pc.round(
-            pc.multiply(p, float(_MOD))), pa.int64())).astype(np.uint64)
+            pc.multiply(p, float(_MOD)), round_mode="half_towards_infinity"),
+            pa.int64())).astype(np.uint64)
         return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -524,8 +524,15 @@ def grouped_vector_sum(ds, emb_col: str = "embedding", group_col: str = "label",
     grouped-sum reduce."""
     import pyarrow.compute as _pc
 
-    from raycontract.pipelines.dedup import _emb_matrix
     from raycontract.pipelines.smallagg import groupby_sum
+
+    def raw_matrix(batch: pa.Table) -> np.ndarray:
+        # RAW values — _emb_matrix L2-normalizes, which would flip ROUND
+        # boundaries vs the oracle's raw embedding[i] (norm is 1±ulp here)
+        emb = batch[emb_col].combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        n = batch.num_rows
+        return flat.reshape(n, len(flat) // n) if n else flat.reshape(0, 0)
 
     def partial(batch: pa.Table) -> pa.Table:
         empty = pa.table({"g": pa.array([], batch[group_col].type),
@@ -534,9 +541,10 @@ def grouped_vector_sum(ds, emb_col: str = "embedding", group_col: str = "label",
                           "n": pa.array([], pa.int64())})
         if batch.num_rows == 0:
             return empty
-        M = _emb_matrix(batch, emb_col)
+        M = raw_matrix(batch)
         scaled = np.asarray(_pc.cast(_pc.round(pa.array(
-            (M * float(scale)).ravel())), pa.int64())).reshape(M.shape)
+            (M * float(scale)).ravel()), round_mode="half_towards_infinity"),
+            pa.int64())).reshape(M.shape)
         enc = _pc.dictionary_encode(batch[group_col].combine_chunks())
         codes = np.asarray(enc.indices, dtype=np.int64)
         k = len(enc.dictionary)

@@ -548,6 +548,8 @@ def word_diversity(ds, text_col: str = "text", id_col: str = "doc_id"):
     for every row in the batch at once — no per-row Python."""
 
     def kernel(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[text_col]))  # oracle's unnest
+        # of a NULL split yields no rows, so null-text docs are omitted
         words = pc.split_pattern(batch[text_col], " ")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()

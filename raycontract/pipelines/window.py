@@ -45,10 +45,11 @@ def _sorted_runs(part: pa.Table, key: str, ts: str, id_col: str):
 
 def _micros(col, scale: int = 1_000_000) -> np.ndarray:
     """ROUND(value * scale) as int64 — the exact integer domain the SQL
-    oracle aggregates in (``CAST(ROUND(value*1e6) AS BIGINT)``). pc.round's
-    half-away-from-zero matches SQL ROUND (np.rint's half-to-even does not)."""
+    oracle aggregates in (``CAST(ROUND(value*1e6) AS BIGINT)``).
+    round_mode="half_towards_infinity" matches SQL ROUND — both pc.round's
+    and np.rint's DEFAULTS are half-to-even and would diverge on exact .5."""
     v = pc.multiply(pc.cast(col.combine_chunks(), pa.float64()), float(scale))
-    return np.asarray(pc.cast(pc.round(v), pa.int64()))
+    return np.asarray(pc.cast(pc.round(v, round_mode="half_towards_infinity"), pa.int64()))
 
 
 def running_total(ds, key: str, ts: str, id_col: str, value_col: str,

@@ -78,25 +78,27 @@ class ImageConformance:
                 counters["dim_mismatch"] += 1
                 self._sample(samples, ids[i], f"decoded {iw}x{ih} != declared {ws[i]}x{hs[i]}")
                 continue
-            if phashes[i] is not None:
-                pending.append(i)
-                smalls.append(self.codecs._area_resize_gray(img, 32))
             if fmt not in self.codecs.LOSSLESS_FORMATS and masters[i] is not None:
                 # lossy path (REAL since the vendored baseline JPEG codec):
                 # decoded pixels vs the row's lossless MASTER — the
-                # north-star "PSNR≥40dB for lossy" invariant
+                # north-star "PSNR≥40dB for lossy" invariant. Runs BEFORE
+                # the phash queue so a master failure counts the row once.
                 try:
                     mfmt = self.codecs.sniff_format(masters[i]) or ""
                     ref = self.codecs.decode_image(masters[i], mfmt)
                     p = (self.codecs.psnr(img, ref)
                          if ref.shape == img.shape else 0.0)
                 except Exception as e:
-                    counters["decode_error"] += 1
+                    counters["master_decode_error"] = (
+                        counters.get("master_decode_error", 0) + 1)
                     self._sample(samples, ids[i], f"master decode failed: {e}")
                     continue
                 if p < s.min_psnr:
                     counters["psnr_below"] += 1
                     self._sample(samples, ids[i], f"PSNR {p:.1f} < {s.min_psnr}")
+            if phashes[i] is not None:
+                pending.append(i)
+                smalls.append(self.codecs._area_resize_gray(img, 32))
 
         # pass 2 — batched DCT phash (bit-identical to the per-image path)
         if pending:
