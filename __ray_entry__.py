@@ -33,11 +33,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's CORRECTNESS record caps at 50 entries, so
     # 49 oracle-paired queries come FIRST — they get the hard
     # rows+schema+hash gate — with the north-star contract_images_validation
-    # pipeline at slot 50. oracle_sql() has 68 entries; the gate rotates so
-    # every oracle-paired query gets a driver-green round: the 19 sitting
+    # pipeline at slot 50. oracle_sql() has 70 entries; the gate rotates so
+    # every oracle-paired query gets a driver-green round: the 21 sitting
     # just past the cap this round were each driver-green in rounds 1-3,
     # while every never-driver-checked query (the round-4 additions) is in.
-    # tests/test_entry_parity.py enforces parity locally for ALL 68 on every
+    # tests/test_entry_parity.py enforces parity locally for ALL 70 on every
     # pytest run.
     return {
         # -------- oracle-paired (every key here has an oracle_sql() entry)
@@ -63,12 +63,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep_first_embeddings": q.neardup_keep_first_embeddings,
         "repeat_customers_orders": q.repeat_customers_orders,
         "ngram_jaccard_documents": q.ngram_jaccard_documents,
-        "dup_clusters_documents": q.dup_clusters_documents,
         "hamming_pairs_documents": q.hamming_pairs_documents,
         # similarity search
         "knn_cosine_embeddings": q.knn_cosine_embeddings,
         # text analysis
-        "langid_documents": q.langid_documents,
         "chunk_documents": q.chunk_documents_q,
         "vocab_topk_documents": q.vocab_topk_documents,
         # curation (PII / split / sampling / decontamination)
@@ -100,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids_embeddings": q.label_centroids_embeddings,
         "user_journeys_events": q.user_journeys_events,
         "weighted_sample_documents": q.weighted_sample_documents,
+        "time_since_error_events": q.time_since_error_events,
+        "oov_rate_documents": q.oov_rate_documents,
         # -------- north-star pipeline: slot 50, the last driver-recorded entry
         "contract_images_validation": q.contract_images_validation,
         # -------- oracle-paired BEYOND the driver's 50-entry record this
@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_documents": q.hash_split_documents,
         "exact_quantiles_totalprice": q.exact_quantiles_totalprice,
         "pii_scan_documents": q.pii_scan_documents,
+        "langid_documents": q.langid_documents,
+        "dup_clusters_documents": q.dup_clusters_documents,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -214,6 +216,8 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids_embeddings": q.label_centroids_embeddings_sql(),
         "user_journeys_events": q.user_journeys_events_sql(),
         "weighted_sample_documents": q.weighted_sample_documents_sql(),
+        "time_since_error_events": q.time_since_error_events_sql(),
+        "oov_rate_documents": q.oov_rate_documents_sql(),
         "quality_counts_documents": q.quality_counts_documents_sql(),
         "repetition_lines_documents": q.repetition_lines_documents_sql(),
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),

@@ -2449,3 +2449,57 @@ def weighted_sample_documents_sql() -> str:
 SELECT doc_id, n_chars FROM documents
 WHERE {h} < CAST(ROUND(4294967296 * LEAST(1.0, n_chars / 2000.0)) AS BIGINT)
 """
+
+
+def time_since_error_events(sf_dir: str):
+    """Per-event time since the user's last 'error' (inclusive): one
+    segmented maximum-accumulate per partition — the conditional-window
+    feature-engineering shape, exact integer microseconds. Rows before a
+    user's first error (NULL) are dropped so the int64 column survives the
+    driver's pandas round-trip (same convention as lag_delta_events)."""
+    from raycontract.pipelines.window import time_since_last_match
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = time_since_last_match(ev, "user_id", "ts", "event_id",
+                                "event_type", "error")
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch["since_micros"]))
+
+    return out.map_batches(drop_null, batch_format="pyarrow")
+
+
+def time_since_error_events_sql() -> str:
+    return """
+SELECT event_id, user_id, since_micros FROM (
+  SELECT event_id, user_id,
+         CAST(epoch_us(ts) - MAX(CASE WHEN event_type = 'error'
+                                      THEN epoch_us(ts) END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS since_micros
+  FROM events) t WHERE since_micros IS NOT NULL
+"""
+
+
+def oov_rate_documents(sf_dir: str):
+    """Per-doc out-of-vocabulary token counts vs the corpus top-16
+    vocabulary (the fixture has 31 distinct words, so the tail half is OOV
+    and the counts are non-trivial): chained distributed stages (vocab
+    combiner → broadcast → zero-shuffle per-doc count)."""
+    from raycontract.pipelines.textpipe import oov_rate
+
+    return oov_rate(_read(sf_dir, "documents", ["doc_id", "text"]),
+                    vocab_k=16)
+
+
+def oov_rate_documents_sql() -> str:
+    return """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+vocab AS (SELECT w AS word FROM tok GROUP BY w
+          ORDER BY CAST(COUNT(*) AS BIGINT) DESC, w ASC LIMIT 16)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (w NOT IN (SELECT word FROM vocab)) AS BIGINT)
+         AS n_oov
+FROM tok GROUP BY doc_id
+"""

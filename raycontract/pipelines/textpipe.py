@@ -739,3 +739,41 @@ def bpe_train_merges(ds, text_col: str = "text", num_merges: int = 20,
         "right": pa.array([m[1] for m in merges], pa.string()),
         "count": pa.array([m[2] for m in merges], pa.int64()),
     })
+
+
+def oov_rate(ds, text_col: str = "text", id_col: str = "doc_id",
+             vocab_k: int = 1000):
+    """Per-document out-of-vocabulary counts against the corpus top-k
+    vocabulary (the vocabulary-coverage quality filter): two chained
+    distributed stages — (1) :func:`vocab_topk` builds the zipf-bounded
+    top-k word list (deterministic count-desc/word-asc tie-break), which is
+    ``ray.put`` ONCE; (2) one zero-shuffle pass counts each doc's tokens
+    absent from it (vectorized ``pc.is_in`` + offset ``bincount``).
+    Output: (id, n_tokens:int64, n_oov:int64)."""
+    import ray
+
+    vt = vocab_topk(ds, text_col, k=vocab_k)
+    chunks = [b["word"].combine_chunks()
+              for b in vt.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow") if b.num_rows]
+    vocab = (pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                               else c for c in chunks])
+             if chunks else pa.array([], pa.string()))
+    ref = ray.put(vocab)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        words = pc.split_pattern(batch[text_col], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n_words = np.asarray(pc.cast(pc.list_value_length(words), pa.int64()))
+        flat = words.flatten()
+        oov = np.asarray(pc.invert(pc.is_in(flat, value_set=v))).astype(bool)
+        row = np.repeat(np.arange(batch.num_rows), n_words)
+        n_oov = np.bincount(row[oov], minlength=batch.num_rows)
+        return pa.table({id_col: batch[id_col],
+                         "n_tokens": pa.array(n_words),
+                         "n_oov": pa.array(n_oov.astype(np.int64))})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow")

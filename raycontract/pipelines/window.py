@@ -219,3 +219,72 @@ def ordered_string_agg(ds, key: str, ts: str, id_col: str, value_col: str,
 
     return partition_map(ds.select_columns([key, ts, id_col, value_col]),
                          key, per_partition, num_partitions)
+
+
+def time_since_last_match(ds, key: str, ts: str, id_col: str, match_col: str,
+                          match_value: str, out_col: str = "since_micros",
+                          num_partitions: Optional[int] = None):
+    """Per-row time since the key's most recent event matching
+    ``match_col == match_value``, inclusive of the current row — SQL::
+
+        ts - MAX(CASE WHEN match THEN ts END) OVER
+             (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED PRECEDING)
+
+    (the classic "time since last error" feature). Rows before the key's
+    first match get NULL. Kernel: one lexsort + one ``np.maximum.accumulate``
+    over match-masked timestamps, re-based per key run — O(n) vectorized,
+    exact integer microseconds."""
+    cols = [key, ts, id_col, match_col]
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return (part.select([id_col, key])
+                    .append_column(out_col, pa.array([], pa.int64())))
+        g, tt, starts, lengths = _sorted_runs(part, key, ts, id_col)
+        mv = pc.fill_null(pc.equal(g[match_col].combine_chunks(),
+                                   match_value), False)
+        mask = np.asarray(mv).astype(bool)
+        NEG = np.iinfo(np.int64).min
+        cand = np.where(mask, tt, NEG)
+        last = _segmented_maximum_accumulate(cand, starts, lengths)
+        since = tt - last
+        null_mask = last == NEG
+        return (g.select([id_col, key])
+                .append_column(out_col, pa.array(since, mask=null_mask)))
+
+    return partition_map(ds.select_columns(cols), key, per_partition,
+                         num_partitions)
+
+
+def _segmented_maximum_accumulate(vals: np.ndarray, starts: np.ndarray,
+                                  lengths: np.ndarray) -> np.ndarray:
+    """Per-segment prefix maximum, vectorized: global maximum.accumulate of
+    ``vals`` re-based so no value carries across a segment boundary (the
+    standard offset trick — add a per-segment monotone offset large enough
+    to dominate, accumulate, subtract)."""
+    n = len(vals)
+    if n == 0:
+        return vals.copy()
+    NEG = np.iinfo(np.int64).min
+    finite = vals[vals != NEG]
+    if len(finite) == 0:
+        return np.full(n, NEG, dtype=np.int64)
+    vmin, vmax = int(finite.min()), int(finite.max())
+    span = np.int64(vmax - vmin + 2)
+    # map values into per-run bands: band = run_idx * SPAN + (vals - MIN) + 1
+    # (band floor = "no match yet"); later runs always dominate earlier ones,
+    # so ONE global accumulate gives every run's prefix max. Runs are chunked
+    # so run_idx * SPAN stays within int64 (same trick as the rolling frame).
+    out = np.empty(n, dtype=np.int64)
+    run_of_row = np.repeat(np.arange(len(starts), dtype=np.int64), lengths)
+    runs_per_chunk = max(1, (np.iinfo(np.int64).max // 2) // int(span))
+    for c0 in range(0, len(starts), runs_per_chunk):
+        c1 = min(c0 + runs_per_chunk, len(starts))
+        r0, r1 = starts[c0], starts[c1 - 1] + lengths[c1 - 1]
+        rr = run_of_row[r0:r1] - c0
+        v = vals[r0:r1]
+        banded = np.where(v == NEG, rr * span, rr * span + (v - vmin) + 1)
+        acc = np.maximum.accumulate(banded)
+        rel = acc - rr * span
+        out[r0:r1] = np.where(rel <= 0, NEG, rel - 1 + vmin)
+    return out

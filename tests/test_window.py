@@ -112,3 +112,40 @@ def test_funnel_strictly_after(ray_session):
                  ["view", "click", "purchase"]).to_pandas()
     got = dict(zip(out.step, out.n_keys))
     assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_time_since_last_match_resets_per_key(ray_session):
+    from raycontract.pipelines.window import time_since_last_match
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+        "event_type": ["error", "view", "error", "view", "error", "view"],
+        "ts": pa.array([10, 25, 40, 100, 110, 150], pa.timestamp("us")),
+    })
+    out = time_since_last_match(rd.from_arrow(t), "user_id", "ts",
+                                "event_id", "event_type",
+                                "error").to_pandas().set_index("event_id")
+    assert out.loc[1].since_micros == 0        # inclusive of current row
+    assert out.loc[2].since_micros == 15
+    assert out.loc[3].since_micros == 0        # new error resets
+    assert pd.isna(out.loc[4].since_micros)    # user 2: before first error
+    assert out.loc[6].since_micros == 40       # no cross-user carry (u1@40)
+
+
+def test_segmented_maximum_accumulate_chunked():
+    from raycontract.pipelines.window import _segmented_maximum_accumulate
+
+    NEG = np.iinfo(np.int64).min
+    rng = np.random.default_rng(2)
+    lengths = rng.integers(1, 6, 300)
+    starts = np.r_[0, np.cumsum(lengths)[:-1]]
+    n = int(lengths.sum())
+    vals = np.where(rng.random(n) < 0.4,
+                    rng.integers(0, 10**15, n), NEG).astype(np.int64)
+    # huge span forces multi-chunk processing
+    got = _segmented_maximum_accumulate(vals, starts, lengths)
+    ref = np.empty(n, dtype=np.int64)
+    for s, ln in zip(starts, lengths):
+        np.maximum.accumulate(vals[s:s + ln], out=ref[s:s + ln])
+    assert (got == ref).all()
