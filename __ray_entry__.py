@@ -33,11 +33,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's CORRECTNESS record caps at 50 entries, so
     # 49 oracle-paired queries come FIRST — they get the hard
     # rows+schema+hash gate — with the north-star contract_images_validation
-    # pipeline at slot 50. oracle_sql() has 70 entries; the gate rotates so
-    # every oracle-paired query gets a driver-green round: the 21 sitting
+    # pipeline at slot 50. oracle_sql() has 71 entries; the gate rotates so
+    # every oracle-paired query gets a driver-green round: the 22 sitting
     # just past the cap this round were each driver-green in rounds 1-3,
     # while every never-driver-checked query (the round-4 additions) is in.
-    # tests/test_entry_parity.py enforces parity locally for ALL 70 on every
+    # tests/test_entry_parity.py enforces parity locally for ALL 71 on every
     # pytest run.
     return {
         # -------- oracle-paired (every key here has an oracle_sql() entry)
@@ -62,7 +62,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_cosine_embeddings": q.neardup_cosine_embeddings,
         "neardup_keep_first_embeddings": q.neardup_keep_first_embeddings,
         "repeat_customers_orders": q.repeat_customers_orders,
-        "ngram_jaccard_documents": q.ngram_jaccard_documents,
         "hamming_pairs_documents": q.hamming_pairs_documents,
         # similarity search
         "knn_cosine_embeddings": q.knn_cosine_embeddings,
@@ -100,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_documents": q.weighted_sample_documents,
         "time_since_error_events": q.time_since_error_events,
         "oov_rate_documents": q.oov_rate_documents,
+        "mode_event_type_per_user": q.mode_event_type_per_user,
         # -------- north-star pipeline: slot 50, the last driver-recorded entry
         "contract_images_validation": q.contract_images_validation,
         # -------- oracle-paired BEYOND the driver's 50-entry record this
@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan_documents": q.pii_scan_documents,
         "langid_documents": q.langid_documents,
         "dup_clusters_documents": q.dup_clusters_documents,
+        "ngram_jaccard_documents": q.ngram_jaccard_documents,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_documents": q.weighted_sample_documents_sql(),
         "time_since_error_events": q.time_since_error_events_sql(),
         "oov_rate_documents": q.oov_rate_documents_sql(),
+        "mode_event_type_per_user": q.mode_event_type_per_user_sql(),
         "quality_counts_documents": q.quality_counts_documents_sql(),
         "repetition_lines_documents": q.repetition_lines_documents_sql(),
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),

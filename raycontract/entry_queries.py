@@ -2503,3 +2503,24 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
          AS n_oov
 FROM tok GROUP BY doc_id
 """
+
+
+def mode_event_type_per_user(sf_dir: str):
+    """Per-user modal event type, deterministic (count desc, value asc)
+    tie-break: pair-count combiner → grouped sum → per-batch top-1
+    candidates → tiny fold."""
+    from raycontract.pipelines.relational import grouped_mode
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type")
+
+
+def mode_event_type_per_user_sql() -> str:
+    return """
+SELECT user_id, mode_value, n_mode FROM (
+  SELECT user_id, event_type AS mode_value,
+         CAST(COUNT(*) AS BIGINT) AS n_mode,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+  FROM events GROUP BY user_id, event_type) t WHERE rn = 1
+"""

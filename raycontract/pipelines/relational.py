@@ -829,3 +829,52 @@ def grouped_count_distinct(ds, group_col: str, value_col: str):
         return batch.rename_columns([group_col, "n_distinct"])
 
     return out.map_batches(shaped, batch_format="pyarrow")
+
+
+def grouped_mode(ds, group_col: str, value_col: str):
+    """Per-group MODE with a deterministic tie-break (count desc, value
+    asc) — engines' native ``mode()`` is first-encountered and therefore
+    irreproducible; this one is a pure function of the data.
+
+    Scale shape: per-batch (group, value) pre-counts → one grouped sum
+    (shuffle volume = distinct pairs, zipf-bounded) → per-batch top-1
+    candidates per group over the AGGREGATED pairs → tiny final fold (the
+    global winner is necessarily some batch's candidate). NULL values are
+    ignored (SQL aggregate semantics)."""
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({"g": batch[group_col], "v": batch[value_col],
+                      "n": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+        t = t.filter(pc.is_valid(t["v"]))
+        g = t.group_by(["g", "v"]).aggregate([("n", "sum")])
+        return g.rename_columns(["g", "v", "n"])
+
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    pairs = groupby_sum(ds.select_columns([group_col, value_col]).map_batches(
+        pair_counts, batch_format="pyarrow"), ["g", "v"], ["n"])
+
+    def top1(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[
+            ("g", "ascending"), ("n", "descending"), ("v", "ascending")])
+        t = batch.take(order)
+        gs = t["g"].combine_chunks()
+        enc = pc.dictionary_encode(gs)
+        codes = np.asarray((enc.combine_chunks() if isinstance(enc, pa.ChunkedArray)
+                            else enc).indices, dtype=np.int64)
+        first = np.r_[True, codes[1:] != codes[:-1]] if len(codes) else \
+            np.array([], dtype=bool)
+        return t.filter(pa.array(first))
+
+    cands = pairs.map_batches(top1, batch_format="pyarrow")
+    t = pa.concat_tables([pa.table(b) for b in cands.iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")],
+        promote_options="default")
+    final = top1(t)
+
+    def shaped(tt: pa.Table) -> pa.Table:
+        return tt.rename_columns([group_col, "mode_value", "n_mode"])
+
+    import ray.data as rd
+
+    return rd.from_arrow(shaped(final))
