@@ -2004,9 +2004,9 @@ def running_total_events(sf_dir: str):
 def running_total_events_sql() -> str:
     return """
 SELECT event_id, user_id,
-       SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER
          (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS UNBOUNDED PRECEDING) AS running_micros
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_micros
 FROM events
 """
 
@@ -2026,7 +2026,7 @@ def rolling_hour_events_sql() -> str:
     return """
 SELECT event_id, user_id,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
-       SUM(micros) OVER w AS sum_window_micros
+       CAST(SUM(micros) OVER w AS BIGINT) AS sum_window_micros
 FROM (SELECT event_id, user_id, ts,
              CAST(ROUND(value * 1000000) AS BIGINT) AS micros FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -2123,8 +2123,9 @@ def rollup_pricing_lineitem(sf_dir: str):
 def rollup_pricing_lineitem_sql() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
@@ -2217,7 +2218,8 @@ def json_props_events(sf_dir: str):
 def json_props_events_sql() -> str:
     return """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS BIGINT) AS sum_k,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY event_type
 """
@@ -2405,8 +2407,8 @@ def label_centroids_embeddings(sf_dir: str):
 def label_centroids_embeddings_sql() -> str:
     return """
 SELECT label, CAST(i AS BIGINT) AS dim,
-       SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))
-         AS sum_scaled,
+       CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT))
+         AS BIGINT) AS sum_scaled,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM embeddings, generate_series(1, 64) t(i)
 GROUP BY label, i

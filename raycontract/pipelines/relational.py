@@ -707,7 +707,8 @@ def json_field_sum(ds, json_col: str, field: str, group_col: str):
     def partial(batch: pa.Table) -> pa.Table:
         tbl = pa.table({"g": batch[group_col], "j": batch[json_col]})  # noqa: F841
         out = _connection().execute(
-            f"SELECT g, SUM(CAST(json_extract_string(j, '$.{field}') AS BIGINT))"
+            f"SELECT g, CAST(SUM(CAST(json_extract_string(j, '$.{field}')"
+            f" AS BIGINT)) AS BIGINT)"
             f" AS s, CAST(COUNT(*) AS BIGINT) AS n FROM tbl GROUP BY g").arrow()
         return out.rename_columns(["g", f"sum_{field}", "n"])
 

@@ -37,7 +37,15 @@ def test_oracle_parity(ray_session, duck, sf_dir, name):
     oracle_df = canon(duck.sql(E.oracle_sql()[name]).df())
     assert list(ray_df.columns) == list(oracle_df.columns)
     assert len(ray_df) == len(oracle_df)
-    pd.testing.assert_frame_equal(ray_df, oracle_df, check_dtype=False,
+    # Dtype-strict (after the timestamp-unit canonicalization in canon):
+    # the driver's value hash is dtype-sensitive, so an engine int64 vs
+    # oracle float64 (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> float64) must
+    # fail HERE, not burn a driver round (VERDICT r4 #2).
+    assert [str(t) for t in ray_df.dtypes] == [str(t) for t in oracle_df.dtypes], (
+        f"dtype mismatch: engine {list(zip(ray_df.columns, ray_df.dtypes))} "
+        f"vs oracle {list(zip(oracle_df.columns, oracle_df.dtypes))}"
+    )
+    pd.testing.assert_frame_equal(ray_df, oracle_df,
                                   check_exact=False, rtol=1e-9)
 
 
