@@ -30,36 +30,34 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # ORDER MATTERS: the driver's CORRECTNESS record caps at 50 entries, so
-    # 49 oracle-paired queries come FIRST — they get the hard
-    # rows+schema+hash gate — with the north-star contract_images_validation
-    # pipeline at slot 50. oracle_sql() has 71 entries; the gate rotates so
-    # every oracle-paired query gets a driver-green round: the 22 sitting
-    # just past the cap this round were each driver-green in rounds 1-3,
-    # while every never-driver-checked query (the round-4 additions) is in.
-    # tests/test_entry_parity.py enforces parity locally for ALL 71 on every
-    # pytest run.
+    # ORDER MATTERS: the driver's CORRECTNESS record caps at 50 entries.
+    # Round-5 rotation (VERDICT r4 #3): 45 oracle-paired queries come FIRST
+    # — the hard rows+schema+hash gate — prioritising (a) the five round-4
+    # dtype-hash failures (oracle SQL now CAST ... AS BIGINT) and (b) the
+    # newly oracle-paired quantiles_totalprice; then the north-star
+    # contract_images_validation plus the FOUR rows-only queries that have
+    # never had a driver round (jpeg_psnr, semantic_dedup, bpe_merges,
+    # video_frames) fill slots 46-50. Five long-green trivial entries
+    # (driver-green in ALL of rounds 1-4: freshness_retention, pricing_summary,
+    # top_customers, dedup_exact, neardup_cosine) rotated past the cap;
+    # tests/test_entry_parity.py enforces parity locally for ALL 72
+    # oracle-paired queries on every pytest run.
     return {
         # -------- oracle-paired (every key here has an oracle_sql() entry)
         # contract validation (SURVEY §2a)
         "flagship_contract_orders": q.flagship_contract_orders,
         # counter / stats checks
-        "freshness_retention_events": q.freshness_retention_events,
         "nested_violations_orders": q.nested_violations_orders,
         "jsonschema_violations_documents": q.jsonschema_violations_documents,
         # uniqueness / distinct (shuffle paths)
         "distinct_users_per_type": q.distinct_users_per_type,
         # relational (pre-aggregated groupbys, broadcast join, top-k, windows)
-        "pricing_summary": q.pricing_summary_q,
-        "top_customers_by_revenue": q.top_customers_q,
         "asof_join_events_orders": q.asof_join_events_orders,
         "range_join_orders_bands": q.range_join_orders_bands,
         "shuffle_join_lineitem_orders": q.shuffle_join_lineitem_orders,
         "lag_delta_events": q.lag_delta_events,
         "heavy_hitters_sketch_events": q.heavy_hitters_sketch_events,
         # dedup family
-        "dedup_exact_documents": q.dedup_exact_documents,
-        "neardup_cosine_embeddings": q.neardup_cosine_embeddings,
         "neardup_keep_first_embeddings": q.neardup_keep_first_embeddings,
         "repeat_customers_orders": q.repeat_customers_orders,
         "hamming_pairs_documents": q.hamming_pairs_documents,
@@ -100,11 +98,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_since_error_events": q.time_since_error_events,
         "oov_rate_documents": q.oov_rate_documents,
         "mode_event_type_per_user": q.mode_event_type_per_user,
-        # -------- north-star pipeline: slot 50, the last driver-recorded entry
+        # newly oracle-paired this round (was rows-only; exact quantile
+        # columns oracled, t-digest rank error asserted in-query)
+        "quantiles_totalprice": q.quantiles_totalprice,
+        # -------- north-star pipeline + the four rows-only queries that had
+        # never been driver-recorded before round 5: slots 46-50
         "contract_images_validation": q.contract_images_validation,
+        "jpeg_psnr_images": q.jpeg_psnr_images,
+        "semantic_dedup_embeddings": q.semantic_dedup_embeddings,
+        "bpe_merges_documents": q.bpe_merges_documents,
+        "video_frames_sample": q.video_frames_sample,
         # -------- oracle-paired BEYOND the driver's 50-entry record this
         # round (each was driver-green in an earlier round; parity still
         # enforced every run by tests/test_entry_parity.py over oracle_sql())
+        "freshness_retention_events": q.freshness_retention_events,
+        "pricing_summary": q.pricing_summary_q,
+        "top_customers_by_revenue": q.top_customers_q,
+        "dedup_exact_documents": q.dedup_exact_documents,
+        "neardup_cosine_embeddings": q.neardup_cosine_embeddings,
         "regex_violations_customer": q.regex_violations_customer,
         "status_distribution_orders": q.status_distribution_orders,
         "row_counts": q.row_counts,
@@ -135,18 +146,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_documents": q.simhash_pairs_documents,
         "dup_clusters_minhash_documents": q.dup_clusters_minhash_documents,
         "approx_distinct_hll": q.approx_distinct_hll,
-        "quantiles_totalprice": q.quantiles_totalprice,
         "lsh_knn_embeddings": q.lsh_knn_embeddings,
         "ivf_knn_embeddings": q.ivf_knn_embeddings,
         "quality_scores_documents": q.quality_scores_documents,
         "repetition_scores_documents": q.repetition_scores_documents,
         "fingerprints_documents": q.fingerprints_documents,
         "image_features_sample": q.image_features_sample,
-        "jpeg_psnr_images": q.jpeg_psnr_images,
-        "semantic_dedup_embeddings": q.semantic_dedup_embeddings,
-        "bpe_merges_documents": q.bpe_merges_documents,
         "audio_features_sample": q.audio_features_sample,
-        "video_frames_sample": q.video_frames_sample,
     }
 
 
@@ -223,8 +229,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_counts_documents": q.quality_counts_documents_sql(),
         "repetition_lines_documents": q.repetition_lines_documents_sql(),
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),
+        "quantiles_totalprice": q.quantiles_totalprice_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
-        # contract_images_validation, approx_distinct_hll, quantiles_totalprice,
+        # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images
         # (banding machinery oracle-paired via hamming_pairs_documents),
         # lsh_knn/ivf_knn, quality_scores/repetition_scores (float surface;

@@ -1514,10 +1514,13 @@ def approx_distinct_hll(sf_dir: str) -> pa.Table:
 def quantiles_totalprice(sf_dir: str) -> pa.Table:
     """t-digest quantile sketch HARD-VERIFIED in-query against the exact
     distributed radix-selection quantiles (`exact_quantiles`, itself
-    DuckDB-oracle-paired): emits estimate + exact value + the estimate's
-    RANK error in permille (|rank(est) − q|, the t-digest guarantee
-    surface) and RAISES above 10 permille. One extra narrow-column pass
-    computes the ranks of all three estimates at once."""
+    DuckDB-oracle-paired): computes the sketch estimates, measures their
+    RANK error (|rank(est) − q|, the t-digest guarantee surface) with one
+    extra narrow-column pass, and RAISES above 10 permille. The RETURNED
+    columns are the deterministic surface — the exact quantile values and
+    the asserted bound — so this entry is oracle-paired (the sketch
+    estimate itself depends on partial-merge order and is checked in-query
+    rather than emitted; VERDICT r4 #7)."""
     from raycontract.engine import _tdigest_quantile
     from raycontract.pipelines.relational import exact_quantiles
 
@@ -1536,18 +1539,25 @@ def quantiles_totalprice(sf_dir: str) -> pa.Table:
     parts = ds.map_batches(rank_partial, batch_format="pyarrow").take_all()
     n_total = sum(p["n"] for p in parts)
     le_total = np.sum([p["le"] for p in parts], axis=0)
-    rank_err_pm = []
     for q, le in zip(qs, le_total):
         err = abs(le / max(n_total, 1) - q)
         if err > 0.010:
             raise AssertionError(
                 f"t-digest q={q} rank error {err:.4f} > 0.010 vs exact CDF")
-        rank_err_pm.append(int(round(err * 1000)))
     return pa.table({"q": pa.array(qs, type=pa.float64()),
-                     "value": pa.array(vals, type=pa.float64()),
-                     "exact_value": pa.array([float(exact_by_q[q]) for q in qs],
-                                             type=pa.float64()),
-                     "rank_err_permille": pa.array(rank_err_pm, type=pa.int64())})
+                     "value_exact": pa.array(
+                         [float(exact_by_q[q]) for q in qs], type=pa.float64()),
+                     "max_rank_err_permille": pa.array([10] * len(qs),
+                                                       type=pa.int64())})
+
+
+def quantiles_totalprice_sql() -> str:
+    qs = (0.5, 0.95, 0.99)
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q,"
+        f" CAST(quantile_disc(o_totalprice, {q}) AS DOUBLE) AS value_exact,"
+        f" CAST(10 AS BIGINT) AS max_rank_err_permille FROM orders"
+        for q in qs)
 
 
 def sample_fraction_documents(sf_dir: str):
