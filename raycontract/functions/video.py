@@ -93,9 +93,14 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1),
             for c in (1, 2):
                 plane = yuv[..., c].astype(np.float64)
                 # average-pool to the chroma grid (box filter, the classic
-                # mjpegtools decimation)
+                # mjpegtools decimation); odd frame dimensions edge-pad the
+                # plane so the (ch*sy, cw*sx) window always exists
                 sy = max(1, round(h / ch))
                 sx = max(1, round(w / cw))
+                pad_h, pad_w = ch * sy - plane.shape[0], cw * sx - plane.shape[1]
+                if pad_h > 0 or pad_w > 0:
+                    plane = np.pad(plane, ((0, max(0, pad_h)),
+                                           (0, max(0, pad_w))), mode="edge")
                 pooled = plane[: ch * sy, : cw * sx].reshape(ch, sy, cw, sx).mean(axis=(1, 3))
                 out.append(np.clip(pooled + 0.5, 0, 255).astype(np.uint8).tobytes())
     return b"".join(out)

@@ -40,8 +40,10 @@ def default_num_partitions() -> int:
 def hash_partition_codes(col: pa.Array | pa.ChunkedArray,
                          num_partitions: int) -> np.ndarray:
     """Vectorized partition id in [0, P) for an integer or string key column.
-    Null keys get partition 0 (callers that need SQL join semantics should
-    drop null keys first — a null never equi-matches anything)."""
+    Null keys hash as key 0 / empty string, so they co-locate in that key's
+    partition — NOT necessarily partition 0 (callers that need SQL join
+    semantics should drop null keys first — a null never equi-matches
+    anything)."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_integer(col.type):
         ids = np.asarray(pc.cast(col.fill_null(0), pa.int64()), dtype=np.int64)

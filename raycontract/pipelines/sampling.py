@@ -153,9 +153,14 @@ def mixture_sample(ds, group_col: str, id_col: str, weights: dict[str, float],
             return batch
         h = hash_u32(batch[id_col], salt)
         enc = batch[group_col].combine_chunks().dictionary_encode()
+        # Sentinel slot at the end of the LUT for NULL group values: they
+        # keep the default weight, matching the SQL twin's CASE...ELSE
+        # (dictionary_encode yields null indices for null values).
         lut = np.array([thresholds.get(v.as_py(), default_thr)
-                        for v in enc.dictionary], dtype=np.uint64)
-        codes = np.asarray(enc.indices, dtype=np.int64)
+                        for v in enc.dictionary] + [default_thr],
+                       dtype=np.uint64)
+        codes = np.asarray(pc.fill_null(enc.indices, len(lut) - 1),
+                           dtype=np.int64)
         return batch.filter(pa.array(h < lut[codes]))
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -763,6 +763,10 @@ def oov_rate(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def kernel(batch: pa.Table) -> pa.Table:
         v = ray.get(ref)
+        # NULL text rows are skipped (matching the SQL oracle's WHERE
+        # text IS NOT NULL): list_value_length of a null list is null,
+        # which would poison the np.repeat row index below.
+        batch = batch.filter(pc.is_valid(batch[text_col]))
         words = pc.split_pattern(batch[text_col], " ")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()

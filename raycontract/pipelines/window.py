@@ -196,6 +196,11 @@ def ordered_string_agg(ds, key: str, ts: str, id_col: str, value_col: str,
     assumption as for every partition kernel: one partition fits a worker."""
 
     def per_partition(part: pa.Table) -> pa.Table:
+        # SQL string_agg SKIPS null values; pc.binary_join over a list with
+        # a null element yields null instead — drop null-value rows up
+        # front. (A key whose values are ALL null is omitted, where SQL
+        # would emit a NULL journey row for it.)
+        part = part.filter(pc.is_valid(part[value_col]))
         if part.num_rows == 0:
             return pa.table({key: pa.array([], part[key].type),
                              out_col: pa.array([], pa.string())})
