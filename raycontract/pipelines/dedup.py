@@ -61,21 +61,41 @@ def exact_dedup_keep_first(ds, columns: list[str], id_col: str):
     return kept.select_columns([id_col])
 
 
-def exact_dedup_dataset(ds, columns: list[str]):
-    """Full deduplicated dataset (first row per distinct content).
+def exact_dedup_dataset(ds, columns: list[str], id_col: str | None = None,
+                        num_partitions: int | None = None):
+    """Full deduplicated dataset — one row per distinct content.
 
-    ``map_groups`` keeps one row per hash group; rows (not just ids) shuffle
-    here, so prefer :func:`exact_dedup_keep_first` + a semi-join-by-id when
-    rows are wide.
+    Scale shape (VERDICT r4 #4): rows hash-partition by content hash and a
+    VECTORIZED kernel takes the first row of each hash run per PARTITION —
+    one ``np.lexsort`` + run-boundary pass per partition (P ~ cluster
+    cores), never a per-group call (the old ``groupby(_h).map_groups``
+    invoked pandas once per DISTINCT CONTENT: ruinous at 10^9 distinct).
+    Rows move exactly once; the partition must fit a worker's heap (size
+    ``num_partitions`` to data volume).
+
+    With ``id_col`` the kept row is the min-id one per content (matching
+    :func:`exact_dedup_keep_first`, deterministic); without, the first in
+    partition arrival order (arbitrary among duplicates, as before).
     """
-    import pandas as pd
+    from raycontract.pipelines.partition import partition_map
 
     hashed = add_content_hash(ds, columns)
+    out_cols = list(ds.schema().names)
 
-    def head1(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def first_per_run(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return part.select(out_cols)
+        h = np.asarray(part["_h"].combine_chunks())
+        if id_col is not None:
+            order = np.lexsort((np.asarray(part[id_col].combine_chunks()), h))
+        else:
+            order = np.argsort(h, kind="stable")
+        hs = h[order]
+        firsts = np.r_[0, np.flatnonzero(hs[1:] != hs[:-1]) + 1]
+        take = np.sort(order[firsts])
+        return part.take(pa.array(take)).select(out_cols)
 
-    return hashed.groupby("_h").map_groups(head1, batch_format="pandas").drop_columns(["_h"])
+    return partition_map(hashed, "_h", first_per_run, num_partitions)
 
 
 def duplicate_groups(ds, key_expr_cols: list[str], id_col: str):

@@ -48,6 +48,18 @@ def test_exact_dedup_dataset(docs):
     assert set(dd.schema().names) == {"doc_id", "text", "grp"}
 
 
+def test_exact_dedup_dataset_min_id_deterministic(docs):
+    dd = exact_dedup_dataset(docs, ["text"], id_col="doc_id")
+    kept = sorted(r["doc_id"] for r in dd.take_all())
+    # min-id row kept per content: doc 0 survives, its copies 1/2 do not
+    assert kept[:2] == [0, 3] and len(kept) == 38
+    from raycontract.pipelines.dedup import exact_dedup_keep_first
+
+    ids = sorted(r["doc_id"]
+                 for r in exact_dedup_keep_first(docs, ["text"], "doc_id").take_all())
+    assert kept == ids
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
              for r in minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).take_all()}
