@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": q.langid_documents,
         "dup_clusters_documents": q.dup_clusters_documents,
         "ngram_jaccard_documents": q.ngram_jaccard_documents,
+        # round-5 additions (past the 50-cap: pytest-parity-pinned, eligible
+        # for a future gate rotation)
+        "chunk_dedup_documents": q.chunk_dedup_documents,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -230,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_lines_documents": q.repetition_lines_documents_sql(),
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),
         "quantiles_totalprice": q.quantiles_totalprice_sql(),
+        "chunk_dedup_documents": q.chunk_dedup_documents_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

@@ -922,6 +922,44 @@ def chunk_documents_q_sql() -> str:
     return chunk_documents_sql(chunk_words=32, overlap=8)
 
 
+def chunk_dedup_documents(sf_dir: str):
+    """Cross-document span-level dedup report (the C4/RefinedWeb "remove
+    text spans seen elsewhere in the corpus" op): 32-word windows every 24
+    words compete globally, first occurrence (min (doc_id, chunk_id)) wins;
+    per-doc kept/removed counts. Keep-first shuffle moves (hash, key) int64
+    pairs only."""
+    from raycontract.pipelines.dedup import chunk_dedup_counts
+
+    return chunk_dedup_counts(_read(sf_dir, "documents", ["doc_id", "text"]),
+                              chunk_words=32, overlap=8)
+
+
+def chunk_dedup_documents_sql() -> str:
+    from raycontract.pipelines.textpipe import chunk_documents_sql
+
+    m = 1 << 20
+    return f"""
+WITH chunks AS ({chunk_documents_sql(chunk_words=32, overlap=8)}),
+firsts AS (
+  SELECT chunk_text, MIN(doc_id * {m} + chunk_id) AS kept_key
+  FROM chunks GROUP BY chunk_text
+),
+kept AS (
+  SELECT CAST(kept_key // {m} AS BIGINT) AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM firsts GROUP BY 1
+),
+totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+  FROM chunks GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_chunks,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_chunks - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM totals t LEFT JOIN kept k USING (doc_id)
+"""
+
+
 def vocab_topk_documents(sf_dir: str):
     """Corpus vocabulary top-100 by term frequency (per-batch value_counts
     combiner, grouped-sum reduce, deterministic count-desc/word-asc order)."""

@@ -98,6 +98,86 @@ def exact_dedup_dataset(ds, columns: list[str], id_col: str | None = None,
     return partition_map(hashed, "_h", first_per_run, num_partitions)
 
 
+def chunk_dedup_counts(ds, text_col: str = "text", id_col: str = "doc_id",
+                       chunk_words: int = 32, overlap: int = 8,
+                       max_chunks_per_doc: int = 1 << 20):
+    """Cross-document SPAN-level dedup report — the C4 / RefinedWeb "remove
+    text spans seen elsewhere in the corpus" op, expressed as chunk → global
+    keep-first → per-doc counts. Each document's overlapping word windows
+    (:func:`~raycontract.pipelines.textpipe.chunk_documents`) compete
+    globally: a chunk text's FIRST occurrence (min ``(doc_id, chunk_id)``)
+    is kept, every other occurrence — in the same doc or any other — counts
+    as removed. Output per doc: ``(id, n_chunks, n_kept, n_removed)``.
+
+    Scale shape: the keep-first shuffle moves (hash, packed-key) int64 pairs
+    only, never chunk text (hash64 content hashing as in
+    :func:`exact_dedup_keep_first`, collision odds 2^-64/pair); both count
+    reductions are pre-aggregated per batch; the final doc-level combine is
+    a broadcast hash join on the kept-counts side (one row per doc with ≥1
+    kept chunk — swap in ``shuffle_hash_join`` beyond ~2M docs).
+    ``chunk_id`` must stay below ``max_chunks_per_doc`` (packed ordering
+    key) — raises loudly otherwise.
+    """
+    from raycontract.pipelines.joins import broadcast_hash_join
+    from raycontract.pipelines.smallagg import groupby_sum
+    from raycontract.pipelines.textpipe import chunk_documents
+
+    chunks = chunk_documents(ds, text_col, id_col, chunk_words, overlap)
+
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch[id_col])
+        return pa.table({id_col: vc.field("values"),
+                         "n_chunks": pc.cast(vc.field("counts"), pa.int64())})
+
+    totals = groupby_sum(
+        chunks.select_columns([id_col]).map_batches(
+            totals_partial, batch_format="pyarrow"),
+        [id_col], ["n_chunks"])
+
+    M = np.int64(max_chunks_per_doc)
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        cid = np.asarray(batch["chunk_id"].combine_chunks())
+        if cid.size and cid.max() >= max_chunks_per_doc:
+            raise ValueError(
+                f"chunk_id {cid.max()} >= max_chunks_per_doc "
+                f"{max_chunks_per_doc}: raise the packing bound")
+        did = np.asarray(pc.cast(batch[id_col].combine_chunks(), pa.int64()))
+        h = splitmix64(hash64(batch["chunk_text"], seed=1))
+        return pa.table({"_h": pa.array(h.view(np.int64)),
+                         "_key": pa.array(did * M + cid)})
+
+    kept_keys = (chunks.select_columns([id_col, "chunk_id", "chunk_text"])
+                 .map_batches(key_partial, batch_format="pyarrow")
+                 .groupby("_h").aggregate(Min("_key", alias_name="_key")))
+
+    def kept_partial(batch: pa.Table) -> pa.Table:
+        key = np.asarray(batch["_key"])
+        vc = pc.value_counts(pa.array(key // M))
+        return pa.table({id_col: vc.field("values"),
+                         "n_kept": pc.cast(vc.field("counts"), pa.int64())})
+
+    kept = groupby_sum(
+        kept_keys.map_batches(kept_partial, batch_format="pyarrow"),
+        [id_col], ["n_kept"])
+    kept_tbl = pa.concat_tables(
+        [b for b in kept.iter_batches(batch_size=1 << 20,
+                                      batch_format="pyarrow") if b.num_rows])
+
+    joined = broadcast_hash_join(totals, kept_tbl, on=id_col, how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nk = pc.fill_null(batch["n_kept"], 0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_chunks": batch["n_chunks"],
+            "n_kept": nk,
+            "n_removed": pc.subtract(batch["n_chunks"], nk),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def duplicate_groups(ds, key_expr_cols: list[str], id_col: str):
     """(key_hash, n_rows, first_id) for groups with >1 row — the 'find the
     duplicates' report used by the oracle-checked prefix-dedup query."""

@@ -206,3 +206,33 @@ def test_phash_neardup_images_query(ray_session):
     assert all(r["hamming"] <= 3 for r in rows)
     # round-4 hard signal: in-query brute-force verification passed
     assert all(r["recall_pct"] == 100 for r in rows)
+
+
+def test_chunk_dedup_counts_planted_spans(ray_session):
+    """Cross-document span dedup: doc 20 repeats doc 10's text verbatim, so
+    ALL of doc 20's chunks are removed; a doc repeating its own span loses
+    the second occurrence."""
+    from raycontract.pipelines.dedup import chunk_dedup_counts
+
+    span = " ".join(f"w{i}" for i in range(8))
+    texts = {
+        10: span + " " + " ".join(f"a{i}" for i in range(8)),
+        20: span + " " + " ".join(f"a{i}" for i in range(8)),  # exact copy
+        30: span + " " + span,       # self-repeat: 2nd chunk == 1st chunk
+        40: " ".join(f"b{i}" for i in range(20)),  # unique
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)]),
+    }))
+    out = {r["doc_id"]: r for r in chunk_dedup_counts(
+        ds, chunk_words=8, overlap=0).take_all()}
+    # doc 10 wins every shared chunk (lowest doc_id)
+    assert out[10]["n_removed"] == 0 and out[10]["n_kept"] == out[10]["n_chunks"]
+    # doc 20 is a verbatim copy -> every chunk removed
+    assert out[20]["n_kept"] == 0 and out[20]["n_removed"] == out[20]["n_chunks"]
+    # doc 30: chunk 1 is the globally-seen span (lost to doc 10), chunk 2 a
+    # repeat of it too -> both removed; only its tail chunk survives
+    assert out[30]["n_removed"] >= 2
+    # unique doc keeps everything
+    assert out[40]["n_removed"] == 0

