@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 additions (past the 50-cap: pytest-parity-pinned, eligible
         # for a future gate rotation)
         "chunk_dedup_documents": q.chunk_dedup_documents,
+        "ngram_contamination_documents": q.ngram_contamination_documents,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -234,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints_documents": q.winnow_fingerprints_documents_sql(),
         "quantiles_totalprice": q.quantiles_totalprice_sql(),
         "chunk_dedup_documents": q.chunk_dedup_documents_sql(),
+        "ngram_contamination_documents": q.ngram_contamination_documents_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

@@ -960,6 +960,38 @@ FROM totals t LEFT JOIN kept k USING (doc_id)
 """
 
 
+def ngram_contamination_documents(sf_dir: str):
+    """GPT-3-style contamination report: word-8-gram overlap of every
+    training doc against the eval carve-out (doc_id % 20 == 0). Eval gram
+    hashes reduce per block and broadcast ONCE; the scoring pass is
+    zero-shuffle searchsorted membership."""
+    from raycontract.pipelines.curation import ngram_contamination
+
+    def eval_mask(batch: pa.Table) -> pa.Array:
+        return pa.array(np.asarray(
+            pc.cast(batch["doc_id"].combine_chunks(), pa.int64())) % 20 == 0)
+
+    return ngram_contamination(
+        _read(sf_dir, "documents", ["doc_id", "text"]), eval_mask, n=8)
+
+
+def ngram_contamination_documents_sql() -> str:
+    return """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (SELECT doc_id, array_to_string(words[i : i + 7], ' ') AS gram
+      FROM (SELECT doc_id, words,
+                   unnest(generate_series(1, len(words) - 7)) AS i FROM w)),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COALESCE(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END), 0)
+         AS BIGINT) AS n_contaminated
+FROM g LEFT JOIN e USING (gram)
+WHERE g.doc_id % 20 <> 0
+GROUP BY g.doc_id
+"""
+
+
 def vocab_topk_documents(sf_dir: str):
     """Corpus vocabulary top-100 by term frequency (per-batch value_counts
     combiner, grouped-sum reduce, deterministic count-desc/word-asc order)."""

@@ -236,3 +236,104 @@ def decontaminate_flags(ds, phrases: Sequence[str], text_col: str = "text",
                                              automaton_threshold),
         batch_format="pyarrow", concurrency=concurrency, max_restarts=0,
     )
+
+
+def _word_gram_hashes(col, n: int):
+    """(flat uint64 word-n-gram hashes ordered by row, per-row gram counts)
+    for an Arrow string column. Each whitespace token is hashed, then one
+    rolling polynomial combine over the concatenated word-hash array with a
+    boundary mask selects within-row windows — the word-level analog of
+    ``dedup._batch_shingle_hashes`` (no per-document Python). Rows with
+    fewer than n words (nulls included) yield 0 grams; equal word sequences
+    hash equal, distinct ones collide at 2^-64."""
+    import numpy as np
+
+    from raycontract.functions.hashing import hash64, splitmix64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    words = pc.split_pattern(col, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    lens = np.asarray(pc.cast(pc.fill_null(
+        pc.list_value_length(words), 0), pa.int64()))
+    counts = np.maximum(lens - n + 1, 0).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    flat_words = pc.list_flatten(words)  # skips null lists; lens align
+    wh = splitmix64(hash64(flat_words, seed=3))
+    B = wh.size
+    mult = np.uint64(1099511628211) ** np.arange(n, dtype=np.uint64)
+    H = np.zeros(B - n + 1, dtype=np.uint64)
+    for j in range(n):
+        H += wh[j: B - n + 1 + j] * mult[j]
+    offsets = np.r_[0, np.cumsum(lens)[:-1]]
+    rows = np.flatnonzero(counts)
+    delta = np.zeros(B - n + 2, dtype=np.int8)
+    np.add.at(delta, offsets[rows], 1)
+    np.add.at(delta, offsets[rows] + counts[rows], -1)
+    mask = np.cumsum(delta[:-1], dtype=np.int8).view(bool)
+    return splitmix64(H[mask]), counts
+
+
+def ngram_contamination(ds, eval_mask_fn, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 8,
+                        broadcast_limit: int = 50_000_000):
+    """Per-document n-gram overlap with an eval set — the GPT-3-style
+    contamination REPORT (`decontaminate_flags` is the hard phrase filter;
+    this measures gram-level leakage). ``eval_mask_fn(batch) -> Boolean
+    Array`` marks eval rows; output, for every NON-eval row with ≥ n words:
+    ``(id, n_grams, n_contaminated)`` where a gram is contaminated iff its
+    word sequence appears anywhere in the eval set.
+
+    Scale shape: the eval set's DISTINCT gram hashes are reduced per block
+    (np.unique inside map_batches — shuffle-free), union'd on the driver
+    and broadcast ONCE via ``ray.put`` as a SORTED uint64 array; the
+    scoring pass is zero-shuffle (vectorized searchsorted membership +
+    offset bincount per batch). Eval corpora are small by construction —
+    raises loudly above ``broadcast_limit`` distinct grams (a bucketed
+    semi-join is the path past that, not silent truncation)."""
+    import numpy as np
+
+    def eval_partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(eval_mask_fn(batch))
+        flat, _ = _word_gram_hashes(sub[text_col], n)
+        u = np.unique(flat)
+        return pa.table({"g": pa.array(u.view(np.int64))})
+
+    parts = [np.asarray(b["g"])
+             for b in ds.select_columns([id_col, text_col]).map_batches(
+                 eval_partial, batch_format="pyarrow").iter_batches(
+                     batch_size=1 << 20, batch_format="pyarrow")
+             if b.num_rows]
+    # view back to uint64 BEFORE unique: int64 sort order differs for
+    # hashes >= 2^63, which would break the searchsorted membership below
+    eval_grams = (np.unique(np.concatenate(parts).view(np.uint64)) if parts
+                  else np.empty(0, dtype=np.uint64))
+    if eval_grams.size > broadcast_limit:
+        raise ValueError(
+            f"eval gram set ({eval_grams.size}) exceeds broadcast_limit "
+            f"({broadcast_limit}); use a bucketed semi-join for eval sets "
+            f"this large")
+    ref = ray.put(eval_grams)
+
+    def score(batch: pa.Table) -> pa.Table:
+        grams = ray.get(ref)
+        keep = pc.invert(eval_mask_fn(batch))
+        sub = batch.filter(keep)
+        flat, counts = _word_gram_hashes(sub[text_col], n)
+        rows = np.flatnonzero(counts)
+        pos = np.searchsorted(grams, flat)
+        hit = (pos < grams.size) & (grams[np.minimum(pos, max(grams.size - 1, 0))] == flat) \
+            if grams.size else np.zeros(flat.size, dtype=bool)
+        row_of = np.repeat(np.arange(len(sub), dtype=np.int64), counts)
+        n_cont = np.bincount(row_of[hit], minlength=len(sub))
+        return pa.table({
+            id_col: sub[id_col].filter(pa.array(counts > 0)),
+            "n_grams": pa.array(counts[rows]),
+            "n_contaminated": pa.array(n_cont[rows].astype(np.int64)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
