@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # for a future gate rotation)
         "chunk_dedup_documents": q.chunk_dedup_documents,
         "ngram_contamination_documents": q.ngram_contamination_documents,
+        "rank_events_by_value": q.rank_events_by_value,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_totalprice": q.quantiles_totalprice_sql(),
         "chunk_dedup_documents": q.chunk_dedup_documents_sql(),
         "ngram_contamination_documents": q.ngram_contamination_documents_sql(),
+        "rank_events_by_value": q.rank_events_by_value_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

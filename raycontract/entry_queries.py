@@ -960,6 +960,29 @@ FROM totals t LEFT JOIN kept k USING (doc_id)
 """
 
 
+def rank_events_by_value(sf_dir: str):
+    """Per-user ranking window family in one partition-kernel pass:
+    ROW_NUMBER / RANK / PERCENT_RANK / NTILE(4) over (PARTITION BY user_id
+    ORDER BY value, event_id)."""
+    from raycontract.pipelines.window import group_rank
+
+    return group_rank(_read(sf_dir, "events", ["event_id", "user_id", "value"]),
+                      "user_id", "value", "event_id", buckets=4)
+
+
+def rank_events_by_value_sql() -> str:
+    return """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_num,
+       CAST(RANK() OVER wt AS BIGINT) AS rnk,
+       CAST(PERCENT_RANK() OVER wt AS DOUBLE) AS pct_rank,
+       CAST(NTILE(4) OVER w AS BIGINT) AS bucket
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id),
+       wt AS (PARTITION BY user_id ORDER BY value)
+"""
+
+
 def ngram_contamination_documents(sf_dir: str):
     """GPT-3-style contamination report: word-8-gram overlap of every
     training doc against the eval carve-out (doc_id % 20 == 0). Eval gram

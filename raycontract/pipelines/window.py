@@ -293,3 +293,70 @@ def _segmented_maximum_accumulate(vals: np.ndarray, starts: np.ndarray,
         rel = acc - rr * span
         out[r0:r1] = np.where(rel <= 0, NEG, rel - 1 + vmin)
     return out
+
+
+def group_rank(ds, key: str, order_col: str, id_col: str, buckets: int = 4,
+               num_partitions: Optional[int] = None):
+    """Per-key ranking window functions in one pass — SQL::
+
+        ROW_NUMBER() OVER w, RANK() OVER w, PERCENT_RANK() OVER w,
+        NTILE(buckets) OVER w
+        WINDOW w AS (PARTITION BY key ORDER BY order_col, id)
+
+    (id breaks order ties for ROW_NUMBER/NTILE determinism; RANK /
+    PERCENT_RANK tie on order_col alone, per SQL). Kernel: one lexsort per
+    PARTITION + run-boundary arithmetic — row_number is a re-based arange,
+    rank is a segmented maximum-accumulate over tie-group starts, NTILE is
+    exact SQL semantics (first n%k buckets one row larger). O(n) vectorized
+    per partition, no per-key calls."""
+    cols = [key, order_col, id_col]
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], part[id_col].type),
+                key: pa.array([], part[key].type),
+                "row_num": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+                "pct_rank": pa.array([], pa.float64()),
+                "bucket": pa.array([], pa.int64())})
+        v = np.asarray(pc.cast(part[order_col].combine_chunks(), pa.float64()))
+        ids = np.asarray(part[id_col])
+        kc = key_codes(part[key])
+        order = np.lexsort((ids, v, kc))
+        g = part.take(pa.array(order))
+        vs, ks = v[order], kc[order]
+        n = len(vs)
+        run_start = np.zeros(n, dtype=bool)
+        run_start[0] = True
+        run_start[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(run_start)
+        lengths = np.diff(np.r_[starts, n])
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lengths)
+        row_num = pos + 1
+        # RANK: position of each tie-group's first row within its run, +1
+        tie_start = run_start.copy()
+        tie_start[1:] |= vs[1:] != vs[:-1]
+        first_pos = np.where(tie_start, pos, np.int64(-1))
+        rnk = _segmented_maximum_accumulate(
+            first_pos, starts, lengths) + 1
+        nn = np.repeat(lengths, lengths)
+        pct = np.where(nn > 1, (rnk - 1) / np.maximum(nn - 1, 1), 0.0)
+        # exact SQL NTILE: first (n % k) buckets get ceil(n/k) rows
+        k = np.int64(buckets)
+        small = nn // k
+        n_big = nn % k
+        cut = n_big * (small + 1)
+        bucket = np.where(
+            pos < cut,
+            pos // np.maximum(small + 1, 1),
+            n_big + np.where(small > 0, (pos - cut) // np.maximum(small, 1), 0),
+        ) + 1
+        return pa.table({id_col: g[id_col], key: g[key],
+                         "row_num": pa.array(row_num),
+                         "rnk": pa.array(rnk.astype(np.int64)),
+                         "pct_rank": pa.array(pct.astype(np.float64)),
+                         "bucket": pa.array(bucket.astype(np.int64))})
+
+    return partition_map(ds.select_columns(cols), key, per_partition,
+                         num_partitions)

@@ -149,3 +149,32 @@ def test_segmented_maximum_accumulate_chunked():
     for s, ln in zip(starts, lengths):
         np.maximum.accumulate(vals[s:s + ln], out=ref[s:s + ln])
     assert (got == ref).all()
+
+
+def test_group_rank_ties_and_ntile_match_duckdb(ray_session):
+    from raycontract.pipelines.window import group_rank
+
+    # user 1: tied values (RANK shares, ROW_NUMBER doesn't), 6 rows with
+    # NTILE(4) -> bucket sizes 2,2,1,1; user 2: single row
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1, 1, 2], pa.int64()),
+        "value": pa.array([5.0, 5.0, 1.0, 9.0, 1.0, 7.0, 3.0]),
+    })
+    out = group_rank(rd.from_arrow(t), "user_id", "value", "event_id",
+                     buckets=4).to_pandas()
+    oracle = duckdb.sql("""
+        SELECT event_id, user_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_num,
+               CAST(RANK() OVER wt AS BIGINT) AS rnk,
+               CAST(PERCENT_RANK() OVER wt AS DOUBLE) AS pct_rank,
+               CAST(NTILE(4) OVER w AS BIGINT) AS bucket
+        FROM t
+        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id),
+               wt AS (PARTITION BY user_id ORDER BY value)""").df()
+    pd.testing.assert_frame_equal(_canon(out), _canon(oracle),
+                                  check_dtype=False)
+    u1 = out[out.user_id == 1].set_index("event_id")
+    assert u1.loc[3].rnk == u1.loc[5].rnk == 1      # tied minimum shares rank
+    assert {u1.loc[3].row_num, u1.loc[5].row_num} == {1, 2}
+    assert out[out.user_id == 2].pct_rank.iloc[0] == 0.0  # single row
