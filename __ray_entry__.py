@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup_documents": q.chunk_dedup_documents,
         "ngram_contamination_documents": q.ngram_contamination_documents,
         "rank_events_by_value": q.rank_events_by_value,
+        "cooccurrence_events": q.cooccurrence_events,
+        "cohort_retention_events": q.cohort_retention_events,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -238,6 +240,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup_documents": q.chunk_dedup_documents_sql(),
         "ngram_contamination_documents": q.ngram_contamination_documents_sql(),
         "rank_events_by_value": q.rank_events_by_value_sql(),
+        "cooccurrence_events": q.cooccurrence_events_sql(),
+        "cohort_retention_events": q.cohort_retention_events_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

@@ -983,6 +983,49 @@ WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id),
 """
 
 
+def cooccurrence_events(sf_dir: str):
+    """'Users who did A also did B': unordered event-type pair co-occurrence
+    counts over distinct (user, type) — bitmask kernel per user partition."""
+    from raycontract.pipelines.relational import cooccurrence_pairs
+
+    return cooccurrence_pairs(_read(sf_dir, "events", ["user_id", "event_type"]),
+                              "user_id", "event_type")
+
+
+def cooccurrence_events_sql() -> str:
+    return """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS item_a, b.event_type AS item_b,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def cohort_retention_events(sf_dir: str):
+    """Cohort retention matrix: users bucketed by first-activity epoch day,
+    counted per (cohort, day offset) of distinct active days."""
+    from raycontract.pipelines.window import cohort_retention
+
+    return cohort_retention(_read(sf_dir, "events",
+                                  ["user_id", "ts", "event_id"]),
+                            "user_id", "ts", "event_id")
+
+
+def cohort_retention_events_sql() -> str:
+    return """
+WITH d AS (SELECT user_id,
+                  CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+           FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, day FROM d)
+SELECT f.cohort_day, CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def ngram_contamination_documents(sf_dir: str):
     """GPT-3-style contamination report: word-8-gram overlap of every
     training doc against the eval carve-out (doc_id % 20 == 0). Eval gram

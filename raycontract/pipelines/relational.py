@@ -879,3 +879,64 @@ def grouped_mode(ds, group_col: str, value_col: str):
     import ray.data as rd
 
     return rd.from_arrow(shaped(final))
+
+
+def cooccurrence_pairs(ds, key: str, item_col: str, max_items: int = 64,
+                       num_partitions=None):
+    """Unordered item-pair co-occurrence by key — SQL::
+
+        WITH kt AS (SELECT DISTINCT key, item FROM t)
+        SELECT a.item, b.item, COUNT(*) FROM kt a JOIN kt b
+        ON a.key = b.key AND a.item < b.item GROUP BY 1, 2
+
+    (the "users who did A also did B" feature matrix). Scale shape: rows
+    hash-partition by KEY once; inside each partition every key's item set
+    becomes a BITMASK (global distinct items must fit ``max_items`` bits —
+    raises loudly otherwise, since item vocabularies here are small: event
+    types, labels, languages), and each pair count is one vectorized
+    bit-test over the key-mask array — T²/2 numpy passes, no per-key
+    Python. Per-partition (item_a, item_b, n) partials grouped-sum."""
+    import numpy as np
+
+    from raycontract.pipelines.partition import key_codes, partition_map
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        empty = pa.table({"item_a": pa.array([], pa.string()),
+                          "item_b": pa.array([], pa.string()),
+                          "n_keys": pa.array([], pa.int64())})
+        if part.num_rows == 0:
+            return empty
+        items = part[item_col].combine_chunks()
+        enc = items.dictionary_encode()
+        names = [v.as_py() for v in enc.dictionary]
+        if len(names) > max_items:
+            raise ValueError(
+                f"{len(names)} distinct items exceed max_items={max_items}; "
+                f"the bitmask kernel needs a bounded item vocabulary")
+        order = np.argsort(np.array(names))  # pair output in string order
+        codes = np.asarray(pc.fill_null(enc.indices, -1), dtype=np.int64)
+        kc = key_codes(part[key])
+        valid = codes >= 0
+        masks = np.zeros(int(kc.max()) + 1, dtype=np.uint64)
+        np.bitwise_or.at(masks, kc[valid],
+                         np.uint64(1) << codes[valid].astype(np.uint64))
+        out_a, out_b, out_n = [], [], []
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                a, b = order[i], order[j]
+                both = np.uint64((1 << int(a)) | (1 << int(b)))
+                n = int(np.count_nonzero((masks & both) == both))
+                if n:
+                    out_a.append(names[a])
+                    out_b.append(names[b])
+                    out_n.append(n)
+        if not out_a:
+            return empty
+        return pa.table({"item_a": pa.array(out_a, pa.string()),
+                         "item_b": pa.array(out_b, pa.string()),
+                         "n_keys": pa.array(out_n, pa.int64())})
+
+    partials = partition_map(ds.select_columns([key, item_col]), key,
+                             per_partition, num_partitions)
+    return groupby_sum(partials, ["item_a", "item_b"], ["n_keys"])

@@ -360,3 +360,45 @@ def group_rank(ds, key: str, order_col: str, id_col: str, buckets: int = 4,
 
     return partition_map(ds.select_columns(cols), key, per_partition,
                          num_partitions)
+
+
+def cohort_retention(ds, key: str, ts: str, id_col: str,
+                     day_us: int = 86_400_000_000,
+                     num_partitions: Optional[int] = None):
+    """Cohort retention matrix — SQL::
+
+        WITH f AS (SELECT key, MIN(day) AS cohort FROM t GROUP BY key),
+             a AS (SELECT DISTINCT key, day FROM t)
+        SELECT cohort, day - cohort AS day_offset, COUNT(*) AS n_keys
+        FROM a JOIN f USING (key) GROUP BY 1, 2
+
+    with ``day = FLOOR(epoch_us(ts) / 86400e6)`` as epoch days (BIGINT —
+    keeps the oracle dtype-exact without DATE round-trips). Kernel: rows
+    hash-partition by key; per partition one lexsort puts each key's days
+    in order, so the cohort is the run's first day and DISTINCT days are
+    run-local boundary changes — O(n) vectorized, partials grouped-sum."""
+    cols = [key, ts, id_col]
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({"cohort_day": pa.array([], pa.int64()),
+                             "day_offset": pa.array([], pa.int64()),
+                             "n_keys": pa.array([], pa.int64())})
+        _g, tt, starts, lengths = _sorted_runs(part, key, ts, id_col)
+        day = np.floor_divide(tt, np.int64(day_us))
+        n = len(day)
+        run_start = np.zeros(n, dtype=bool)
+        run_start[starts] = True
+        new_day = run_start.copy()
+        new_day[1:] |= day[1:] != day[:-1]
+        keep = np.flatnonzero(new_day)
+        cohort = np.repeat(day[starts], lengths)[keep]
+        return pa.table({"cohort_day": pa.array(cohort),
+                         "day_offset": pa.array(day[keep] - cohort),
+                         "n_keys": pa.array(np.ones(keep.size, np.int64))})
+
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    partials = partition_map(ds.select_columns(cols), key, per_partition,
+                             num_partitions)
+    return groupby_sum(partials, ["cohort_day", "day_offset"], ["n_keys"])
