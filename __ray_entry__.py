@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_events_by_value": q.rank_events_by_value,
         "cooccurrence_events": q.cooccurrence_events,
         "cohort_retention_events": q.cohort_retention_events,
+        "throttle_events": q.throttle_events,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -242,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_events_by_value": q.rank_events_by_value_sql(),
         "cooccurrence_events": q.cooccurrence_events_sql(),
         "cohort_retention_events": q.cohort_retention_events_sql(),
+        "throttle_events": q.throttle_events_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

@@ -1026,6 +1026,39 @@ GROUP BY 1, 2
 """
 
 
+def throttle_events(sf_dir: str):
+    """Alert-throttle / retry-collapse: keep an event iff its (user, type)
+    stream had no event in the preceding 10 minutes (LAG semantics on the
+    raw stream). Composite key = user_id || '|' || event_type."""
+    from raycontract.pipelines.window import throttle_first_in_window
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(batch["user_id"], pa.string()),
+            pc.fill_null(batch["event_type"], ""), "|")
+        return pa.table({"event_id": batch["event_id"], "ts": batch["ts"],
+                         "tkey": k})
+
+    out = throttle_first_in_window(
+        ds.map_batches(with_key, batch_format="pyarrow"),
+        "tkey", "ts", "event_id", window_s=600)
+    return out.map_batches(
+        lambda b: b.select(["event_id", "kept"]), batch_format="pyarrow")
+
+
+def throttle_events_sql() -> str:
+    return """
+SELECT event_id,
+       (d IS NULL OR d > INTERVAL 600 SECONDS) AS kept
+FROM (SELECT event_id,
+             ts - LAG(ts) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS d
+      FROM events)
+"""
+
+
 def ngram_contamination_documents(sf_dir: str):
     """GPT-3-style contamination report: word-8-gram overlap of every
     training doc against the eval carve-out (doc_id % 20 == 0). Eval gram

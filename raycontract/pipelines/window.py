@@ -402,3 +402,42 @@ def cohort_retention(ds, key: str, ts: str, id_col: str,
     partials = partition_map(ds.select_columns(cols), key, per_partition,
                              num_partitions)
     return groupby_sum(partials, ["cohort_day", "day_offset"], ["n_keys"])
+
+
+def throttle_first_in_window(ds, key: str, ts: str, id_col: str,
+                             window_s: int = 3600,
+                             num_partitions: Optional[int] = None):
+    """Streaming-style event throttle / dedup-within-time-window: keep a row
+    iff the key had NO kept-or-dropped row in the preceding ``window_s``
+    seconds — SQL::
+
+        ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts, id) IS NULL
+        OR ... > window
+
+    semantics on the RAW stream (each row suppresses only its immediate
+    successor inside the window, the classic alert-throttle / retry-collapse
+    shape). Composite throttle keys (user × event_type) are just a
+    concatenated key column. Output: (id, key, kept:bool).
+
+    Kernel: one lexsort per partition + a vectorized previous-row delta with
+    run re-basing — O(n), no per-key Python."""
+    cols = [key, ts, id_col]
+    win_us = np.int64(window_s) * 1_000_000
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table({id_col: pa.array([], part[id_col].type),
+                             key: pa.array([], part[key].type),
+                             "kept": pa.array([], pa.bool_())})
+        g, tt, starts, _lengths = _sorted_runs(part, key, ts, id_col)
+        prev = np.empty_like(tt)
+        prev[1:] = tt[:-1]
+        prev[0] = np.iinfo(np.int64).min // 2
+        delta = tt - prev
+        kept = delta > win_us
+        kept[starts] = True  # first row of every key-run is always kept
+        return pa.table({id_col: g[id_col], key: g[key],
+                         "kept": pa.array(kept)})
+
+    return partition_map(ds.select_columns(cols), key, per_partition,
+                         num_partitions)

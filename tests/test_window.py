@@ -178,3 +178,19 @@ def test_group_rank_ties_and_ntile_match_duckdb(ray_session):
     assert u1.loc[3].rnk == u1.loc[5].rnk == 1      # tied minimum shares rank
     assert {u1.loc[3].row_num, u1.loc[5].row_num} == {1, 2}
     assert out[out.user_id == 2].pct_rank.iloc[0] == 0.0  # single row
+
+
+def test_throttle_first_in_window_boundaries(ray_session):
+    from raycontract.pipelines.window import throttle_first_in_window
+
+    S = 1_000_000  # 1s in us
+    # key A: second event exactly AT the window edge (strict > -> dropped),
+    # third 1us past it (kept); key B: single event
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "k": pa.array(["A", "A", "A", "B"]),
+        "ts": pa.array([0, 10 * S, 20 * S + 1, 5], pa.timestamp("us")),
+    })
+    out = {r["event_id"]: r["kept"] for r in throttle_first_in_window(
+        rd.from_arrow(t), "k", "ts", "event_id", window_s=10).take_all()}
+    assert out == {1: True, 2: False, 3: True, 4: True}
