@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_events": q.cooccurrence_events,
         "cohort_retention_events": q.cohort_retention_events,
         "throttle_events": q.throttle_events,
+        "order_episodes_customer": q.order_episodes_customer,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -244,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence_events": q.cooccurrence_events_sql(),
         "cohort_retention_events": q.cohort_retention_events_sql(),
         "throttle_events": q.throttle_events_sql(),
+        "order_episodes_customer": q.order_episodes_customer_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

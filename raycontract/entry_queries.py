@@ -1059,6 +1059,49 @@ FROM (SELECT event_id,
 """
 
 
+def order_episodes_customer(sf_dir: str):
+    """Gaps-and-islands: merge each customer's 30-day order activity windows
+    into episodes (overlapping-or-touching intervals coalesce; a strictly
+    later start opens a new episode)."""
+    from raycontract.pipelines.window import merge_intervals
+
+    DUR = 30 * 86_400_000_000  # 30 days in us
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def with_interval(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch["o_orderdate"], pa.int64())
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "s": s, "e": pc.add(s, DUR),
+                         "o_orderkey": batch["o_orderkey"]})
+
+    return merge_intervals(ds.map_batches(with_interval, batch_format="pyarrow"),
+                           "o_custkey", "s", "e", "o_orderkey")
+
+
+def order_episodes_customer_sql() -> str:
+    dur = 30 * 86_400_000_000
+    return f"""
+WITH iv AS (SELECT o_custkey, o_orderkey,
+                   epoch_us(o_orderdate) AS s,
+                   epoch_us(o_orderdate) + {dur} AS e FROM orders),
+flag AS (SELECT o_custkey, o_orderkey, s, e,
+                CASE WHEN s > MAX(e) OVER (PARTITION BY o_custkey
+                         ORDER BY s, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS new_ep
+         FROM iv),
+grp AS (SELECT *, SUM(new_ep) OVER (PARTITION BY o_custkey
+                                    ORDER BY s, o_orderkey
+                                    ROWS UNBOUNDED PRECEDING) AS ep
+        FROM flag)
+SELECT o_custkey, CAST(MIN(s) AS BIGINT) AS episode_start,
+       CAST(MAX(e) AS BIGINT) AS episode_end,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM grp GROUP BY o_custkey, ep
+"""
+
+
 def ngram_contamination_documents(sf_dir: str):
     """GPT-3-style contamination report: word-8-gram overlap of every
     training doc against the eval carve-out (doc_id % 20 == 0). Eval gram

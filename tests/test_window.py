@@ -194,3 +194,36 @@ def test_throttle_first_in_window_boundaries(ray_session):
     out = {r["event_id"]: r["kept"] for r in throttle_first_in_window(
         rd.from_arrow(t), "k", "ts", "event_id", window_s=10).take_all()}
     assert out == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_merge_intervals_gaps_and_islands(ray_session):
+    from raycontract.pipelines.window import merge_intervals
+
+    # key A: [0,10] [5,8] (contained) [10,20] (touching -> merges)
+    #        [21,30] (strictly after 20 -> new episode)
+    # key B: single interval
+    t = pa.table({
+        "k": pa.array(["A", "A", "A", "A", "B"]),
+        "s": pa.array([0, 5, 10, 21, 100], pa.int64()),
+        "e": pa.array([10, 8, 20, 30, 110], pa.int64()),
+        "rid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = sorted((r["k"], r["episode_start"], r["episode_end"], r["n_rows"])
+                 for r in merge_intervals(rd.from_arrow(t), "k", "s", "e",
+                                          "rid").take_all())
+    assert out == [("A", 0, 20, 3), ("A", 21, 30, 1), ("B", 100, 110, 1)]
+
+
+def test_merge_intervals_running_max_not_prev_end(ray_session):
+    from raycontract.pipelines.window import merge_intervals
+
+    # [0,100] [10,20] [30,40]: naive prev-END comparison would split at 30
+    # (30 > 20) — the running MAX end (100) must keep them in one episode
+    t = pa.table({
+        "k": pa.array(["A", "A", "A"]),
+        "s": pa.array([0, 10, 30], pa.int64()),
+        "e": pa.array([100, 20, 40], pa.int64()),
+        "rid": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = merge_intervals(rd.from_arrow(t), "k", "s", "e", "rid").take_all()
+    assert len(out) == 1 and out[0]["episode_end"] == 100 and out[0]["n_rows"] == 3
