@@ -1035,9 +1035,17 @@ def throttle_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def with_key(batch: pa.Table) -> pa.Table:
+        # NULL event_type must stay a DISTINCT throttle partition (the SQL
+        # PARTITION BY treats NULL as its own group): prefix real values
+        # with 'v' and map nulls to 'n' so NULL can never collide with ''
+        # or any real value
+        et = batch["event_type"].combine_chunks()
+        tagged = pc.if_else(pc.is_valid(et),
+                            pc.binary_join_element_wise(
+                                pa.array(["v"] * len(et)), pc.fill_null(et, ""), ""),
+                            pa.array(["n"] * len(et)))
         k = pc.binary_join_element_wise(
-            pc.cast(batch["user_id"], pa.string()),
-            pc.fill_null(batch["event_type"], ""), "|")
+            pc.cast(batch["user_id"], pa.string()), tagged, "|")
         return pa.table({"event_id": batch["event_id"], "ts": batch["ts"],
                          "tkey": k})
 

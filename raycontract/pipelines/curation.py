@@ -249,6 +249,7 @@ def _word_gram_hashes(col, n: int):
     import numpy as np
 
     from raycontract.functions.hashing import hash64, splitmix64
+    from raycontract.pipelines.dedup import _rolling_hash_select
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -263,18 +264,9 @@ def _word_gram_hashes(col, n: int):
         return np.empty(0, dtype=np.uint64), counts
     flat_words = pc.list_flatten(words)  # skips null lists; lens align
     wh = splitmix64(hash64(flat_words, seed=3))
-    B = wh.size
-    mult = np.uint64(1099511628211) ** np.arange(n, dtype=np.uint64)
-    H = np.zeros(B - n + 1, dtype=np.uint64)
-    for j in range(n):
-        H += wh[j: B - n + 1 + j] * mult[j]
     offsets = np.r_[0, np.cumsum(lens)[:-1]]
     rows = np.flatnonzero(counts)
-    delta = np.zeros(B - n + 2, dtype=np.int8)
-    np.add.at(delta, offsets[rows], 1)
-    np.add.at(delta, offsets[rows] + counts[rows], -1)
-    mask = np.cumsum(delta[:-1], dtype=np.int8).view(bool)
-    return splitmix64(H[mask]), counts
+    return _rolling_hash_select(wh, offsets[rows], counts[rows], n), counts
 
 
 def ngram_contamination(ds, eval_mask_fn, text_col: str = "text",
@@ -296,6 +288,11 @@ def ngram_contamination(ds, eval_mask_fn, text_col: str = "text",
     semi-join is the path past that, not silent truncation)."""
     import numpy as np
 
+    # TWO passes read the same two columns (eval-gram reduce, then scoring):
+    # materialize the projection once so the base table's parquet read +
+    # decode doesn't run twice (same reasoning as exact_quantiles' cache)
+    proj = ds.select_columns([id_col, text_col]).materialize()
+
     def eval_partial(batch: pa.Table) -> pa.Table:
         sub = batch.filter(eval_mask_fn(batch))
         flat, _ = _word_gram_hashes(sub[text_col], n)
@@ -303,7 +300,7 @@ def ngram_contamination(ds, eval_mask_fn, text_col: str = "text",
         return pa.table({"g": pa.array(u.view(np.int64))})
 
     parts = [np.asarray(b["g"])
-             for b in ds.select_columns([id_col, text_col]).map_batches(
+             for b in proj.map_batches(
                  eval_partial, batch_format="pyarrow").iter_batches(
                      batch_size=1 << 20, batch_format="pyarrow")
              if b.num_rows]
@@ -335,5 +332,4 @@ def ngram_contamination(ds, eval_mask_fn, text_col: str = "text",
             "n_contaminated": pa.array(n_cont[rows].astype(np.int64)),
         })
 
-    return ds.select_columns([id_col, text_col]).map_batches(
-        score, batch_format="pyarrow")
+    return proj.map_batches(score, batch_format="pyarrow")

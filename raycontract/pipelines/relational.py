@@ -905,6 +905,9 @@ def cooccurrence_pairs(ds, key: str, item_col: str, max_items: int = 64,
         empty = pa.table({"item_a": pa.array([], pa.string()),
                           "item_b": pa.array([], pa.string()),
                           "n_keys": pa.array([], pa.int64())})
+        # NULL keys never equi-join in the SQL twin — drop them (key_codes
+        # yields -1 for nulls, which would wrap to the LAST key's bitmask)
+        part = part.filter(pc.is_valid(part[key]))
         if part.num_rows == 0:
             return empty
         items = part[item_col].combine_chunks()

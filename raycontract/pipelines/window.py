@@ -320,12 +320,23 @@ def group_rank(ds, key: str, order_col: str, id_col: str, buckets: int = 4,
                 "rnk": pa.array([], pa.int64()),
                 "pct_rank": pa.array([], pa.float64()),
                 "bucket": pa.array([], pa.int64())})
-        v = np.asarray(pc.cast(part[order_col].combine_chunks(), pa.float64()))
+        col = part[order_col].combine_chunks()
+        # Order in the column's OWN domain (a float64 cast would collapse
+        # int64 values above 2^53 into false ties); NULLs sort last and are
+        # one RANK peer group, per SQL ASC NULLS LAST.
+        if pa.types.is_integer(col.type):
+            vf = np.asarray(pc.cast(pc.fill_null(col, 0), pa.int64()))
+        elif pa.types.is_floating(col.type):
+            vf = np.asarray(pc.cast(pc.fill_null(col, 0.0), pa.float64()))
+        else:
+            raise ValueError(
+                f"group_rank order column must be numeric, got {col.type}")
+        nf = np.asarray(pc.is_null(col)).astype(np.int8)
         ids = np.asarray(part[id_col])
         kc = key_codes(part[key])
-        order = np.lexsort((ids, v, kc))
+        order = np.lexsort((ids, vf, nf, kc))
         g = part.take(pa.array(order))
-        vs, ks = v[order], kc[order]
+        vs, ns, ks = vf[order], nf[order], kc[order]
         n = len(vs)
         run_start = np.zeros(n, dtype=bool)
         run_start[0] = True
@@ -336,7 +347,7 @@ def group_rank(ds, key: str, order_col: str, id_col: str, buckets: int = 4,
         row_num = pos + 1
         # RANK: position of each tie-group's first row within its run, +1
         tie_start = run_start.copy()
-        tie_start[1:] |= vs[1:] != vs[:-1]
+        tie_start[1:] |= (vs[1:] != vs[:-1]) | (ns[1:] != ns[:-1])
         first_pos = np.where(tie_start, pos, np.int64(-1))
         rnk = _segmented_maximum_accumulate(
             first_pos, starts, lengths) + 1

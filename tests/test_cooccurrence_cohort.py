@@ -64,3 +64,23 @@ def test_cohort_retention_distinct_days(ray_session):
            for r in cohort_retention(rd.from_arrow(t), "user_id", "ts",
                                      "event_id").take_all()}
     assert out == {(10, 0): 1, (10, 2): 1, (11, 0): 1}
+
+
+def test_cooccurrence_null_keys_dropped(ray_session):
+    from raycontract.pipelines.relational import cooccurrence_pairs
+
+    # null keys never equi-join in SQL: their items must NOT leak into any
+    # real key's bitmask (review r5 finding: -1 codes wrapped to the last key)
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, None, None, 3], pa.int64()),
+        "event_type": pa.array(["a", "b", "c", "a", "b", "c"]),
+    })
+    out = {(r["item_a"], r["item_b"]): r["n_keys"]
+           for r in cooccurrence_pairs(rd.from_arrow(t), "user_id",
+                                       "event_type").take_all()}
+    assert out == {("a", "b"): 1}
+    # all-null partition must not crash
+    t2 = pa.table({"user_id": pa.array([None, None], pa.int64()),
+                   "event_type": pa.array(["a", "b"])})
+    assert cooccurrence_pairs(rd.from_arrow(t2), "user_id", "event_type",
+                              num_partitions=1).count() == 0

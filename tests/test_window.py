@@ -227,3 +227,53 @@ def test_merge_intervals_running_max_not_prev_end(ray_session):
     })
     out = merge_intervals(rd.from_arrow(t), "k", "s", "e", "rid").take_all()
     assert len(out) == 1 and out[0]["episode_end"] == 100 and out[0]["n_rows"] == 3
+
+
+def test_group_rank_int64_above_2_53_and_nulls(ray_session):
+    from raycontract.pipelines.window import group_rank
+
+    big = 1 << 53
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "v": pa.array([big, big + 1, None, None], pa.int64()),
+    })
+    out = group_rank(rd.from_arrow(t), "user_id", "v",
+                     "event_id").to_pandas().set_index("event_id")
+    # adjacent int64 values above 2^53 must NOT collapse into a tie
+    assert out.loc[1].rnk == 1 and out.loc[2].rnk == 2
+    # NULLs sort last and are ONE peer group (SQL ASC NULLS LAST)
+    assert out.loc[3].rnk == out.loc[4].rnk == 3
+    assert {out.loc[3].row_num, out.loc[4].row_num} == {3, 4}
+
+
+def test_throttle_events_null_vs_empty_event_type(ray_session, duck, sf_dir):
+    """NULL and '' event_type are DISTINCT throttle partitions (review r5)."""
+    import duckdb as _dd
+
+    import raycontract.entry_queries as q
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+        "event_type": pa.array(["", None, "", None]),
+        "ts": pa.array([0, 100_000_000, 200_000_000, 300_000_000],
+                       pa.timestamp("us")),
+        "value": pa.array([0.0] * 4),
+        "props": pa.array(["{}"] * 4),
+    })
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = q.throttle_events(d).to_pandas().set_index("event_id")
+        con = _dd.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{os.path.join(d, 'events.parquet')}')")
+        oracle = con.sql(q.throttle_events_sql()).df().set_index("event_id")
+        assert dict(out.kept) == dict(oracle.kept) == {
+            1: True, 2: True, 3: False, 4: False}
