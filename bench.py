@@ -159,6 +159,12 @@ servers:
         ("rolling_hour_events", lambda d: q.rolling_hour_events(d).to_pandas()),
         ("bigram_topk_documents", lambda d: q.bigram_topk_documents(d).to_pandas()),
         ("quartile_orders", lambda d: q.quartile_orders(d).to_pandas()),
+        # round-5 representatives: span-level dedup (keep-first shuffle of
+        # (hash,key) pairs) and the contamination report (broadcast gram set
+        # + zero-shuffle scoring)
+        ("chunk_dedup_documents", lambda d: q.chunk_dedup_documents(d).to_pandas()),
+        ("ngram_contamination_documents",
+         lambda d: q.ngram_contamination_documents(d).to_pandas()),
     ]
     for name, fn in secondary:
         t0 = time.time()

@@ -16,19 +16,48 @@ import pyarrow as pa
 
 def hash64(col: "pa.Array | pa.ChunkedArray", seed: int = 0) -> np.ndarray:
     """Hash an Arrow column to uint64. Nulls hash to a fixed value; callers
-    that must ignore nulls should mask with ``col.is_valid()`` separately."""
-    import polars as pl
+    that must ignore nulls should mask with ``col.is_valid()`` separately.
 
+    Consistency contract: every block of a column MUST hash through the
+    same function — dedup/join keys computed with two different hashers
+    would silently miss matches. So for dtypes polars supports, a polars
+    failure (observed once: a transient ``polars._reexport`` import race in
+    a reused Ray worker) is RETRIED and then raised loudly, never silently
+    downgraded to the pandas hasher; the pandas fallback is reserved for
+    dtypes polars cannot hash (consistently used for ALL their blocks)."""
     if isinstance(col, pa.ChunkedArray) and col.num_chunks != 1:
         col = col.combine_chunks()
-    try:
-        s = pl.from_arrow(col if isinstance(col, (pa.Array, pa.ChunkedArray)) else pa.array(col))
-        return s.hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
-    except Exception:
-        import pandas as pd
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(col)
+    t = col.type
+    polars_supported = (
+        pa.types.is_string(t) or pa.types.is_large_string(t)
+        or pa.types.is_binary(t) or pa.types.is_large_binary(t)
+        or pa.types.is_integer(t) or pa.types.is_floating(t)
+        or pa.types.is_boolean(t))
 
-        vals = col.to_pandas() if hasattr(col, "to_pandas") else pd.Series(col)
-        return pd.util.hash_array(np.asarray(vals, dtype=object), hash_key=str(seed)).astype(np.uint64)
+    def _polars():
+        import polars as pl
+
+        s = pl.from_arrow(col)
+        return s.hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
+
+    if polars_supported:
+        try:
+            return _polars()
+        except Exception:
+            import time as _t
+
+            _t.sleep(0.1)  # transient import race: one retry, then loud
+            return _polars()
+    import pandas as pd
+
+    # exotic types (struct/list/...): serialize deterministically first —
+    # pandas can't factorize unhashable values like dicts, and hash_key
+    # must be exactly 16 bytes (both made the old fallback unreachable)
+    ser = np.array([repr(v) for v in col.to_pylist()], dtype=object)
+    return pd.util.hash_array(ser,
+                              hash_key=f"{seed:016d}"[:16]).astype(np.uint64)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:

@@ -143,13 +143,22 @@ def chunk_dedup_counts(ds, text_col: str = "text", id_col: str = "doc_id",
                 f"chunk_id {cid.max()} >= max_chunks_per_doc "
                 f"{max_chunks_per_doc}: raise the packing bound")
         did = np.asarray(pc.cast(batch[id_col].combine_chunks(), pa.int64()))
-        h = splitmix64(hash64(batch["chunk_text"], seed=1))
-        return pa.table({"_h": pa.array(h.view(np.int64)),
-                         "_key": pa.array(did * M + cid)})
+        h = splitmix64(hash64(batch["chunk_text"], seed=1)).view(np.int64)
+        key = did * M + cid
+        # block-level combiner: min key per hash WITHIN the batch (lexsort +
+        # first-of-run) — shrinks the reduce input to batch-distinct chunks
+        order = np.lexsort((key, h))
+        hs = h[order]
+        firsts = np.r_[0, np.flatnonzero(hs[1:] != hs[:-1]) + 1]
+        sel = order[firsts]
+        return pa.table({"_h": pa.array(h[sel]), "_key": pa.array(key[sel])})
 
-    kept_keys = (chunks.select_columns([id_col, "chunk_id", "chunk_text"])
-                 .map_batches(key_partial, batch_format="pyarrow")
-                 .groupby("_h").aggregate(Min("_key", alias_name="_key")))
+    from raycontract.pipelines.smallagg import groupby_min
+
+    kept_keys = groupby_min(
+        chunks.select_columns([id_col, "chunk_id", "chunk_text"])
+        .map_batches(key_partial, batch_format="pyarrow"),
+        ["_h"], ["_key"])
 
     def kept_partial(batch: pa.Table) -> pa.Table:
         key = np.asarray(batch["_key"])

@@ -60,3 +60,41 @@ def groupby_sum(partials_ds, keys: Sequence[str], sum_cols: Sequence[str],
     out = pa.table({c: merged[c].cast(schema.field(c).type)
                     for c in keys + sum_cols})
     return rd.from_arrow(out)
+
+
+def groupby_min(partials_ds, keys: Sequence[str], min_cols: Sequence[str],
+                driver_limit: int = 2_000_000):
+    """``SELECT keys, min(c) ... GROUP BY keys`` with the same adaptive
+    shape as :func:`groupby_sum`: driver polars fold below ``driver_limit``
+    partial rows (Ray's sort-based groupby costs seconds of fixed machinery
+    on tiny inputs), distributed groupby over the same materialized blocks
+    beyond."""
+    import polars as pl
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    keys, min_cols = list(keys), list(min_cols)
+    refs = partials_ds.to_arrow_refs()
+    tables: list[pa.Table] = []
+    total = 0
+    for r in refs:
+        t = pa.table(ray.get(r))
+        if t.num_rows == 0:
+            continue
+        total += t.num_rows
+        if total > driver_limit:
+            return rd.from_arrow_refs(refs).groupby(keys).aggregate(
+                *[Min(c, alias_name=c) for c in min_cols])
+        tables.append(t)
+    if not tables:
+        return rd.from_arrow_refs(refs)
+    merged = (pl.from_arrow(pa.concat_tables(tables, promote_options="default"))
+              .group_by(keys)
+              .agg([pl.col(c).min().alias(c) for c in min_cols])
+              .to_arrow())
+    schema = tables[0].schema
+    out = pa.table({c: merged[c].cast(schema.field(c).type)
+                    for c in keys + min_cols})
+    return rd.from_arrow(out)

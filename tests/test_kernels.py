@@ -109,3 +109,18 @@ def test_binary_length_kernel():
     t = pa.table({"b": pa.array([b"ab", b"abcd", None], type=pa.binary())})
     m = run_kernel(t, [ConstraintSpec("k", "min_length", "b", (3,))])
     assert m["checks"]["k"]["invalid"] == 1
+
+
+def test_hash64_exotic_type_fallback_works():
+    """The pandas fallback (for dtypes polars can't hash) must actually
+    work: dicts are unhashable by pandas factorize and hash_key must be 16
+    bytes — both made the old fallback raise on ANY exotic input."""
+    import pyarrow as pa
+
+    from raycontract.functions.hashing import hash64
+
+    d = pa.array([{"a": 1}, {"a": 2}, {"a": 1}])
+    h = hash64(d, seed=3)
+    assert h.dtype.kind == "u" and len(h) == 3
+    assert h[0] == h[2] and h[0] != h[1]
+    assert (h != hash64(d, seed=4)).any()  # seed participates
