@@ -163,6 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints_documents": q.fingerprints_documents,
         "image_features_sample": q.image_features_sample,
         "audio_features_sample": q.audio_features_sample,
+        # NEW round 5: grouped HLL, in-query verified vs the exact
+        # grouped COUNT DISTINCT twin (raises >5%)
+        "grouped_approx_distinct_events": q.grouped_approx_distinct_events,
     }
 
 

@@ -1110,6 +1110,39 @@ FROM grp GROUP BY o_custkey, ep
 """
 
 
+def grouped_approx_distinct_events(sf_dir: str) -> pa.Table:
+    """Per-group HLL approximate distinct users per event_type — the
+    sketch-bound counterpart of `distinct_users_per_type`, HARD-VERIFIED
+    in-query against the exact grouped COUNT DISTINCT twin (itself
+    oracle-paired): RAISES if any group's estimate is off by more than 5%
+    (~3σ at precision 14)."""
+    from raycontract.pipelines.relational import (
+        grouped_approx_distinct,
+        grouped_count_distinct,
+    )
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    approx = grouped_approx_distinct(ds, "event_type", "user_id")
+    exact = {r["event_type"]: r["n_distinct"]
+             for r in grouped_count_distinct(ds, "event_type",
+                                             "user_id").take_all()}
+    gs = approx["event_type"].to_pylist()
+    est = approx["approx_distinct"].to_pylist()
+    err_pm = []
+    for g, a in zip(gs, est):
+        e = exact[g]
+        rel = (a - e) / max(e, 1)
+        if abs(rel) > 0.05:
+            raise AssertionError(
+                f"HLL grouped estimate for {g!r} off by {rel:+.2%} (> 5%)")
+        err_pm.append(int(round(rel * 1000)))
+    return pa.table({"event_type": pa.array(gs),
+                     "approx_distinct": pa.array(est, pa.int64()),
+                     "exact_distinct": pa.array([exact[g] for g in gs],
+                                                pa.int64()),
+                     "err_permille": pa.array(err_pm, pa.int64())})
+
+
 def ngram_contamination_documents(sf_dir: str):
     """GPT-3-style contamination report: word-8-gram overlap of every
     training doc against the eval carve-out (doc_id % 20 == 0). Eval gram

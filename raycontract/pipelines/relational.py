@@ -943,3 +943,53 @@ def cooccurrence_pairs(ds, key: str, item_col: str, max_items: int = 64,
     partials = partition_map(ds.select_columns([key, item_col]), key,
                              per_partition, num_partitions)
     return groupby_sum(partials, ["item_a", "item_b"], ["n_keys"])
+
+
+def grouped_approx_distinct(ds, group_col: str, value_col: str,
+                            precision: int = 14):
+    """Per-group HyperLogLog approximate-distinct — the SKETCH-bound
+    counterpart of :func:`grouped_count_distinct` for extreme value
+    cardinality: each batch emits one serialized HLL PER GROUP (shuffle
+    volume = groups × blocks × 2^precision bytes, independent of distinct
+    values), merged per group on the driver (group count is small by
+    construction — use the exact pair path when groups are many and values
+    few). Returns an Arrow table (group, approx_distinct:int64)."""
+    import pickle
+
+    from raycontract.functions.hashing import hash64
+    from raycontract.functions.sketches import HyperLogLog
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"g": batch[group_col], "v": batch[value_col]})
+        t = t.filter(pc.is_valid(t["v"]))
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], batch[group_col].type),
+                             "payload": pa.array([], pa.binary())})
+        h = hash64(t["v"], seed=7)
+        enc = t["g"].combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        gs, payloads = [], []
+        for code in np.unique(codes):
+            hll = HyperLogLog(precision)
+            hll.add_hashed(h[codes == code])
+            gs.append(enc.dictionary[int(code)].as_py())
+            payloads.append(pickle.dumps(hll.to_bytes()))
+        return pa.table({"g": pa.array(gs, batch[group_col].type),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    import pickle
+
+    from raycontract.functions.sketches import HyperLogLog as _H
+
+    merged: dict = {}
+    rows = ds.select_columns([group_col, value_col]).map_batches(
+        partial, batch_format="pyarrow")
+    for b in rows.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        for g, p in zip(b["g"].to_pylist(), b["payload"].to_pylist()):
+            hll = _H.from_bytes(pickle.loads(p))
+            merged[g] = hll if g not in merged else merged[g].merge(hll)
+    gs = sorted(merged)
+    return pa.table({group_col: pa.array(gs),
+                     "approx_distinct": pa.array(
+                         [int(round(merged[g].estimate())) for g in gs],
+                         pa.int64())})
