@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_events": q.cohort_retention_events,
         "throttle_events": q.throttle_events,
         "order_episodes_customer": q.order_episodes_customer,
+        "source_profile_documents": q.source_profile_documents,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention_events": q.cohort_retention_events_sql(),
         "throttle_events": q.throttle_events_sql(),
         "order_episodes_customer": q.order_episodes_customer_sql(),
+        "source_profile_documents": q.source_profile_documents_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

@@ -1143,6 +1143,30 @@ def grouped_approx_distinct_events(sf_dir: str) -> pa.Table:
                      "err_permille": pa.array(err_pm, pa.int64())})
 
 
+def source_profile_documents(sf_dir: str) -> pa.Table:
+    """Per-source data-quality profile (completeness + bounds by group):
+    row count, null-text count, sum/min/max of n_chars — the contract stats
+    kernel's surface sliced by source for drift triage."""
+    from raycontract.pipelines.relational import grouped_profile
+
+    return grouped_profile(_read(sf_dir, "documents",
+                                 ["source", "n_chars", "text"]),
+                           "source", "n_chars", "text")
+
+
+def source_profile_documents_sql() -> str:
+    return """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_text,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_value,
+       CAST(MIN(n_chars) AS BIGINT) AS min_value,
+       CAST(MAX(n_chars) AS BIGINT) AS max_value
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def ngram_contamination_documents(sf_dir: str):
     """GPT-3-style contamination report: word-8-gram overlap of every
     training doc against the eval carve-out (doc_id % 20 == 0). Eval gram

@@ -993,3 +993,62 @@ def grouped_approx_distinct(ds, group_col: str, value_col: str,
                      "approx_distinct": pa.array(
                          [int(round(merged[g].estimate())) for g in gs],
                          pa.int64())})
+
+
+def grouped_profile(ds, group_col: str, value_col: str, text_col: str):
+    """Per-group data-quality profile — the contract stats kernel's
+    completeness/bounds surface sliced BY GROUP (per-source / per-partition
+    profiling for drift triage): (group, n_rows, n_null_text, sum_value,
+    min_value, max_value), all exact integers. Pre-aggregated per batch
+    (one pyarrow group_by per block), merged by one adaptive grouped
+    sum/min/max fold — shuffle volume is groups × blocks."""
+    from raycontract.pipelines.smallagg import groupby_min, groupby_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[value_col], pa.int64())
+        t = pa.table({
+            "g": batch[group_col],
+            "n_rows": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "n_null_text": pc.cast(pc.is_null(batch[text_col]), pa.int64()),
+            "sum_value": v,
+            "min_value": v,
+            "max_value": v,
+        })
+        return t.group_by(["g"]).aggregate(
+            [("n_rows", "sum"), ("n_null_text", "sum"), ("sum_value", "sum"),
+             ("min_value", "min"), ("max_value", "max")]
+        ).rename_columns(["g", "n_rows", "n_null_text", "sum_value",
+                          "min_value", "max_value"])
+
+    partials = ds.select_columns([group_col, value_col, text_col]).map_batches(
+        partial, batch_format="pyarrow").materialize()
+    sums = groupby_sum(partials.select_columns(
+        ["g", "n_rows", "n_null_text", "sum_value"]),
+        ["g"], ["n_rows", "n_null_text", "sum_value"])
+    mins = groupby_min(partials.select_columns(["g", "min_value"]),
+                       ["g"], ["min_value"])
+
+    # max via min of negated values (groupby_min is the only adaptive fold)
+    def neg(batch: pa.Table) -> pa.Table:
+        return pa.table({"g": batch["g"],
+                         "neg_max": pc.negate(batch["max_value"])})
+
+    maxs = groupby_min(partials.select_columns(["g", "max_value"]).map_batches(
+        neg, batch_format="pyarrow"), ["g"], ["neg_max"])
+
+    def collect(d):
+        return pa.concat_tables(
+            [b for b in d.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow") if b.num_rows])
+
+    s, mn, mx = collect(sums), collect(mins), collect(maxs)
+    joined = s.join(mn, keys="g").join(mx, keys="g")
+    out = pa.table({
+        group_col: joined["g"],
+        "n_rows": joined["n_rows"],
+        "n_null_text": joined["n_null_text"],
+        "sum_value": joined["sum_value"],
+        "min_value": joined["min_value"],
+        "max_value": pc.negate(joined["neg_max"]),
+    })
+    return out.take(pc.sort_indices(out, sort_keys=[(group_col, "ascending")]))
