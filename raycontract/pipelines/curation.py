@@ -271,26 +271,32 @@ def _word_gram_hashes(col, n: int):
 
 def ngram_contamination(ds, eval_mask_fn, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 8,
-                        broadcast_limit: int = 50_000_000):
+                        broadcast_limit: int = 50_000_000,
+                        mode: str = "auto", num_buckets: int = 64):
     """Per-document n-gram overlap with an eval set — the GPT-3-style
     contamination REPORT (`decontaminate_flags` is the hard phrase filter;
     this measures gram-level leakage). ``eval_mask_fn(batch) -> Boolean
     Array`` marks eval rows; output, for every NON-eval row with ≥ n words:
     ``(id, n_grams, n_contaminated)`` where a gram is contaminated iff its
-    word sequence appears anywhere in the eval set.
+    word sequence appears anywhere in the eval set (each occurrence counts).
 
-    Scale shape: the eval set's DISTINCT gram hashes are reduced per block
-    (np.unique inside map_batches — shuffle-free), union'd on the driver
-    and broadcast ONCE via ``ray.put`` as a SORTED uint64 array; the
-    scoring pass is zero-shuffle (vectorized searchsorted membership +
-    offset bincount per batch). Eval corpora are small by construction —
-    raises loudly above ``broadcast_limit`` distinct grams (a bucketed
-    semi-join is the path past that, not silent truncation)."""
+    Two scale shapes, chosen by ``mode`` ("auto" picks by eval size):
+
+    - **broadcast** (eval distinct grams ≤ ``broadcast_limit``, the normal
+      case — eval corpora are small): eval gram hashes reduce per block
+      (np.unique inside map_batches — shuffle-free), union on the driver,
+      ship ONCE via ``ray.put`` as a SORTED uint64 array; scoring is
+      zero-shuffle searchsorted membership + offset bincount per batch.
+    - **bucketed** (arbitrarily large eval sets): per-doc distinct gram
+      hashes (with occurrence counts) and eval gram hashes exchange ONCE
+      by ``hash % num_buckets``; each bucket kernel does the same sorted
+      membership locally and emits per-doc hit partials. Shuffle volume is
+      gram HASHES (8B each), never text. Both paths produce identical
+      output (asserted in tests)."""
     import numpy as np
 
-    # TWO passes read the same two columns (eval-gram reduce, then scoring):
-    # materialize the projection once so the base table's parquet read +
-    # decode doesn't run twice (same reasoning as exact_quantiles' cache)
+    # the passes read the same two columns: materialize the projection once
+    # so the base table's parquet read + decode doesn't run twice
     proj = ds.select_columns([id_col, text_col]).materialize()
 
     def eval_partial(batch: pa.Table) -> pa.Table:
@@ -299,37 +305,140 @@ def ngram_contamination(ds, eval_mask_fn, text_col: str = "text",
         u = np.unique(flat)
         return pa.table({"g": pa.array(u.view(np.int64))})
 
-    parts = [np.asarray(b["g"])
-             for b in proj.map_batches(
-                 eval_partial, batch_format="pyarrow").iter_batches(
-                     batch_size=1 << 20, batch_format="pyarrow")
-             if b.num_rows]
-    # view back to uint64 BEFORE unique: int64 sort order differs for
-    # hashes >= 2^63, which would break the searchsorted membership below
-    eval_grams = (np.unique(np.concatenate(parts).view(np.uint64)) if parts
-                  else np.empty(0, dtype=np.uint64))
-    if eval_grams.size > broadcast_limit:
-        raise ValueError(
-            f"eval gram set ({eval_grams.size}) exceeds broadcast_limit "
-            f"({broadcast_limit}); use a bucketed semi-join for eval sets "
-            f"this large")
-    ref = ray.put(eval_grams)
+    def _membership(flat: np.ndarray, grams: np.ndarray) -> np.ndarray:
+        if not grams.size:
+            return np.zeros(flat.size, dtype=bool)
+        pos = np.searchsorted(grams, flat)
+        return (pos < grams.size) & (
+            grams[np.minimum(pos, grams.size - 1)] == flat)
 
-    def score(batch: pa.Table) -> pa.Table:
-        grams = ray.get(ref)
-        keep = pc.invert(eval_mask_fn(batch))
-        sub = batch.filter(keep)
+    if mode not in ("auto", "broadcast", "bucketed"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    if mode != "bucketed":
+        parts = [np.asarray(b["g"])
+                 for b in proj.map_batches(
+                     eval_partial, batch_format="pyarrow").iter_batches(
+                         batch_size=1 << 20, batch_format="pyarrow")
+                 if b.num_rows]
+        # view back to uint64 BEFORE unique: int64 sort order differs for
+        # hashes >= 2^63, breaking searchsorted membership
+        eval_grams = (np.unique(np.concatenate(parts).view(np.uint64))
+                      if parts else np.empty(0, dtype=np.uint64))
+        if eval_grams.size > broadcast_limit:
+            if mode == "broadcast":
+                raise ValueError(
+                    f"eval gram set ({eval_grams.size}) exceeds "
+                    f"broadcast_limit ({broadcast_limit}); use "
+                    f"mode='bucketed'")
+            mode = "bucketed"
+        else:
+            ref = ray.put(eval_grams)
+
+            def score(batch: pa.Table) -> pa.Table:
+                grams = ray.get(ref)
+                sub = batch.filter(pc.invert(eval_mask_fn(batch)))
+                flat, counts = _word_gram_hashes(sub[text_col], n)
+                rows = np.flatnonzero(counts)
+                hit = _membership(flat, grams)
+                row_of = np.repeat(np.arange(len(sub), dtype=np.int64), counts)
+                n_cont = np.bincount(row_of[hit], minlength=len(sub))
+                return pa.table({
+                    id_col: sub[id_col].filter(pa.array(counts > 0)),
+                    "n_grams": pa.array(counts[rows]),
+                    "n_contaminated": pa.array(n_cont[rows].astype(np.int64)),
+                })
+
+            return proj.map_batches(score, batch_format="pyarrow")
+
+    # ---------------- bucketed semi-join path (arbitrarily large eval sets)
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    B = np.uint64(num_buckets)
+
+    def doc_gram_rows(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.invert(eval_mask_fn(batch)))
+        empty = pa.table({"_b": pa.array([], pa.int64()),
+                          "_id": pa.array([], pa.int64()),
+                          "g": pa.array([], pa.int64()),
+                          "n_occ": pa.array([], pa.int64()),
+                          "_side": pa.array([], pa.int8())})
+        flat, counts = _word_gram_hashes(sub[text_col], n)
+        if not flat.size:
+            return empty
+        ids = np.asarray(pc.cast(sub[id_col].combine_chunks(), pa.int64()))
+        doc_of = ids[np.repeat(np.arange(len(sub), dtype=np.int64), counts)]
+        # batch-level combiner: (doc, gram) multiplicity
+        order = np.lexsort((doc_of, flat))
+        g2, d2 = flat[order], doc_of[order]
+        new = np.r_[True, (g2[1:] != g2[:-1]) | (d2[1:] != d2[:-1])]
+        starts = np.flatnonzero(new)
+        occ = np.diff(np.r_[starts, g2.size]).astype(np.int64)
+        gsel, dsel = g2[starts], d2[starts]
+        return pa.table({
+            "_b": pa.array((gsel % B).astype(np.int64)),
+            "_id": pa.array(dsel),
+            "g": pa.array(gsel.view(np.int64)),
+            "n_occ": pa.array(occ),
+            "_side": pa.array(np.zeros(gsel.size, dtype=np.int8))})
+
+    def eval_gram_rows(batch: pa.Table) -> pa.Table:
+        t = eval_partial(batch)
+        u = np.asarray(t["g"]).view(np.uint64)
+        return pa.table({
+            "_b": pa.array((u % B).astype(np.int64)),
+            "_id": pa.array(np.zeros(u.size, dtype=np.int64)),
+            "g": t["g"],
+            "n_occ": pa.array(np.zeros(u.size, dtype=np.int64)),
+            "_side": pa.array(np.ones(u.size, dtype=np.int8))})
+
+    both = proj.map_batches(doc_gram_rows, batch_format="pyarrow").union(
+        proj.map_batches(eval_gram_rows, batch_format="pyarrow"))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["_side"])
+        g = np.asarray(group["g"]).view(np.uint64)
+        eset = np.unique(g[side == 1])
+        rows = side == 0
+        hit = _membership(g[rows], eset)
+        ids = np.asarray(group["_id"])[rows][hit]
+        occ = np.asarray(group["n_occ"])[rows][hit]
+        if not ids.size:
+            return pa.table({"_id": pa.array([], pa.int64()),
+                             "n_contaminated": pa.array([], pa.int64())})
+        order = np.argsort(ids, kind="stable")
+        ids, occ = ids[order], occ[order]
+        starts = np.r_[0, np.flatnonzero(ids[1:] != ids[:-1]) + 1]
+        sums = np.add.reduceat(occ, starts)
+        return pa.table({"_id": pa.array(ids[starts]),
+                         "n_contaminated": pa.array(sums.astype(np.int64))})
+
+    cont = both.groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.invert(eval_mask_fn(batch)))
         flat, counts = _word_gram_hashes(sub[text_col], n)
         rows = np.flatnonzero(counts)
-        pos = np.searchsorted(grams, flat)
-        hit = (pos < grams.size) & (grams[np.minimum(pos, max(grams.size - 1, 0))] == flat) \
-            if grams.size else np.zeros(flat.size, dtype=bool)
-        row_of = np.repeat(np.arange(len(sub), dtype=np.int64), counts)
-        n_cont = np.bincount(row_of[hit], minlength=len(sub))
-        return pa.table({
-            id_col: sub[id_col].filter(pa.array(counts > 0)),
-            "n_grams": pa.array(counts[rows]),
-            "n_contaminated": pa.array(n_cont[rows].astype(np.int64)),
-        })
+        ids = np.asarray(pc.cast(sub[id_col].combine_chunks(), pa.int64()))
+        return pa.table({"_id": pa.array(ids[rows]),
+                         "n_grams": pa.array(counts[rows]),
+                         "n_contaminated": pa.array(
+                             np.zeros(rows.size, dtype=np.int64))})
 
-    return proj.map_batches(score, batch_format="pyarrow")
+    def cont_shaped(batch: pa.Table) -> pa.Table:
+        return pa.table({"_id": batch["_id"],
+                         "n_grams": pa.array(
+                             np.zeros(batch.num_rows, dtype=np.int64)),
+                         "n_contaminated": batch["n_contaminated"]})
+
+    merged = groupby_sum(
+        proj.map_batches(totals_partial, batch_format="pyarrow").union(
+            cont.map_batches(cont_shaped, batch_format="pyarrow")),
+        ["_id"], ["n_grams", "n_contaminated"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch["_id"],
+                         "n_grams": batch["n_grams"],
+                         "n_contaminated": batch["n_contaminated"]})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -64,3 +64,38 @@ def test_high_bit_hashes_still_match():
     grams = np.unique(f1)
     pos = np.searchsorted(grams, f1)
     assert (grams[pos] == f1).all()
+
+
+def test_bucketed_path_matches_broadcast(ray_session):
+    """The bucketed semi-join scale path must produce IDENTICAL output to
+    the broadcast path on the same input."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    eval_mask = _make_mask()
+    rng = np.random.RandomState(9)
+    texts = []
+    base_words = [f"w{i}" for i in range(50)]
+    for i in range(200):
+        words = [base_words[rng.randint(0, 50)] for _ in range(25)]
+        texts.append(" ".join(words))
+    # plant real leaks: training docs 7 and 51 copy eval docs verbatim
+    texts[7] = texts[0]      # doc 0 is eval (0 % 20 == 0)
+    texts[51] = texts[40]    # doc 40 is eval
+    docs = pa.table({"doc_id": pa.array(np.arange(200), pa.int64()),
+                     "text": pa.array(texts)})
+    ds = rd.from_arrow(docs).repartition(8)
+    from raycontract.pipelines.curation import ngram_contamination
+
+    bc = ngram_contamination(ds, eval_mask, n=8,
+                             mode="broadcast").to_pandas()
+    bk = ngram_contamination(ds, eval_mask, n=8,
+                             mode="bucketed").to_pandas()
+    import pandas as pd
+
+    c = sorted(bc.columns)
+    pd.testing.assert_frame_equal(
+        bc[c].sort_values(c).reset_index(drop=True),
+        bk[c].sort_values(c).reset_index(drop=True))
+    assert bc.n_contaminated.sum() > 0  # shared vocab -> real hits
