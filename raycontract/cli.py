@@ -259,6 +259,20 @@ def main(argv=None) -> int:
     ps.add_argument("--num-shards", type=int, default=8)
     ps.add_argument("--num-cpus", type=int, default=None)
 
+    papi = sub.add_parser("api", help="serve the REST test API "
+                          "(reference cli.py:455+ `api`; stdlib http.server "
+                          "— POST a contract YAML to /test)")
+    papi.add_argument("--port", type=int, default=4242)
+
+    ppub = sub.add_parser("publish", help="publish the resolved contract "
+                          "(reference cli.py:328-349 posts to the Data Mesh "
+                          "Manager; offline sandbox: a file path target "
+                          "writes the resolved JSON, an http(s) target "
+                          "POSTs it)")
+    ppub.add_argument("contract")
+    ppub.add_argument("--target", required=True,
+                      help="destination: a .json file path or an http(s) URL")
+
     args = p.parse_args(argv)
 
     from raycontract.contract import DataContract
@@ -311,6 +325,38 @@ def main(argv=None) -> int:
         with open(args.out, "w") as fh:
             fh.write(INIT_TEMPLATE)
         print(f"wrote {args.out}")
+        return 0
+
+    if args.cmd == "api":
+        from raycontract.api import main as api_main
+
+        return api_main(["--port", str(args.port)])
+
+    if args.cmd == "publish":
+        import json as _json
+        import os
+
+        import yaml as _yaml
+
+        from raycontract.contract import _inline_refs
+
+        with open(args.contract) as fh:
+            resolved = _inline_refs(
+                _yaml.safe_load(fh),
+                base_dir=os.path.dirname(os.path.abspath(args.contract)))
+        body = _json.dumps(resolved, indent=2, default=str)
+        if args.target.startswith(("http://", "https://")):
+            from urllib.request import Request, urlopen
+
+            req = Request(args.target, data=body.encode(),
+                          headers={"Content-Type": "application/json"},
+                          method="POST")
+            with urlopen(req) as resp:  # noqa: S310 (explicit user target)
+                print(f"published: HTTP {resp.status}")
+            return 0
+        with open(args.target, "w") as fh:
+            fh.write(body)
+        print(f"published: {args.target}")
         return 0
 
     if args.cmd == "catalog":

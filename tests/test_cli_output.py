@@ -204,3 +204,21 @@ models:
     assert dirs == ["lang=de", "lang=en"]  # hive layout → prunable reads
     back = rd.read_parquet(os.path.join(out, "lang=en")).count()
     assert back == 2
+
+
+def test_cli_publish_file_target(tmp_path, ray_session):
+    """`publish` writes the resolved ($ref-inlined) contract JSON to a file
+    target (reference cli.py:328-349 posts it to the Data Mesh Manager;
+    http(s) targets POST the same body)."""
+    import json
+
+    from raycontract.cli import main
+    from raycontract.fixtures import IMAGES_CONTRACT_YAML
+
+    c = tmp_path / "c.yaml"
+    c.write_text(IMAGES_CONTRACT_YAML)
+    out = tmp_path / "published.json"
+    rc = main(["publish", str(c), "--target", str(out)])
+    assert rc == 0
+    d = json.loads(out.read_text())
+    assert "models" in d and "info" in d
