@@ -128,10 +128,10 @@ servers:
 
     # ~8 blocks per CPU balances dispatch overhead against straggler smoothing
     # (grid-searched in BASELINE.md); 2048-row batches amortize per-batch
-    # Python costs at ~4KB/image. Two timed runs, min reported: the shared
+    # Python costs at ~4KB/image. Three timed runs, min reported: the shared
     # host's CPU-steal storms inflate single runs up to 3x (BASELINE.md).
     headline_runs = []
-    for _ in range(2):
+    for _ in range(int(os.environ.get("RAY_GRAFT_HEADLINE_REPS", "3"))):
         t0 = time.time()
         run = DataContract(data_contract_str=contract).test(
             override_num_blocks=8 * ncpu, batch_size=2048)
