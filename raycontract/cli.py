@@ -330,7 +330,8 @@ def main(argv=None) -> int:
     if args.cmd == "api":
         from raycontract.api import main as api_main
 
-        return api_main(["--port", str(args.port)])
+        # api.main parses argv positionally: [port]
+        return api_main([str(args.port)])
 
     if args.cmd == "publish":
         import json as _json

@@ -29,12 +29,18 @@ def hash64(col: "pa.Array | pa.ChunkedArray", seed: int = 0) -> np.ndarray:
         col = col.combine_chunks()
     if not isinstance(col, (pa.Array, pa.ChunkedArray)):
         col = pa.array(col)
+    # decode dictionary blocks FIRST: mixed dictionary/plain blocks of the
+    # same column must hash identically (the consistency contract below)
+    if pa.types.is_dictionary(col.type):
+        col = col.cast(col.type.value_type)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
     t = col.type
     polars_supported = (
         pa.types.is_string(t) or pa.types.is_large_string(t)
         or pa.types.is_binary(t) or pa.types.is_large_binary(t)
         or pa.types.is_integer(t) or pa.types.is_floating(t)
-        or pa.types.is_boolean(t))
+        or pa.types.is_boolean(t) or pa.types.is_temporal(t))
 
     def _polars():
         import polars as pl

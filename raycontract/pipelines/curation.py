@@ -316,23 +316,34 @@ def ngram_contamination(ds, eval_mask_fn, text_col: str = "text",
         raise ValueError(f"unknown mode {mode!r}")
 
     if mode != "bucketed":
-        parts = [np.asarray(b["g"])
-                 for b in proj.map_batches(
-                     eval_partial, batch_format="pyarrow").iter_batches(
-                         batch_size=1 << 20, batch_format="pyarrow")
-                 if b.num_rows]
-        # view back to uint64 BEFORE unique: int64 sort order differs for
-        # hashes >= 2^63, breaking searchsorted membership
-        eval_grams = (np.unique(np.concatenate(parts).view(np.uint64))
-                      if parts else np.empty(0, dtype=np.uint64))
-        if eval_grams.size > broadcast_limit:
+        # stream-collect per-block distinct partials with EARLY ABORT: if
+        # the accumulated (pre-global-dedup, conservative) row count passes
+        # the limit, stop before the driver ever concatenates a huge array
+        # and fall through to the bucketed path (mode='auto') — the whole
+        # point of that path is protecting driver memory
+        parts, acc = [], 0
+        aborted = False
+        for b in proj.map_batches(
+                eval_partial, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            parts.append(np.asarray(b["g"]))
+            acc += b.num_rows
+            if acc > broadcast_limit:
+                aborted = True
+                break
+        if aborted:
             if mode == "broadcast":
                 raise ValueError(
-                    f"eval gram set ({eval_grams.size}) exceeds "
-                    f"broadcast_limit ({broadcast_limit}); use "
-                    f"mode='bucketed'")
+                    f"eval gram partials ({acc}+) exceed broadcast_limit "
+                    f"({broadcast_limit}); use mode='bucketed'")
             mode = "bucketed"
         else:
+            # view back to uint64 BEFORE unique: int64 sort order differs
+            # for hashes >= 2^63, breaking searchsorted membership
+            eval_grams = (np.unique(np.concatenate(parts).view(np.uint64))
+                          if parts else np.empty(0, dtype=np.uint64))
             ref = ray.put(eval_grams)
 
             def score(batch: pa.Table) -> pa.Table:
@@ -355,39 +366,40 @@ def ngram_contamination(ds, eval_mask_fn, text_col: str = "text",
     from raycontract.pipelines.smallagg import groupby_sum
 
     B = np.uint64(num_buckets)
+    id_type = dict(zip(proj.schema().names, proj.schema().types))[id_col]
 
     def doc_gram_rows(batch: pa.Table) -> pa.Table:
         sub = batch.filter(pc.invert(eval_mask_fn(batch)))
         empty = pa.table({"_b": pa.array([], pa.int64()),
-                          "_id": pa.array([], pa.int64()),
+                          "_id": pa.array([], id_type),
                           "g": pa.array([], pa.int64()),
                           "n_occ": pa.array([], pa.int64()),
                           "_side": pa.array([], pa.int8())})
         flat, counts = _word_gram_hashes(sub[text_col], n)
         if not flat.size:
             return empty
-        ids = np.asarray(pc.cast(sub[id_col].combine_chunks(), pa.int64()))
-        doc_of = ids[np.repeat(np.arange(len(sub), dtype=np.int64), counts)]
-        # batch-level combiner: (doc, gram) multiplicity
-        order = np.lexsort((doc_of, flat))
-        g2, d2 = flat[order], doc_of[order]
-        new = np.r_[True, (g2[1:] != g2[:-1]) | (d2[1:] != d2[:-1])]
-        starts = np.flatnonzero(new)
-        occ = np.diff(np.r_[starts, g2.size]).astype(np.int64)
-        gsel, dsel = g2[starts], d2[starts]
+        # ids keep their ORIGINAL Arrow type (string ids work; output dtype
+        # matches the broadcast path exactly)
+        row_of = np.repeat(np.arange(len(sub), dtype=np.int64), counts)
+        ids_rep = sub[id_col].combine_chunks().take(pa.array(row_of))
+        # batch-level combiner: (id, gram) multiplicity via Arrow group_by
+        pairs = pa.table({"_id": ids_rep,
+                          "g": pa.array(flat.view(np.int64))})
+        agg = pairs.group_by(["_id", "g"]).aggregate([([], "count_all")])
+        gsel = np.asarray(agg["g"]).view(np.uint64)
         return pa.table({
             "_b": pa.array((gsel % B).astype(np.int64)),
-            "_id": pa.array(dsel),
-            "g": pa.array(gsel.view(np.int64)),
-            "n_occ": pa.array(occ),
-            "_side": pa.array(np.zeros(gsel.size, dtype=np.int8))})
+            "_id": agg["_id"],
+            "g": agg["g"],
+            "n_occ": pc.cast(agg["count_all"], pa.int64()),
+            "_side": pa.array(np.zeros(len(agg), dtype=np.int8))})
 
     def eval_gram_rows(batch: pa.Table) -> pa.Table:
         t = eval_partial(batch)
         u = np.asarray(t["g"]).view(np.uint64)
         return pa.table({
             "_b": pa.array((u % B).astype(np.int64)),
-            "_id": pa.array(np.zeros(u.size, dtype=np.int64)),
+            "_id": pa.nulls(u.size, id_type),
             "g": t["g"],
             "n_occ": pa.array(np.zeros(u.size, dtype=np.int64)),
             "_side": pa.array(np.ones(u.size, dtype=np.int8))})
@@ -399,19 +411,18 @@ def ngram_contamination(ds, eval_mask_fn, text_col: str = "text",
         side = np.asarray(group["_side"])
         g = np.asarray(group["g"]).view(np.uint64)
         eset = np.unique(g[side == 1])
-        rows = side == 0
-        hit = _membership(g[rows], eset)
-        ids = np.asarray(group["_id"])[rows][hit]
-        occ = np.asarray(group["n_occ"])[rows][hit]
-        if not ids.size:
-            return pa.table({"_id": pa.array([], pa.int64()),
+        rows_mask = side == 0
+        hit = np.zeros(len(group), dtype=bool)
+        hit[rows_mask] = _membership(g[rows_mask], eset)
+        hits = group.filter(pa.array(hit))
+        if hits.num_rows == 0:
+            return pa.table({"_id": pa.array([], id_type),
                              "n_contaminated": pa.array([], pa.int64())})
-        order = np.argsort(ids, kind="stable")
-        ids, occ = ids[order], occ[order]
-        starts = np.r_[0, np.flatnonzero(ids[1:] != ids[:-1]) + 1]
-        sums = np.add.reduceat(occ, starts)
-        return pa.table({"_id": pa.array(ids[starts]),
-                         "n_contaminated": pa.array(sums.astype(np.int64))})
+        agg = pa.table({"_id": hits["_id"], "n_occ": hits["n_occ"]}
+                       ).group_by(["_id"]).aggregate([("n_occ", "sum")])
+        return pa.table({"_id": agg["_id"],
+                         "n_contaminated": pc.cast(agg["n_occ_sum"],
+                                                   pa.int64())})
 
     cont = both.groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
 
@@ -419,8 +430,8 @@ def ngram_contamination(ds, eval_mask_fn, text_col: str = "text",
         sub = batch.filter(pc.invert(eval_mask_fn(batch)))
         flat, counts = _word_gram_hashes(sub[text_col], n)
         rows = np.flatnonzero(counts)
-        ids = np.asarray(pc.cast(sub[id_col].combine_chunks(), pa.int64()))
-        return pa.table({"_id": pa.array(ids[rows]),
+        return pa.table({"_id": sub[id_col].combine_chunks().take(
+                             pa.array(rows)),
                          "n_grams": pa.array(counts[rows]),
                          "n_contaminated": pa.array(
                              np.zeros(rows.size, dtype=np.int64))})

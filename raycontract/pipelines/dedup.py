@@ -145,6 +145,9 @@ def chunk_dedup_counts(ds, text_col: str = "text", id_col: str = "doc_id",
         did = np.asarray(pc.cast(batch[id_col].combine_chunks(), pa.int64()))
         h = splitmix64(hash64(batch["chunk_text"], seed=1)).view(np.int64)
         key = did * M + cid
+        if h.size == 0:
+            return pa.table({"_h": pa.array([], pa.int64()),
+                             "_key": pa.array([], pa.int64())})
         # block-level combiner: min key per hash WITHIN the batch (lexsort +
         # first-of-run) — shrinks the reduce input to batch-distinct chunks
         order = np.lexsort((key, h))

@@ -953,42 +953,44 @@ def grouped_approx_distinct(ds, group_col: str, value_col: str,
     volume = groups × blocks × 2^precision bytes, independent of distinct
     values), merged per group on the driver (group count is small by
     construction — use the exact pair path when groups are many and values
-    few). Returns an Arrow table (group, approx_distinct:int64)."""
-    import pickle
-
+    few). NULL group values form their own group, like SQL GROUP BY (and
+    like the exact twin). Returns an Arrow table
+    (group, approx_distinct:int64) ordered by group (nulls last)."""
     from raycontract.functions.hashing import hash64
     from raycontract.functions.sketches import HyperLogLog
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"g": batch[group_col], "v": batch[value_col]})
-        t = t.filter(pc.is_valid(t["v"]))
+        t = t.filter(pc.is_valid(t["v"]))  # COUNT(DISTINCT v) ignores NULLs
         if t.num_rows == 0:
             return pa.table({"g": pa.array([], batch[group_col].type),
                              "payload": pa.array([], pa.binary())})
         h = hash64(t["v"], seed=7)
         enc = t["g"].combine_chunks().dictionary_encode()
-        codes = np.asarray(enc.indices, dtype=np.int64)
+        # null group values -> sentinel code len(dictionary): their own
+        # group, per SQL GROUP BY (matching grouped_count_distinct)
+        null_code = len(enc.dictionary)
+        codes = np.asarray(pc.fill_null(enc.indices, null_code),
+                           dtype=np.int64)
         gs, payloads = [], []
         for code in np.unique(codes):
             hll = HyperLogLog(precision)
             hll.add_hashed(h[codes == code])
-            gs.append(enc.dictionary[int(code)].as_py())
-            payloads.append(pickle.dumps(hll.to_bytes()))
+            gs.append(None if code == null_code
+                      else enc.dictionary[int(code)].as_py())
+            # to_bytes() is already bytes: store raw, no pickle wrap
+            payloads.append(hll.to_bytes())
         return pa.table({"g": pa.array(gs, batch[group_col].type),
                          "payload": pa.array(payloads, pa.binary())})
-
-    import pickle
-
-    from raycontract.functions.sketches import HyperLogLog as _H
 
     merged: dict = {}
     rows = ds.select_columns([group_col, value_col]).map_batches(
         partial, batch_format="pyarrow")
     for b in rows.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
         for g, p in zip(b["g"].to_pylist(), b["payload"].to_pylist()):
-            hll = _H.from_bytes(pickle.loads(p))
+            hll = HyperLogLog.from_bytes(p)
             merged[g] = hll if g not in merged else merged[g].merge(hll)
-    gs = sorted(merged)
+    gs = sorted(merged, key=lambda g: (g is None, g))
     return pa.table({group_col: pa.array(gs),
                      "approx_distinct": pa.array(
                          [int(round(merged[g].estimate())) for g in gs],
@@ -1000,9 +1002,11 @@ def grouped_profile(ds, group_col: str, value_col: str, text_col: str):
     completeness/bounds surface sliced BY GROUP (per-source / per-partition
     profiling for drift triage): (group, n_rows, n_null_text, sum_value,
     min_value, max_value), all exact integers. Pre-aggregated per batch
-    (one pyarrow group_by per block), merged by one adaptive grouped
-    sum/min/max fold — shuffle volume is groups × blocks."""
-    from raycontract.pipelines.smallagg import groupby_min, groupby_sum
+    (one pyarrow group_by per block), merged by ONE adaptive mixed-op fold
+    (:func:`~raycontract.pipelines.smallagg.groupby_agg` — sum/min/max
+    together, so no post-fold joins and NULL group keys group like SQL).
+    Shuffle volume is groups × blocks."""
+    from raycontract.pipelines.smallagg import groupby_agg
 
     def partial(batch: pa.Table) -> pa.Table:
         v = pc.cast(batch[value_col], pa.int64())
@@ -1021,34 +1025,14 @@ def grouped_profile(ds, group_col: str, value_col: str, text_col: str):
                           "min_value", "max_value"])
 
     partials = ds.select_columns([group_col, value_col, text_col]).map_batches(
-        partial, batch_format="pyarrow").materialize()
-    sums = groupby_sum(partials.select_columns(
-        ["g", "n_rows", "n_null_text", "sum_value"]),
-        ["g"], ["n_rows", "n_null_text", "sum_value"])
-    mins = groupby_min(partials.select_columns(["g", "min_value"]),
-                       ["g"], ["min_value"])
-
-    # max via min of negated values (groupby_min is the only adaptive fold)
-    def neg(batch: pa.Table) -> pa.Table:
-        return pa.table({"g": batch["g"],
-                         "neg_max": pc.negate(batch["max_value"])})
-
-    maxs = groupby_min(partials.select_columns(["g", "max_value"]).map_batches(
-        neg, batch_format="pyarrow"), ["g"], ["neg_max"])
-
-    def collect(d):
-        return pa.concat_tables(
-            [b for b in d.iter_batches(batch_size=1 << 20,
-                                       batch_format="pyarrow") if b.num_rows])
-
-    s, mn, mx = collect(sums), collect(mins), collect(maxs)
-    joined = s.join(mn, keys="g").join(mx, keys="g")
-    out = pa.table({
-        group_col: joined["g"],
-        "n_rows": joined["n_rows"],
-        "n_null_text": joined["n_null_text"],
-        "sum_value": joined["sum_value"],
-        "min_value": joined["min_value"],
-        "max_value": pc.negate(joined["neg_max"]),
-    })
+        partial, batch_format="pyarrow")
+    merged = groupby_agg(partials, ["g"],
+                         {"n_rows": "sum", "n_null_text": "sum",
+                          "sum_value": "sum", "min_value": "min",
+                          "max_value": "max"})
+    out = pa.concat_tables(
+        [b for b in merged.iter_batches(batch_size=1 << 20,
+                                        batch_format="pyarrow") if b.num_rows])
+    out = out.rename_columns([group_col, "n_rows", "n_null_text", "sum_value",
+                              "min_value", "max_value"])
     return out.take(pc.sort_indices(out, sort_keys=[(group_col, "ascending")]))

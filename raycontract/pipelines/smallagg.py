@@ -19,10 +19,12 @@ from typing import Optional, Sequence
 import pyarrow as pa
 
 
-def groupby_sum(partials_ds, keys: Sequence[str], sum_cols: Sequence[str],
-                driver_limit: int = 2_000_000):
-    """``SELECT keys, sum(c) AS c ... GROUP BY keys`` over a partials
-    Dataset. Returns a (small) Dataset with columns ``[*keys, *sum_cols]``.
+def groupby_agg(partials_ds, keys: Sequence[str],
+                agg_spec: dict[str, str], driver_limit: int = 2_000_000):
+    """``SELECT keys, op(c) AS c ... GROUP BY keys`` over a partials Dataset
+    for ``agg_spec = {column: "sum"|"min"|"max"}`` — ONE adaptive fold for
+    any mix of ops (so multi-stat profiles need no joins; polars group_by
+    keys NULL group values like SQL).
 
     The partials are fetched block by block; if the cumulative row count
     exceeds ``driver_limit`` the already-fetched work is abandoned and the
@@ -33,49 +35,16 @@ def groupby_sum(partials_ds, keys: Sequence[str], sum_cols: Sequence[str],
 
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Min, Sum
 
-    keys, sum_cols = list(keys), list(sum_cols)
-    refs = partials_ds.to_arrow_refs()
-    tables: list[pa.Table] = []
-    total = 0
-    for r in refs:
-        t = pa.table(ray.get(r))
-        if t.num_rows == 0:
-            continue
-        total += t.num_rows
-        if total > driver_limit:
-            agg = rd.from_arrow_refs(refs).groupby(keys).aggregate(
-                *[Sum(c, alias_name=c) for c in sum_cols])
-            return agg
-        tables.append(t)
-    if not tables:
-        return rd.from_arrow_refs(refs)  # empty, schema preserved
-    merged = (pl.from_arrow(pa.concat_tables(tables, promote_options="default"))
-              .group_by(keys)
-              .agg([pl.col(c).sum().alias(c) for c in sum_cols])
-              .to_arrow())
-    # polars → arrow can widen string to large_string; restore input types
-    schema = tables[0].schema
-    out = pa.table({c: merged[c].cast(schema.field(c).type)
-                    for c in keys + sum_cols})
-    return rd.from_arrow(out)
-
-
-def groupby_min(partials_ds, keys: Sequence[str], min_cols: Sequence[str],
-                driver_limit: int = 2_000_000):
-    """``SELECT keys, min(c) ... GROUP BY keys`` with the same adaptive
-    shape as :func:`groupby_sum`: driver polars fold below ``driver_limit``
-    partial rows (Ray's sort-based groupby costs seconds of fixed machinery
-    on tiny inputs), distributed groupby over the same materialized blocks
-    beyond."""
-    import polars as pl
-
-    import ray
-    import ray.data as rd
-    from ray.data.aggregate import Min
-
-    keys, min_cols = list(keys), list(min_cols)
+    keys = list(keys)
+    _RAY_OPS = {"sum": Sum, "min": Min, "max": Max}
+    _PL_OPS = {"sum": lambda c: pl.col(c).sum(),
+               "min": lambda c: pl.col(c).min(),
+               "max": lambda c: pl.col(c).max()}
+    for c, op in agg_spec.items():
+        if op not in _RAY_OPS:
+            raise ValueError(f"unsupported op {op!r} for column {c!r}")
     refs = partials_ds.to_arrow_refs()
     tables: list[pa.Table] = []
     total = 0
@@ -86,15 +55,30 @@ def groupby_min(partials_ds, keys: Sequence[str], min_cols: Sequence[str],
         total += t.num_rows
         if total > driver_limit:
             return rd.from_arrow_refs(refs).groupby(keys).aggregate(
-                *[Min(c, alias_name=c) for c in min_cols])
+                *[_RAY_OPS[op](c, alias_name=c) for c, op in agg_spec.items()])
         tables.append(t)
     if not tables:
-        return rd.from_arrow_refs(refs)
+        return rd.from_arrow_refs(refs)  # empty, schema preserved
     merged = (pl.from_arrow(pa.concat_tables(tables, promote_options="default"))
               .group_by(keys)
-              .agg([pl.col(c).min().alias(c) for c in min_cols])
+              .agg([_PL_OPS[op](c).alias(c) for c, op in agg_spec.items()])
               .to_arrow())
+    # polars -> arrow can widen string to large_string; restore input types
     schema = tables[0].schema
     out = pa.table({c: merged[c].cast(schema.field(c).type)
-                    for c in keys + min_cols})
+                    for c in keys + list(agg_spec)})
     return rd.from_arrow(out)
+
+
+def groupby_sum(partials_ds, keys: Sequence[str], sum_cols: Sequence[str],
+                driver_limit: int = 2_000_000):
+    """``SELECT keys, sum(c) ... GROUP BY keys`` (see :func:`groupby_agg`)."""
+    return groupby_agg(partials_ds, keys, {c: "sum" for c in sum_cols},
+                       driver_limit)
+
+
+def groupby_min(partials_ds, keys: Sequence[str], min_cols: Sequence[str],
+                driver_limit: int = 2_000_000):
+    """``SELECT keys, min(c) ... GROUP BY keys`` (see :func:`groupby_agg`)."""
+    return groupby_agg(partials_ds, keys, {c: "min" for c in min_cols},
+                       driver_limit)
