@@ -744,7 +744,7 @@ def _grouped_count_fast_path(ds, model_name: str, keys: str, select: str,
     (DuckDB in map_batches, shuffle-free), merged per key on the driver
     (bounded by the number of DISTINCT keys, not rows), HAVING applied to the
     merged counts."""
-    import polars as pl
+    from raycontract._plsafe import import_polars as _ipl; pl = _ipl()
     import pyarrow as pa
 
     cond = f" WHERE {where}" if where else ""

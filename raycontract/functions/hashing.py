@@ -43,7 +43,7 @@ def hash64(col: "pa.Array | pa.ChunkedArray", seed: int = 0) -> np.ndarray:
         or pa.types.is_boolean(t) or pa.types.is_temporal(t))
 
     def _polars():
-        import polars as pl
+        from raycontract._plsafe import import_polars as _ipl; pl = _ipl()
 
         s = pl.from_arrow(col)
         return s.hash(seed=seed).to_numpy().astype(np.uint64, copy=False)

@@ -643,7 +643,7 @@ class SimHasher:
         total = int(counts.sum())
         if total == 0:
             return out.view(np.int64)
-        import polars as pl
+        from raycontract._plsafe import import_polars as _ipl; pl = _ipl()
 
         flat = [tok for toks in toks_per_doc for tok in toks]
         doc_idx = np.repeat(np.arange(n), counts)
@@ -813,7 +813,7 @@ def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
 
 
 def _cc_driver_polars(edges, id_a: str, id_b: str, max_rounds: int):
-    import polars as pl
+    from raycontract._plsafe import import_polars as _ipl; pl = _ipl()
     import ray.data as rd
 
     tables = [pa.table(t) for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
@@ -907,7 +907,7 @@ def _bucket_join(left, right, left_key: str, right_key: str,
                            + [pa.field(o, out_types[o]) for o in (*lout, *rout)])
 
     def join_group(g: pa.Table) -> pa.Table:
-        import polars as pl
+        from raycontract._plsafe import import_polars as _ipl; pl = _ipl()
 
         df = pl.from_arrow(g.select(["_k", "_side", *lout, *rout]))
         l = df.filter(pl.col("_side") == 0).select(["_k", *lout])

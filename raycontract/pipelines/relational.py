@@ -468,7 +468,7 @@ def exact_quantiles(ds, column: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
                              "b": pa.array(out_b, type=pa.int32()),
                              "c": pa.array(out_c, type=pa.int64())})
 
-        import polars as pl
+        from raycontract._plsafe import import_polars as _ipl; pl = _ipl()
 
         hp = pa.concat_tables(
             [pa.table(t) for t in ray.get(
@@ -555,7 +555,7 @@ def rollup_sum(ds, keys: Sequence[str], sums: dict[str, tuple[str, float]]):
     maps output column → (source column, scale); values are rounded into
     integer units (cents/micros) BEFORE summation so distributed sums are
     bit-identical to the SQL oracle."""
-    import polars as pl
+    from raycontract._plsafe import import_polars as _ipl; pl = _ipl()
 
     keys = list(keys)
 

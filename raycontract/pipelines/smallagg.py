@@ -31,7 +31,7 @@ def groupby_agg(partials_ds, keys: Sequence[str],
     reduce runs as a distributed groupby over the SAME materialized blocks
     (no re-scan of the input).
     """
-    import polars as pl
+    from raycontract._plsafe import import_polars as _ipl; pl = _ipl()
 
     import ray
     import ray.data as rd

@@ -130,7 +130,7 @@ def _dup_range_reduce_task(block_refs, lo: int, hi: int, max_samples: int) -> di
     group them. Ranges are disjoint, so every per-column stat (distinct
     count, duplicate values/rows, samples) is additive across tasks — the
     driver merge is O(ranges), never O(keys)."""
-    import polars as pl
+    from raycontract._plsafe import import_polars as _ipl; pl = _ipl()
     import ray
 
     parts = []
@@ -170,7 +170,7 @@ def _dup_chunk_split_task(block_refs, nranges: int):
     former post-scan range reduce — where every range task re-read EVERY
     block (R× read amplification) — each block is deserialized exactly once,
     and the work overlaps the scan instead of forming a tail."""
-    import polars as pl
+    from raycontract._plsafe import import_polars as _ipl; pl = _ipl()
 
     import ray
 
@@ -204,7 +204,7 @@ def _dup_chunk_split_task(block_refs, nranges: int):
 def _dup_range_final_task(max_samples: int, *tables) -> dict:
     """Second wave: group ONE key range's pre-split slices (disjoint across
     tasks, so every stat is additive in the driver merge)."""
-    import polars as pl
+    from raycontract._plsafe import import_polars as _ipl; pl = _ipl()
 
     parts = [pa.table(t) for t in tables if t.num_rows]
     if not parts:
@@ -290,7 +290,7 @@ def _driver_fold_all(tables: list[pa.Table], unique_specs, max_samples: int):
 
 def _polars_dup_fold(tables: list[pa.Table], max_samples: int) -> dict[str, dict[str, Any]]:
     """Fold (kind,key,cnt) partial tables into per-column duplicate stats."""
-    import polars as pl
+    from raycontract._plsafe import import_polars as _ipl; pl = _ipl()
 
     if not tables:
         return {}
@@ -342,7 +342,7 @@ def _distributed_dup_fold(fused, max_samples: int, num_buckets: int = 16) -> dic
     @_ray.remote(num_returns=num_buckets)
     def split(tbl: pa.Table, B: int):
         import numpy as np
-        import polars as pl
+        from raycontract._plsafe import import_polars as _ipl; pl = _ipl()
 
         t = tbl.filter(pc.invert(pc.equal(tbl["kind"], "p"))).select(["kind", "key", "cnt"])
         if t.num_rows == 0:

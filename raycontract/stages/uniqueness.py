@@ -111,7 +111,7 @@ def duplicate_stats(
 
 
 def _driver_dup_fold(partials, max_samples: int, by_content_hash: bool) -> dict[str, Any]:
-    import polars as pl
+    from raycontract._plsafe import import_polars as _ipl; pl = _ipl()
 
     import ray
 
