@@ -149,6 +149,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttle_events": q.throttle_events,
         "order_episodes_customer": q.order_episodes_customer,
         "source_profile_documents": q.source_profile_documents,
+        # round-5b group-statistics family (oracle-paired, past the cap)
+        "first_last_order_customer": q.first_last_order_customer,
+        "zscore_outliers_events": q.zscore_outliers_events,
+        "grouped_quartiles_orders": q.grouped_quartiles_orders,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -252,6 +256,9 @@ def oracle_sql() -> dict[str, str]:
         "throttle_events": q.throttle_events_sql(),
         "order_episodes_customer": q.order_episodes_customer_sql(),
         "source_profile_documents": q.source_profile_documents_sql(),
+        "first_last_order_customer": q.first_last_order_customer_sql(),
+        "zscore_outliers_events": q.zscore_outliers_events_sql(),
+        "grouped_quartiles_orders": q.grouped_quartiles_orders_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

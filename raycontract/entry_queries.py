@@ -2813,3 +2813,86 @@ SELECT user_id, mode_value, n_mode FROM (
                             ORDER BY COUNT(*) DESC, event_type ASC) AS rn
   FROM events GROUP BY user_id, event_type) t WHERE rn = 1
 """
+
+
+# ---------------------------------------------------- round-5b: group stats
+
+
+def first_last_order_customer(sf_dir: str) -> pa.Table:
+    """Per-customer first/last order value (OHLC open/close shape): per-block
+    arg-min/arg-max partials packed into order-preserving big-endian byte
+    keys, reduced by a plain grouped binary min/max — no window shuffle."""
+    from raycontract.pipelines.groupstats import first_last_by
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    return first_last_by(orders, "o_custkey", "o_orderdate", "o_orderkey",
+                         "o_totalprice")
+
+
+def first_last_order_customer_sql() -> str:
+    return """
+WITH w AS (SELECT o_custkey,
+    first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey) f,
+    last_value(o_totalprice) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) l
+  FROM orders)
+SELECT o_custkey, CAST(round(min(f)*100) AS BIGINT) AS first_cents,
+       CAST(round(min(l)*100) AS BIGINT) AS last_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM w GROUP BY o_custkey
+"""
+
+
+def zscore_outliers_events(sf_dir: str) -> pa.Table:
+    """Per-user |v − mean| > 2σ event counts: grouped INTEGER moments
+    (order-independent, bit-identical to the oracle) then a broadcast
+    threshold lookup pass — two tiny folds, zero row shuffle."""
+    from raycontract.pipelines.groupstats import zscore_outlier_counts
+
+    return zscore_outlier_counts(_read(sf_dir, "events", ["user_id", "value"]),
+                                 "user_id", "value", z=2.0)
+
+
+def zscore_outliers_events_sql() -> str:
+    # mean/var/threshold expressions mirror the engine's float64 op order
+    # exactly (see groupstats.zscore_outlier_counts) so borderline
+    # comparisons agree bitwise.
+    return """
+WITH c AS (SELECT user_id, CAST(round(value*100) AS BIGINT) vc
+           FROM events WHERE value IS NOT NULL),
+s AS (SELECT user_id, CAST(count(*) AS BIGINT) n,
+             CAST(sum(vc) AS BIGINT) sv, CAST(sum(vc*vc) AS BIGINT) sq
+      FROM c GROUP BY user_id)
+SELECT c.user_id, min(s.n) AS n_rows,
+  CAST(count(*) FILTER (WHERE
+       abs(CAST(c.vc AS DOUBLE) - CAST(s.sv AS DOUBLE)/CAST(s.n AS DOUBLE)) >
+       2.0*sqrt(greatest(CAST(s.sq AS DOUBLE)/CAST(s.n AS DOUBLE)
+                - (CAST(s.sv AS DOUBLE)/CAST(s.n AS DOUBLE))
+                  * (CAST(s.sv AS DOUBLE)/CAST(s.n AS DOUBLE)), 0.0)))
+       AS BIGINT) AS n_outliers
+FROM c JOIN s USING (user_id) GROUP BY c.user_id
+"""
+
+
+def grouped_quartiles_orders(sf_dir: str) -> pa.Table:
+    """EXACT per-customer order-value quartiles via simultaneous per-group
+    integer radix selection (one vectorized histogram pass per round for ALL
+    groups and quantiles; guaranteed ≤ ceil(64/log2(B)) rounds)."""
+    from raycontract.pipelines.groupstats import grouped_quantiles
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    return grouped_quantiles(orders, "o_custkey", "o_totalprice",
+                             (0.25, 0.5, 0.75))
+
+
+def grouped_quartiles_orders_sql() -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT o_custkey, {q} AS q, CAST(quantile_disc(vc, {q}) AS BIGINT) "
+        f"AS value_cents FROM c GROUP BY o_custkey"
+        for q in (0.25, 0.5, 0.75))
+    return ("WITH c AS (SELECT o_custkey, CAST(round(o_totalprice*100) "
+            "AS BIGINT) vc FROM orders WHERE o_totalprice IS NOT NULL) "
+            + parts)
