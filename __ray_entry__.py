@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_last_order_customer": q.first_last_order_customer,
         "zscore_outliers_events": q.zscore_outliers_events,
         "grouped_quartiles_orders": q.grouped_quartiles_orders,
+        "reciprocal_knn_embeddings": q.reciprocal_knn_embeddings,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -259,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "first_last_order_customer": q.first_last_order_customer_sql(),
         "zscore_outliers_events": q.zscore_outliers_events_sql(),
         "grouped_quartiles_orders": q.grouped_quartiles_orders_sql(),
+        "reciprocal_knn_embeddings": q.reciprocal_knn_embeddings_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

@@ -2896,3 +2896,27 @@ def grouped_quartiles_orders_sql() -> str:
     return ("WITH c AS (SELECT o_custkey, CAST(round(o_totalprice*100) "
             "AS BIGINT) vc FROM orders WHERE o_totalprice IS NOT NULL) "
             + parts)
+
+
+def reciprocal_knn_embeddings(sf_dir: str) -> pa.Table:
+    """Mutual top-5 cosine pairs (reciprocal-NN dedup candidate filter):
+    distributed per-batch top-k matmul scan + driver mutual join over the
+    N×k edge list."""
+    from raycontract.pipelines.similarity import reciprocal_knn_pairs
+
+    return reciprocal_knn_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=5)
+
+
+def reciprocal_knn_embeddings_sql() -> str:
+    return """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+s AS (SELECT a.vec_id qid, b.vec_id nid, list_cosine_similarity(a.e, b.e) sim
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+r AS (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) rnk
+      FROM s)
+SELECT CAST(x.qid AS BIGINT) AS id_a, CAST(x.nid AS BIGINT) AS id_b
+FROM r x JOIN r y ON x.qid = y.nid AND x.nid = y.qid
+WHERE x.rnk <= 5 AND y.rnk <= 5 AND x.qid < x.nid
+"""

@@ -567,3 +567,60 @@ def grouped_vector_sum(ds, emb_col: str = "embedding", group_col: str = "label",
         return batch.rename_columns([group_col, "dim", "sum_scaled", "n"])
 
     return out.map_batches(shaped, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ reciprocal kNN
+
+
+def reciprocal_knn_pairs(ds, emb_col: str = "embedding", id_col: str = "vec_id",
+                         k: int = 5, max_broadcast: int = 100_000):
+    """Mutual top-k cosine pairs: (a, b) such that b is in a's exact top-k
+    nearest neighbours AND a is in b's — the classic high-precision
+    candidate filter for semantic dedup (reciprocal-NN pairs survive where
+    one-sided neighbours are often hub artifacts).
+
+    This is the broadcast BASELINE path: the full normalized matrix is
+    collected once (streamed block refs → one driver concat) and shipped as
+    the query set of ``knn_brute_force`` — the same per-batch top-k matmul
+    stage the kNN family uses, so the scan stays distributed while the query
+    side rides the object store. Raises above ``max_broadcast`` vectors: at
+    that size generate candidates with ``lsh_buckets``/IVF instead and
+    reciprocal-filter those.
+
+    Self-matches are excluded BEFORE ranking (ties with duplicate vectors
+    keep DuckDB's (sim DESC, id ASC) order). The mutual join runs on the
+    driver over the N×k edge list (tiny relative to the scan); at cluster
+    scale hash-partition the edge codes instead.
+
+    Output: (id_a, id_b) with id_a < id_b, both int64, sorted by pair.
+    """
+    import ray
+
+    tabs = [pa.table(t) for t in ray.get(
+        ds.select_columns([id_col, emb_col]).to_arrow_refs()) if t.num_rows]
+    from raycontract.pipelines.dedup import _emb_matrix
+
+    ids = np.concatenate([np.asarray(t[id_col], dtype=np.int64) for t in tabs])
+    if len(ids) > max_broadcast:
+        raise ValueError(
+            f"{len(ids)} vectors exceed max_broadcast={max_broadcast}; "
+            "use lsh_buckets/ivf candidate generation + reciprocal filter")
+    Q = np.concatenate([_emb_matrix(t, emb_col) for t in tabs])
+    # k+1 ranks, then drop the self row of each query (exact-duplicate
+    # vectors may outrank self under the id tiebreak, so filter by id)
+    res = knn_brute_force(ds, ids.tolist(), Q, emb_col=emb_col,
+                          id_col=id_col, k=k + 1).to_pandas()
+    res = res[res["query_id"] != res[id_col]]
+    res = (res.sort_values(["query_id", "rank"])
+              .groupby("query_id", sort=False).head(k))
+    a = res["query_id"].to_numpy(dtype=np.int64)
+    b = res[id_col].to_numpy(dtype=np.int64)
+    m = np.int64(int(ids.max()) + 1)
+    fwd = np.sort(a * m + b)
+    mutual = np.isin(b * m + a, fwd, assume_unique=False)
+    am, bm = a[mutual], b[mutual]
+    keep = am < bm  # each mutual pair appears twice; keep the sorted one
+    pairs = np.stack([am[keep], bm[keep]], axis=1)
+    pairs = pairs[np.lexsort((pairs[:, 1], pairs[:, 0]))]
+    return pa.table({"id_a": pa.array(pairs[:, 0]),
+                     "id_b": pa.array(pairs[:, 1])})
