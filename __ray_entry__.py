@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_outliers_events": q.zscore_outliers_events,
         "grouped_quartiles_orders": q.grouped_quartiles_orders,
         "reciprocal_knn_embeddings": q.reciprocal_knn_embeddings,
+        "psi_sources_documents": q.psi_sources_documents,
+        "benford_totalprice_orders": q.benford_totalprice_orders,
+        "corr_quantity_price_lineitem": q.corr_quantity_price_lineitem,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -261,6 +264,9 @@ def oracle_sql() -> dict[str, str]:
         "zscore_outliers_events": q.zscore_outliers_events_sql(),
         "grouped_quartiles_orders": q.grouped_quartiles_orders_sql(),
         "reciprocal_knn_embeddings": q.reciprocal_knn_embeddings_sql(),
+        "psi_sources_documents": q.psi_sources_documents_sql(),
+        "benford_totalprice_orders": q.benford_totalprice_orders_sql(),
+        "corr_quantity_price_lineitem": q.corr_quantity_price_lineitem_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

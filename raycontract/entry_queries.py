@@ -2920,3 +2920,101 @@ SELECT CAST(x.qid AS BIGINT) AS id_a, CAST(x.nid AS BIGINT) AS id_b
 FROM r x JOIN r y ON x.qid = y.nid AND x.nid = y.qid
 WHERE x.rnk <= 5 AND y.rnk <= 5 AND x.qid < x.nid
 """
+
+
+# ------------------------------------------------- round-5b: data profiling
+
+
+def psi_sources_documents(sf_dir: str) -> pa.Table:
+    """Per-source Population Stability Index of the n_chars distribution vs
+    the global corpus (add-one smoothed, fixed 100-char buckets): the
+    numeric-drift screen of the north-star family, one (group,bucket,count)
+    partial pass + tiny fold."""
+    from raycontract.pipelines.dataprofile import psi_by_group
+
+    return psi_by_group(_read(sf_dir, "documents", ["source", "n_chars"]),
+                        "source", "n_chars", bucket_width=100, scale=1.0)
+
+
+def psi_sources_documents_sql() -> str:
+    return """
+WITH c AS (SELECT source AS g,
+                  CAST(floor(floor(n_chars*1.0)/100) AS BIGINT) AS b
+           FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+gb AS (SELECT g, b, CAST(count(*) AS BIGINT) n FROM c GROUP BY g, b),
+bu AS (SELECT b, CAST(sum(n) AS BIGINT) nb FROM gb GROUP BY b),
+consts AS (SELECT CAST(count(*) AS BIGINT) B, CAST(sum(nb) AS BIGINT) N FROM bu),
+dense AS (SELECT gs.g, bu.b, coalesce(gb.n, 0) AS n_gb, bu.nb
+          FROM (SELECT DISTINCT g FROM gb) gs CROSS JOIN bu
+          LEFT JOIN gb ON gb.g = gs.g AND gb.b = bu.b),
+tot AS (SELECT g, CAST(sum(n_gb) AS BIGINT) ngrp FROM dense GROUP BY g)
+SELECT d.g AS source, min(t.ngrp) AS n_rows,
+       CAST(round(sum(((d.n_gb + 1.0)/(t.ngrp + c.B) - (d.nb + 1.0)/(c.N + c.B))
+                      * ln(((d.n_gb + 1.0)/(t.ngrp + c.B))
+                           / ((d.nb + 1.0)/(c.N + c.B)))) * 1e6) AS BIGINT)
+         AS psi_micro
+FROM dense d JOIN tot t USING (g) CROSS JOIN consts c
+GROUP BY d.g ORDER BY d.g
+"""
+
+
+def benford_totalprice_orders(sf_dir: str) -> pa.Table:
+    """First-significant-digit (Benford) profile of order totals in cents —
+    the fabricated-data screen: per-digit partial counts, expectations and
+    chi-square contributions in integer micro-units."""
+    from raycontract.pipelines.dataprofile import benford_profile
+
+    return benford_profile(_read(sf_dir, "orders", ["o_totalprice"]),
+                           "o_totalprice", scale=100.0)
+
+
+def benford_totalprice_orders_sql() -> str:
+    return """
+WITH v AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) vc FROM orders
+           WHERE o_totalprice IS NOT NULL),
+d AS (SELECT CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM v WHERE vc > 0),
+cnt AS (SELECT digit, CAST(count(*) AS BIGINT) n FROM d GROUP BY digit),
+full_d AS (SELECT unnest(range(1, 10)) AS digit),
+j AS (SELECT f.digit, coalesce(cnt.n, 0) AS n
+      FROM full_d f LEFT JOIN cnt USING (digit)),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) N FROM j)
+SELECT j.digit, j.n,
+       CAST(round(t.N * log10(1.0 + 1.0/j.digit) * 1e6) AS BIGINT)
+         AS expected_micro,
+       CAST(round(CASE WHEN t.N * log10(1.0 + 1.0/j.digit) > 0
+                       THEN (j.n - t.N * log10(1.0 + 1.0/j.digit))
+                            * (j.n - t.N * log10(1.0 + 1.0/j.digit))
+                            / (t.N * log10(1.0 + 1.0/j.digit))
+                       ELSE 0.0 END * 1e6) AS BIGINT) AS chi2_micro
+FROM j CROSS JOIN tot t ORDER BY j.digit
+"""
+
+
+def corr_quantity_price_lineitem(sf_dir: str) -> pa.Table:
+    """Pearson correlation of quantity (centi-units) and extended price
+    (cents) over lineitem: exact integer moment partials, one scalar row."""
+    from raycontract.pipelines.dataprofile import pearson_corr
+
+    return pearson_corr(_read(sf_dir, "lineitem",
+                              ["l_quantity", "l_extendedprice"]),
+                        "l_quantity", "l_extendedprice", 100.0, 100.0)
+
+
+def corr_quantity_price_lineitem_sql() -> str:
+    return """
+WITH c AS (SELECT CAST(round(l_quantity*100) AS BIGINT) x,
+                  CAST(round(l_extendedprice*100) AS BIGINT) y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+m AS (SELECT CAST(count(*) AS DOUBLE) n, CAST(sum(x) AS DOUBLE) sx,
+             CAST(sum(y) AS DOUBLE) sy, CAST(sum(x*x) AS DOUBLE) sxx,
+             CAST(sum(y*y) AS DOUBLE) syy, CAST(sum(x*y) AS DOUBLE) sxy
+      FROM c)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(round(CASE WHEN sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy) > 0
+                       THEN (n*sxy - sx*sy)
+                            / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+                       ELSE 0.0 END * 1e6) AS BIGINT) AS corr_micro
+FROM m
+"""

@@ -1,0 +1,199 @@
+"""Distribution-profile validation operators (north-star "distribution
+drift" family, SURVEY §2a #18): PSI drift, Benford first-digit conformance,
+and Pearson correlation — each ONE vectorized pass producing integer partial
+counts/moments (order-independent, exactly reproducible in SQL) plus a
+derived float metric emitted in integer micro-units so a 1-ulp libm
+difference between numpy and the oracle can never flip the value hash.
+
+Scale shape: every operator is map_batches partials → one adaptive
+``smallagg`` fold (≤ groups×blocks tiny rows) → driver math on the
+groups-sized result. No row shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from raycontract.pipelines.smallagg import groupby_sum
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """SQL ROUND (half away from zero) for float arrays → int64."""
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+# ------------------------------------------------------------------- PSI
+
+
+def psi_by_group(ds, group_col: str, value_col: str, bucket_width: int,
+                 scale: float = 1.0):
+    """Population Stability Index of each group's ``value_col`` distribution
+    against the GLOBAL distribution, over fixed-width integer buckets
+    (``bucket = floor(value*scale) // bucket_width``) with add-one
+    smoothing: PSI_g = Σ_b (p_gb − p_b)·ln(p_gb/p_b), where
+    p = (n_b + 1) / (N + B) over the union of observed buckets B.
+
+    The distributed work is ONE pass of (group, bucket, count) partials +
+    one tiny fold; the PSI itself is driver math over ≤ groups×buckets
+    rows. Emitted as ``psi_micro`` (int64, PSI×1e6 rounded) so the oracle's
+    ln() agrees despite last-bit libm differences.
+
+    Output: ``({group_col}, n_rows, psi_micro)`` sorted by group.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_kleene(pc.is_valid(batch[value_col]),
+                                       pc.is_valid(batch[group_col])))
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        v = np.floor(np.asarray(pc.cast(t[value_col], pa.float64())) * scale
+                     ).astype(np.int64) // bucket_width
+        g = np.asarray(t[group_col].cast(pa.string()))
+        # stable composite codes via sorted uniques of the batch
+        ug, gi = np.unique(g, return_inverse=True)
+        ub, bi = np.unique(v, return_inverse=True)
+        code = gi.astype(np.int64) * len(ub) + bi
+        uc, cnt = np.unique(code, return_counts=True)
+        return pa.table({"g": pa.array(ug[(uc // len(ub))]),
+                         "b": pa.array(ub[(uc % len(ub))]),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    folded = pa.concat_tables(
+        [pa.table(t) for t in ray.get(
+            groupby_sum(ds.select_columns([group_col, value_col]).map_batches(
+                partial, batch_format="pyarrow"), ["g", "b"], ["n"]
+            ).to_arrow_refs())
+         if t.num_rows])
+    if folded.num_rows == 0:
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n_rows": pa.array([], pa.int64()),
+                         "psi_micro": pa.array([], pa.int64())})
+    g = np.asarray(folded["g"])
+    b = np.asarray(folded["b"], dtype=np.int64)
+    n = np.asarray(folded["n"], dtype=np.int64)
+    buckets_all = np.unique(b)
+    B = len(buckets_all)
+    bidx = np.searchsorted(buckets_all, b)
+    glob = np.zeros(B, dtype=np.int64)
+    np.add.at(glob, bidx, n)
+    N = int(glob.sum())
+    p_glob = (glob + 1.0) / (N + B)
+    groups = np.unique(g)
+    out_n, out_psi = [], []
+    for gv in groups:
+        m = g == gv
+        cnts = np.zeros(B, dtype=np.int64)
+        cnts[bidx[m]] = n[m]
+        ng = int(cnts.sum())
+        p_g = (cnts + 1.0) / (ng + B)
+        psi = float(np.sum((p_g - p_glob) * np.log(p_g / p_glob)))
+        out_n.append(ng)
+        out_psi.append(psi)
+    return pa.table({group_col: pa.array(groups.tolist(), type=pa.string()),
+                     "n_rows": pa.array(out_n, type=pa.int64()),
+                     "psi_micro": pa.array(
+                         _round_half_away(np.asarray(out_psi) * 1e6))})
+
+
+# ---------------------------------------------------------------- Benford
+
+
+def benford_profile(ds, value_col: str, scale: float = 100.0):
+    """First-significant-digit profile of ``round(value*scale)`` vs the
+    Benford expectation — the classic fabricated-data screen. Counting is
+    ONE pass of per-digit partials (leading digit extracted with ≤18
+    vectorized integer divisions — string-free, exact, matching the SQL
+    ``substr(CAST(v AS VARCHAR), 1, 1)`` semantics for positive ints);
+    zero/negative values are excluded. The per-digit Benford expectation
+    and the chi-square contribution are emitted in integer micro-units.
+
+    Output: ``(digit 1-9, n, expected_micro, chi2_micro)``.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[value_col]))
+        if t.num_rows == 0:
+            return pa.table({"digit": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        v = _round_half_away(
+            np.asarray(pc.cast(t[value_col], pa.float64())) * scale)
+        v = v[v > 0]
+        while (v >= 10).any():
+            v = np.where(v >= 10, v // 10, v)
+        cnt = np.bincount(v, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    folded = pa.concat_tables(
+        [pa.table(t) for t in ray.get(
+            groupby_sum(ds.select_columns([value_col]).map_batches(
+                partial, batch_format="pyarrow"), ["digit"], ["n"]
+            ).to_arrow_refs())
+         if t.num_rows])
+    d = np.asarray(folded["digit"], dtype=np.int64)
+    n = np.asarray(folded["n"], dtype=np.float64)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    N = n.sum()
+    p = np.log10(1.0 + 1.0 / d.astype(np.float64))
+    expected = N * p
+    chi2 = np.where(expected > 0, (n - expected) ** 2 / expected, 0.0)
+    return pa.table({"digit": pa.array(d),
+                     "n": pa.array(n.astype(np.int64)),
+                     "expected_micro": pa.array(_round_half_away(expected * 1e6)),
+                     "chi2_micro": pa.array(_round_half_away(chi2 * 1e6))})
+
+
+# ------------------------------------------------------------- correlation
+
+
+def pearson_corr(ds, x_col: str, y_col: str, x_scale: float = 100.0,
+                 y_scale: float = 100.0):
+    """Pearson correlation of two columns via integer moment partials
+    (n, Σx, Σy, Σx², Σy², Σxy over scaled ints — exact and
+    order-independent; Σxy fits int64 for |x·y| ≤ ~9e18/rows, which holds
+    for cents×centi-units at ≤1e8 rows per block-sum — beyond that, widen
+    the partials). The correlation is computed from the folded moments in
+    float64 with the same expression order as the SQL oracle and emitted as
+    ``corr_micro`` (int64).
+
+    Output: one row ``(n_rows, corr_micro)``.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_kleene(pc.is_valid(batch[x_col]),
+                                       pc.is_valid(batch[y_col])))
+        if t.num_rows == 0:
+            z = pa.array([0], type=pa.int64())
+            return pa.table({"k": pa.array([1], type=pa.int64()), "n": z,
+                             "sx": z, "sy": z, "sxx": z, "syy": z, "sxy": z})
+        x = _round_half_away(np.asarray(pc.cast(t[x_col], pa.float64())) * x_scale)
+        y = _round_half_away(np.asarray(pc.cast(t[y_col], pa.float64())) * y_scale)
+        return pa.table({"k": pa.array([1], type=pa.int64()),
+                         "n": pa.array([len(x)], type=pa.int64()),
+                         "sx": pa.array([int(x.sum())], type=pa.int64()),
+                         "sy": pa.array([int(y.sum())], type=pa.int64()),
+                         "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+                         "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+                         "sxy": pa.array([int((x * y).sum())], type=pa.int64())})
+
+    folded = pa.concat_tables(
+        [pa.table(t) for t in ray.get(
+            groupby_sum(ds.select_columns([x_col, y_col]).map_batches(
+                partial, batch_format="pyarrow"), ["k"],
+                ["n", "sx", "sy", "sxx", "syy", "sxy"]).to_arrow_refs())
+         if t.num_rows])
+    n = float(folded["n"][0].as_py())
+    sx = float(folded["sx"][0].as_py())
+    sy = float(folded["sy"][0].as_py())
+    sxx = float(folded["sxx"][0].as_py())
+    syy = float(folded["syy"][0].as_py())
+    sxy = float(folded["sxy"][0].as_py())
+    denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    corr = (n * sxy - sx * sy) / denom if denom > 0 else 0.0
+    return pa.table({"n_rows": pa.array([int(n)], type=pa.int64()),
+                     "corr_micro": pa.array(
+                         _round_half_away(np.asarray([corr * 1e6])))})
