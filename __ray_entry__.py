@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_sources_documents": q.psi_sources_documents,
         "benford_totalprice_orders": q.benford_totalprice_orders,
         "corr_quantity_price_lineitem": q.corr_quantity_price_lineitem,
+        "quality_trend_events": q.quality_trend_events,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_sources_documents": q.psi_sources_documents_sql(),
         "benford_totalprice_orders": q.benford_totalprice_orders_sql(),
         "corr_quantity_price_lineitem": q.corr_quantity_price_lineitem_sql(),
+        "quality_trend_events": q.quality_trend_events_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

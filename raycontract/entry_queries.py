@@ -3018,3 +3018,26 @@ SELECT CAST(n AS BIGINT) AS n_rows,
                        ELSE 0.0 END * 1e6) AS BIGINT) AS corr_micro
 FROM m
 """
+
+
+def quality_trend_events(sf_dir: str) -> pa.Table:
+    """Daily data-quality trend over events: row count, null-value count,
+    exact distinct users, min/max value cents per day — the per-partition
+    quality monitor, two shuffle-light passes (moment partials + the
+    distinct-pair combiner)."""
+    from raycontract.pipelines.dataprofile import quality_trend
+
+    return quality_trend(_read(sf_dir, "events", ["ts", "value", "user_id"]),
+                         "ts", "value", "user_id", bucket_s=86400)
+
+
+def quality_trend_events_sql() -> str:
+    return """
+SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_ids,
+       CAST(min(round(value*100)) AS BIGINT) AS min_cents,
+       CAST(max(round(value*100)) AS BIGINT) AS max_cents
+FROM events GROUP BY 1
+"""

@@ -18,7 +18,8 @@ import pyarrow.compute as pc
 
 import ray
 
-from raycontract.pipelines.smallagg import groupby_sum
+from raycontract.pipelines.groupstats import _ts_us
+from raycontract.pipelines.smallagg import groupby_agg, groupby_sum
 
 
 def _round_half_away(x: np.ndarray) -> np.ndarray:
@@ -197,3 +198,102 @@ def pearson_corr(ds, x_col: str, y_col: str, x_scale: float = 100.0,
     return pa.table({"n_rows": pa.array([int(n)], type=pa.int64()),
                      "corr_micro": pa.array(
                          _round_half_away(np.asarray([corr * 1e6])))})
+
+
+# ----------------------------------------------------------- quality trend
+
+
+def quality_trend(ds, ts_col: str, value_col: str, id_col: str,
+                  bucket_s: int = 86400):
+    """Time-bucketed data-quality monitor — the per-partition trend the
+    north-star asks lineage/metrics for, as a query: per time bucket
+    (default daily), row count, null-value count, exact distinct id count,
+    and min/max value in cents.
+
+    Two shuffle-light passes over the projected columns: (1) per-bucket
+    moment partials (count/nulls/min/max — one row per bucket per block) +
+    one adaptive fold; (2) the exact distinct via the two-level pair
+    combiner (``relational.grouped_count_distinct`` — shuffle volume is the
+    distinct-pair set). Driver aligns the two bucket-sized results.
+
+    Output: ``(bucket_us, n_rows, n_null, n_distinct_ids,
+    min_cents, max_cents)`` — min/max null for all-null buckets.
+    """
+    from raycontract.pipelines.relational import grouped_count_distinct
+
+    bucket_us = np.int64(bucket_s) * 1_000_000
+
+    def moments(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"bkt": z, "n": z, "n_null": z, "n_valid": z,
+                             "mn": z, "mx": z})
+        day = (_ts_us(batch[ts_col]) // bucket_us) * bucket_us
+        nullm = np.asarray(pc.is_null(batch[value_col]))
+        v = _round_half_away(np.asarray(
+            pc.fill_null(pc.cast(batch[value_col], pa.float64()), 0.0)) * 100.0)
+        uniq, inv = np.unique(day, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        n_null = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(n_null, inv, nullm.astype(np.int64))
+        mn = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+        valid = ~nullm
+        np.minimum.at(mn, inv[valid], v[valid])
+        np.maximum.at(mx, inv[valid], v[valid])
+        return pa.table({"bkt": pa.array(uniq), "n": pa.array(n),
+                         "n_null": pa.array(n_null),
+                         "n_valid": pa.array(n - n_null),
+                         "mn": pa.array(mn), "mx": pa.array(mx)})
+
+    proj = ds.select_columns([ts_col, value_col, id_col])
+    folded = pa.concat_tables(
+        [pa.table(t) for t in ray.get(
+            groupby_agg(
+                proj.map_batches(moments, batch_format="pyarrow"), ["bkt"],
+                {"n": "sum", "n_null": "sum", "n_valid": "sum",
+                 "mn": "min", "mx": "max"}).to_arrow_refs())
+         if t.num_rows])
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bkt": pa.array([], pa.int64()),
+                             "id": pa.array([], pa.int64())})
+        day = (_ts_us(batch[ts_col]) // bucket_us) * bucket_us
+        return pa.table({"bkt": pa.array(day),
+                         "id": batch[id_col].cast(pa.int64())})
+
+    dist = pa.concat_tables(
+        [pa.table(t) for t in ray.get(
+            grouped_count_distinct(
+                proj.map_batches(bucketed, batch_format="pyarrow"),
+                "bkt", "id").to_arrow_refs())
+         if t.num_rows])
+    # align by bucket on the driver (both tables are bucket-sized)
+    b = np.asarray(folded["bkt"], dtype=np.int64)
+    order = np.argsort(b, kind="stable")
+    b = b[order]
+    n = np.asarray(folded["n"], dtype=np.int64)[order]
+    n_null = np.asarray(folded["n_null"], dtype=np.int64)[order]
+    n_valid = np.asarray(folded["n_valid"], dtype=np.int64)[order]
+    mn = np.asarray(folded["mn"], dtype=np.int64)[order]
+    mx = np.asarray(folded["mx"], dtype=np.int64)[order]
+    db = np.asarray(dist["bkt"], dtype=np.int64)
+    dn = np.asarray(dist["n_distinct"], dtype=np.int64)
+    dorder = np.argsort(db, kind="stable")
+    db, dn = db[dorder], dn[dorder]
+    pos = np.searchsorted(db, b)
+    nd = np.zeros(len(b), dtype=np.int64)
+    hit = pos < len(db)
+    safe = np.minimum(pos, max(len(db) - 1, 0))
+    match = hit & (db[safe] == b) if len(db) else np.zeros(len(b), dtype=bool)
+    nd[match] = dn[safe[match]]
+    empty = n_valid == 0
+    mn_col = pc.if_else(pa.array(empty), pa.scalar(None, pa.int64()),
+                        pa.array(mn))
+    mx_col = pc.if_else(pa.array(empty), pa.scalar(None, pa.int64()),
+                        pa.array(mx))
+    return pa.table({"bucket_us": pa.array(b), "n_rows": pa.array(n),
+                     "n_null": pa.array(n_null),
+                     "n_distinct_ids": pa.array(nd),
+                     "min_cents": mn_col, "max_cents": mx_col})

@@ -69,3 +69,39 @@ def test_pearson_recovers_planted_correlation(ray_session):
     out2 = pearson_corr(rd.from_arrow(pa.table(
         {"x": pa.array(x), "y": pa.array(y_ind)})), "x", "y").to_pandas()
     assert abs(out2["corr_micro"][0]) < 50_000  # ~0
+
+
+def test_quality_trend_buckets_nulls_and_distincts(ray_session):
+    import duckdb
+    import pandas as pd
+    from raycontract.pipelines.dataprofile import quality_trend
+
+    rng = np.random.default_rng(12)
+    n = 3000
+    ts = pd.to_datetime("2024-03-01") + pd.to_timedelta(
+        rng.integers(0, 10 * 86400, n), unit="s")
+    val = rng.uniform(10, 90, n)
+    df = pd.DataFrame({"ts": ts, "value": val,
+                       "user_id": rng.integers(0, 40, n).astype("int64")})
+    # day 2024-03-03 becomes ALL-null; sprinkle other nulls
+    df.loc[df["ts"].dt.date == pd.Timestamp("2024-03-03").date(), "value"] = np.nan
+    df.loc[df.index[:100], "value"] = np.nan
+    got = quality_trend(rd.from_pandas(df).repartition(6), "ts", "value",
+                        "user_id").to_pandas()
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.sql("""
+SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_ids,
+       CAST(min(round(value*100)) AS BIGINT) AS min_cents,
+       CAST(max(round(value*100)) AS BIGINT) AS max_cents
+FROM events GROUP BY 1""").df()
+    a = got.sort_values("bucket_us").reset_index(drop=True)
+    b = want.sort_values("bucket_us").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b)
+    # the all-null day must be present with null min/max
+    allnull = a[a["n_rows"] == a["n_null"]]
+    assert len(allnull) == 1
+    assert allnull["min_cents"].isna().all()
