@@ -117,9 +117,11 @@ def sql_type(field: Optional[Field], dialect: str = "duckdb") -> Optional[str]:
         return f"{inner}[]"
     if t in ("object", "record", "struct"):
         if dialect in ("databricks", "bigquery"):
-            parts = [f"{n} {sql_type(f, dialect)}" for n, f in field.fields.items()]
+            parts = [f"{_quote_ident(n, dialect)} {sql_type(f, dialect)}"
+                     for n, f in field.fields.items()]
             return f"STRUCT<{', '.join(parts)}>"
-        parts = [f"{n} {sql_type(f, dialect)}" for n, f in field.fields.items()]
+        parts = [f"{_quote_ident(n, dialect)} {sql_type(f, dialect)}"
+                 for n, f in field.fields.items()]
         return f"STRUCT({', '.join(parts)})"
     if t == "map":
         k = sql_type(field.keys, dialect) or "VARCHAR"
@@ -160,12 +162,61 @@ def _escape(text: Optional[str]) -> Optional[str]:
     return None if text is None else text.replace('"', '\\"')
 
 
+# SQL words that cannot appear as a BARE column name (duckdb_keywords()
+# categories 'reserved' + 'type_function' — the PostgreSQL-lineage set
+# shared by the dialects here; every word was verified unparseable as an
+# unquoted column): identifiers matching one of these, or containing
+# non-identifier characters, are quoted so the emitted DDL stays parseable
+# (a contract field may legally be named "as" or "is").
+_RESERVED = frozenset((
+    'all', 'analyse', 'analyze', 'and', 'anti', 'any', 'array', 'as',
+    'asc', 'asof', 'asymmetric', 'authorization', 'binary', 'both',
+    'case', 'cast', 'check', 'collate', 'collation', 'column', 'columns',
+    'concurrently', 'constraint', 'create', 'cross', 'default',
+    'deferrable', 'desc', 'describe', 'distinct', 'do', 'else', 'end',
+    'except', 'false', 'fetch', 'for', 'foreign', 'freeze', 'from',
+    'full', 'generated', 'glob', 'grant', 'group', 'having', 'ilike',
+    'in', 'initially', 'inner', 'intersect', 'into', 'is', 'isnull',
+    'join', 'lateral', 'leading', 'left', 'like', 'limit', 'map',
+    'natural', 'not', 'notnull', 'null', 'offset', 'on', 'only', 'or',
+    'order', 'outer', 'overlaps', 'pivot', 'pivot_longer', 'pivot_wider',
+    'placing', 'positional', 'primary', 'qualify', 'references',
+    'returning', 'right', 'select', 'semi', 'show', 'similar', 'some',
+    'struct', 'summarize', 'symmetric', 'table', 'tablesample', 'then',
+    'to', 'trailing', 'true', 'try_cast', 'union', 'unique', 'unpivot',
+    'using', 'variadic', 'verbose', 'when', 'where', 'window', 'with',
+))
+
+_IDENT_RE = None
+
+
+def _quote_ident(name: str, dialect: str) -> str:
+    """Quote ``name`` only when required (reserved word or non-identifier
+    characters) so golden outputs for ordinary names are unchanged."""
+    global _IDENT_RE
+    if _IDENT_RE is None:
+        import re
+        _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+    if _IDENT_RE.match(name) and name.lower() not in _RESERVED:
+        return name
+    if dialect in ("mysql", "databricks", "bigquery"):
+        return "`" + name.replace("`", "``") + "`"
+    if dialect == "sqlserver":
+        return "[" + name.replace("]", "]]") + "]"
+    return '"' + name.replace('"', '""') + '"'
+
+
 def _table_ddl(name: str, model: Model, dialect: str) -> str:
     create = "CREATE OR REPLACE TABLE" if dialect == "databricks" else "CREATE TABLE"
+    if "." in name:  # optional catalog.schema. prefix rides along unquoted
+        pre, _, last = name.rpartition(".")
+        name = f"{pre}.{_quote_ident(last, dialect)}"
+    else:
+        name = _quote_ident(name, dialect)
     lines = [f"{create} {name} ("]
     cols = []
     for fname, f in model.fields.items():
-        col = f"  {fname} {sql_type(f, dialect)}"
+        col = f"  {_quote_ident(fname, dialect)} {sql_type(f, dialect)}"
         if f.required:
             col += " not null"
         if f.primaryKey:
@@ -187,6 +238,7 @@ def to_sql_query(spec: DataContractSpecification, model_name: str,
     out = [f"-- Data Contract: {spec.id}", f"-- SQL Dialect: {dialect}", "select"]
     names = list(model.fields.keys())
     for i, n in enumerate(names):
-        out.append(f"    {n}" + ("," if i < len(names) - 1 else ""))
-    out.append(f"from {model_name}")
+        out.append(f"    {_quote_ident(n, dialect)}"
+                   + ("," if i < len(names) - 1 else ""))
+    out.append(f"from {_quote_ident(model_name, dialect)}")
     return "\n".join(out) + "\n"

@@ -67,6 +67,39 @@ def test_sql_ddl_duckdb_and_roundtrip():
     assert f["address"].type == "object"
 
 
+def test_sql_ddl_reserved_word_identifiers_roundtrip():
+    """Fields/models named with SQL reserved words ('as', 'is', 'select',
+    'order') must be quoted in the DDL and survive export→import; ordinary
+    names stay unquoted (golden-shape parity). Regression for the
+    hypothesis round-trip failure on a field literally named 'as'."""
+    from raycontract.export.sql import to_sql_ddl
+    from raycontract.imports.sql import import_sql
+
+    c = DataContractSpecification.from_string("""
+dataContractSpecification: 1.1.0
+id: reserved-rt
+info: {title: r, version: 1.0.0}
+models:
+  order:
+    type: table
+    fields:
+      as: {type: boolean}
+      is: {type: string}
+      select: {type: long}
+      plain_name: {type: int}
+""")
+    ddl = to_sql_ddl(c, dialect="duckdb")
+    assert '"order"' in ddl and '"as" BOOLEAN' in ddl and '"is" VARCHAR' in ddl
+    assert "plain_name INTEGER" in ddl  # ordinary names stay bare
+    imp = import_sql(ddl)
+    f = imp.models["order"].fields
+    assert f["as"].type == "boolean" and f["is"].type == "string"
+    assert f["select"].type in ("long", "bigint") and "plain_name" in f
+    # mysql-family uses backticks, sqlserver brackets
+    assert "`select`" in to_sql_ddl(c, dialect="mysql")
+    assert "[select]" in to_sql_ddl(c, dialect="sqlserver")
+
+
 def test_sql_ddl_dialects():
     from raycontract.export.sql import to_sql_ddl
 
