@@ -158,6 +158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_totalprice_orders": q.benford_totalprice_orders,
         "corr_quantity_price_lineitem": q.corr_quantity_price_lineitem,
         "quality_trend_events": q.quality_trend_events,
+        # round-5c data-quality monitoring family (oracle-paired, past the cap)
+        "latest_snapshot_events": q.latest_snapshot_events,
+        "control_chart_events": q.control_chart_events,
+        "fd_violations_orders": q.fd_violations_orders,
+        "tukey_outliers_orders": q.tukey_outliers_orders,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -269,6 +274,10 @@ def oracle_sql() -> dict[str, str]:
         "benford_totalprice_orders": q.benford_totalprice_orders_sql(),
         "corr_quantity_price_lineitem": q.corr_quantity_price_lineitem_sql(),
         "quality_trend_events": q.quality_trend_events_sql(),
+        "latest_snapshot_events": q.latest_snapshot_events_sql(),
+        "control_chart_events": q.control_chart_events_sql(),
+        "fd_violations_orders": q.fd_violations_orders_sql(),
+        "tukey_outliers_orders": q.tukey_outliers_orders_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

@@ -3041,3 +3041,104 @@ SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
        CAST(max(round(value*100)) AS BIGINT) AS max_cents
 FROM events GROUP BY 1
 """
+
+
+def latest_snapshot_events(sf_dir: str):
+    """CDC snapshot compaction: per user, the LATEST full event row by
+    (ts, event_id) — per-block arg-max partials (one lexsort + run-boundary
+    mask), grouped binary-max fold, winning ids broadcast once into a
+    zero-shuffle keep pass."""
+    from raycontract.pipelines.cdc import latest_snapshot
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    return latest_snapshot(ev, "user_id", "ts", "event_id")
+
+
+def latest_snapshot_events_sql() -> str:
+    return """
+SELECT event_id, ts, user_id, event_type, value
+FROM (SELECT event_id, ts, user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def control_chart_events(sf_dir: str) -> pa.Table:
+    """Daily volume control chart: row count per day plus an EXACT-integer
+    trailing-7-day 3σ deviation flag ((w·x−s)² > 9·(w·ss−s²) — no sqrt, no
+    division, bit-identical to the SQL window oracle)."""
+    from raycontract.pipelines.dataprofile import control_chart
+
+    return control_chart(_read(sf_dir, "events", ["ts"]), "ts",
+                         bucket_s=86400, window=7, z=3)
+
+
+def control_chart_events_sql() -> str:
+    return """
+WITH d AS (
+  SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+w AS (
+  SELECT bucket_us, n,
+         CAST(count(n) OVER win AS BIGINT) AS w,
+         CAST(coalesce(sum(n) OVER win, 0) AS BIGINT) AS s,
+         CAST(coalesce(sum(n * n) OVER win, 0) AS BIGINT) AS ss
+  FROM d WINDOW win AS (ORDER BY bucket_us
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT bucket_us, n AS n_rows, w AS n_window,
+       CAST(CASE WHEN w >= 3
+                  AND (w * n - s) * (w * n - s) > 9 * (w * ss - s * s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM w
+"""
+
+
+def fd_violations_orders(sf_dir: str):
+    """Functional-dependency validation (contract 'A determines B'):
+    customers whose orders carry MORE THAN ONE distinct priority — the
+    exact distinct-pair combiner + a vectorized >1 filter."""
+    from raycontract.pipelines.dataprofile import fd_violations
+
+    o = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    return fd_violations(o, "o_custkey", "o_orderpriority")
+
+
+def fd_violations_orders_sql() -> str:
+    return """
+SELECT o_custkey,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct_dep
+FROM orders GROUP BY o_custkey
+HAVING count(DISTINCT o_orderpriority) > 1
+"""
+
+
+def tukey_outliers_orders(sf_dir: str) -> pa.Table:
+    """Per-customer Tukey boxplot outliers: EXACT q1/q3 (simultaneous
+    per-group integer radix selection) + doubled-integer fence comparison
+    (2v < 2q1 − 3·IQR) — the robust sibling of the z-score screen, no
+    float fences anywhere."""
+    from raycontract.pipelines.groupstats import tukey_outlier_counts
+
+    o = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    return tukey_outlier_counts(o, "o_custkey", "o_totalprice")
+
+
+def tukey_outliers_orders_sql() -> str:
+    return """
+WITH c AS (SELECT o_custkey AS g,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders WHERE o_totalprice IS NOT NULL),
+q AS (SELECT g, CAST(quantile_disc(v, 0.25) AS BIGINT) AS q1,
+             CAST(quantile_disc(v, 0.75) AS BIGINT) AS q3
+      FROM c GROUP BY g)
+SELECT q.g AS o_custkey, q.q1 AS q1_cents, q.q3 AS q3_cents,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (
+         WHERE 2 * c.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+            OR 2 * c.v > 2 * q.q3 + 3 * (q.q3 - q.q1)) AS BIGINT)
+         AS n_outliers
+FROM c JOIN q USING (g) GROUP BY q.g, q.q1, q.q3
+"""

@@ -297,3 +297,99 @@ def quality_trend(ds, ts_col: str, value_col: str, id_col: str,
                      "n_null": pa.array(n_null),
                      "n_distinct_ids": pa.array(nd),
                      "min_cents": mn_col, "max_cents": mx_col})
+
+
+# ---------------------------------------------------------- control chart
+
+
+def control_chart(ds, ts_col: str, bucket_s: int = 86400, window: int = 7,
+                  z: int = 3, min_window: int = 3):
+    """Volume control chart — the classic ingestion monitor: per time bucket
+    (default daily) the row count, plus a flag when the count deviates more
+    than ``z``·σ from the TRAILING ``window`` buckets' mean (current bucket
+    excluded, present buckets only — ROWS semantics over the bucket series).
+
+    The comparison is EXACT INTEGER arithmetic — no sqrt, no division:
+    ``|x − s/w| > z·sqrt((w·ss − s²)/w²)  ⇔  (w·x − s)² > z²·(w·ss − s²)``
+    with x the bucket count, s/ss the trailing sum / sum-of-squares and w
+    the trailing bucket count — so the distributed result is bit-identical
+    to the SQL window oracle (squares are taken in Python ints driver-side;
+    the bucket series is tiny, and daily counts beyond ~3·10⁸ would
+    overflow BIGINT in the oracle, not here).
+
+    Distributed work: ONE pass of per-block bucket-count partials + one
+    adaptive fold; the chart itself is driver math over the bucket series.
+
+    Output: ``(bucket_us, n_rows, n_window, flagged)`` — flagged 0/1 int64,
+    0 whenever fewer than ``min_window`` trailing buckets exist.
+    """
+    bucket_us = np.int64(bucket_s) * 1_000_000
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[ts_col]))
+        if t.num_rows == 0:
+            z0 = pa.array([], pa.int64())
+            return pa.table({"bkt": z0, "n": z0})
+        day = (_ts_us(t[ts_col]) // bucket_us) * bucket_us
+        uniq, cnt = np.unique(day, return_counts=True)
+        return pa.table({"bkt": pa.array(uniq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    tabs = [pa.table(t) for t in ray.get(
+        groupby_sum(ds.select_columns([ts_col]).map_batches(
+            counts, batch_format="pyarrow"), ["bkt"], ["n"]
+        ).to_arrow_refs())
+        if t.num_rows]
+    if not tabs:
+        z0 = pa.array([], pa.int64())
+        return pa.table({"bucket_us": z0, "n_rows": z0, "n_window": z0,
+                         "flagged": z0})
+    folded = pa.concat_tables(tabs)
+    b = np.asarray(folded["bkt"], dtype=np.int64)
+    order = np.argsort(b, kind="stable")
+    b = b[order]
+    n = np.asarray(folded["n"], dtype=np.int64)[order]
+    # trailing-window chart over the (tiny) bucket series — Python ints so
+    # the squared comparison can never overflow
+    nw = np.zeros(len(b), dtype=np.int64)
+    fl = np.zeros(len(b), dtype=np.int64)
+    ints = [int(v) for v in n]
+    for i in range(len(b)):
+        lo = max(0, i - window)
+        w = i - lo
+        nw[i] = w
+        if w >= min_window:
+            s = sum(ints[lo:i])
+            ss = sum(v * v for v in ints[lo:i])
+            lhs = (w * ints[i] - s)
+            if lhs * lhs > z * z * (w * ss - s * s):
+                fl[i] = 1
+    return pa.table({"bucket_us": pa.array(b), "n_rows": pa.array(n),
+                     "n_window": pa.array(nw), "flagged": pa.array(fl)})
+
+
+# --------------------------------------------- functional-dependency check
+
+
+def fd_violations(ds, det_col: str, dep_col: str):
+    """Functional-dependency validation: report every ``det_col`` value
+    that maps to MORE THAN ONE distinct non-null ``dep_col`` value — the
+    contract-level "A determines B" constraint (e.g. an order id must have
+    one status). Null determinants form their own group, SQL-style.
+
+    Scale shape: the exact two-level distinct-pair combiner
+    (``relational.grouped_count_distinct`` — shuffle volume is the distinct
+    (det, dep) pair set, not rows), then a vectorized ``> 1`` filter.
+
+    Output: ``({det_col}, n_distinct_dep)``, violators only.
+    """
+    from raycontract.pipelines.relational import grouped_count_distinct
+
+    counted = grouped_count_distinct(ds.select_columns([det_col, dep_col]),
+                                     det_col, dep_col)
+
+    def viol(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["n_distinct"], 1))
+        return t.rename_columns([det_col, "n_distinct_dep"])
+
+    return counted.map_batches(viol, batch_format="pyarrow")

@@ -529,3 +529,92 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
     return pa.table({group_col: _codes_to_arrow(out_g, gtype),
                      "q": pa.array(out_q),
                      "value_cents": pa.array(val.reshape(-1))})
+
+
+# -------------------------------------------------------------- Tukey IQR
+
+
+def tukey_outlier_counts(ds, group_col: str, value_col: str,
+                         max_broadcast: int = 5_000_000):
+    """Per group: Tukey's boxplot rule — how many rows fall outside
+    ``[q1 − 1.5·IQR, q3 + 1.5·IQR]`` with q1/q3 the EXACT per-group
+    quartiles (``quantile_disc`` semantics over integer cents, from
+    :func:`grouped_quantiles`' simultaneous radix selection).
+
+    The fence comparison is EXACT INTEGER arithmetic — the half-cent of
+    1.5·IQR is removed by doubling both sides:
+    ``v < q1 − 1.5·IQR  ⇔  2v < 2·q1 − 3·(q3 − q1)`` — so the distributed
+    count is bit-identical to the SQL oracle (no float fences). The robust
+    sibling of :func:`zscore_outlier_counts` (mean/σ chase the outliers
+    they're meant to flag; quartile fences don't).
+
+    Two passes: the quartile selection (narrow histogram rounds), then the
+    per-group integer fences broadcast once (``ray.put`` + searchsorted
+    lookup) into a vectorized counting pass. Null values excluded (SQL
+    aggregate semantics).
+
+    Output: ``({group_col}, q1_cents, q3_cents, n_rows, n_outliers)``.
+    """
+    gtype = _field_type(ds, group_col)
+    proj = ds.select_columns([group_col, value_col])
+    qt = grouped_quantiles(proj, group_col, value_col, qs=(0.25, 0.75))
+    if qt.num_rows == 0:
+        z0 = pa.array([], pa.int64())
+        return pa.table({group_col: pa.array([], gtype), "q1_cents": z0,
+                         "q3_cents": z0, "n_rows": z0, "n_outliers": z0})
+    # long (group, q, value) → per-group (q1, q3) on the driver
+    qv = np.asarray(qt["q"], dtype=np.float64)
+    gcol = qt[group_col]
+    gn = np.asarray(pc.is_null(gcol))
+    g = np.where(gn, _NULLG,
+                 np.asarray(pc.fill_null(pc.cast(gcol, pa.int64()), 0)))
+    vals = np.asarray(qt["value_cents"], dtype=np.int64)
+    m1, m3 = qv == 0.25, qv == 0.75
+    g1 = g[m1]
+    o1 = np.argsort(g1, kind="stable")
+    gkeys, q1 = g1[o1], vals[m1][o1]
+    g3 = g[m3]
+    o3 = np.argsort(g3, kind="stable")
+    q3 = vals[m3][o3]
+    assert np.array_equal(gkeys, g3[o3])
+    if len(gkeys) > max_broadcast:
+        raise ValueError(
+            f"{len(gkeys)} groups exceed max_broadcast={max_broadcast}; "
+            "bucketed join needed for the counting pass at this cardinality")
+    iqr3 = 3 * (q3 - q1)
+    lut_ref = ray.put({"keys": gkeys, "lo2": 2 * q1 - iqr3,
+                       "hi2": 2 * q3 + iqr3})
+
+    def count_out(batch: pa.Table, _ref=lut_ref) -> pa.Table:
+        lut = ray.get(_ref)
+        t = batch.filter(pc.is_valid(batch[value_col]))
+        if t.num_rows == 0:
+            z0 = pa.array([], pa.int64())
+            return pa.table({"g": z0, "n": z0, "n_out": z0})
+        v2 = 2 * _cents_np(t[value_col])
+        comp = _group_codes(t[group_col])
+        idx = np.searchsorted(lut["keys"], comp)
+        out = (v2 < lut["lo2"][idx]) | (v2 > lut["hi2"][idx])
+        uniq, inv = np.unique(comp, return_inverse=True)
+        cnt = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(cnt, inv, out.astype(np.int64))
+        return pa.table({"g": pa.array(uniq),
+                         "n": pa.array(np.bincount(inv).astype(np.int64)),
+                         "n_out": pa.array(cnt)})
+
+    counts = pa.concat_tables(
+        [pa.table(t) for t in ray.get(
+            groupby_sum(proj.map_batches(count_out, batch_format="pyarrow"),
+                        ["g"], ["n", "n_out"]).to_arrow_refs())
+         if t.num_rows])
+    cc = np.asarray(counts["g"], dtype=np.int64)
+    co = np.argsort(cc, kind="stable")
+    cc = cc[co]
+    cn = np.asarray(counts["n"], dtype=np.int64)[co]
+    cout = np.asarray(counts["n_out"], dtype=np.int64)[co]
+    pos = np.searchsorted(cc, gkeys)
+    assert np.array_equal(cc[pos], gkeys)
+    return pa.table({group_col: _codes_to_arrow(gkeys, gtype),
+                     "q1_cents": pa.array(q1), "q3_cents": pa.array(q3),
+                     "n_rows": pa.array(cn[pos]),
+                     "n_outliers": pa.array(cout[pos])})

@@ -1,0 +1,143 @@
+"""Behavior tests for the round-5c monitoring/CDC family: latest_snapshot
+(keep-latest full row), control_chart (trailing 3σ volume flag, exact
+integer), fd_violations (functional dependency), tukey_outlier_counts
+(IQR fences). Oracle parity at the gate SF runs via test_entry_parity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _ts(us_list):
+    return pa.array(np.asarray(us_list, dtype="datetime64[us]"))
+
+
+def test_latest_snapshot_picks_max_ts_then_id(ray_session):
+    from raycontract.pipelines.cdc import latest_snapshot
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": _ts([100, 300, 300, 50, 200, 200]),
+        "k": pa.array([7, 7, 7, 8, None, None], pa.int64()),
+        "payload": pa.array(["a", "b", "c", "d", "e", "f"]),
+    })
+    # force multiple blocks so the fold actually merges partials
+    ds = rd.from_arrow(t).repartition(3)
+    out = latest_snapshot(ds, "k", "ts", "id").to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    # k=7: ts tie at 300 → max id wins (3); k=8: only id 4;
+    # null key partition: ts tie at 200 → id 6
+    assert list(out["id"]) == [3, 4, 6]
+    assert list(out["payload"]) == ["c", "d", "f"]
+    assert set(out.columns) == {"id", "ts", "k", "payload"}
+
+
+def test_latest_snapshot_null_ts_ranks_lowest(ray_session):
+    from raycontract.pipelines.cdc import latest_snapshot
+
+    t = pa.table({
+        "id": pa.array([10, 11], pa.int64()),
+        "ts": pa.array([None, 5], pa.timestamp("us")),
+        "k": pa.array([1, 1], pa.int64()),
+    })
+    out = latest_snapshot(rd.from_arrow(t), "k", "ts", "id").to_pandas()
+    assert list(out["id"]) == [11]  # real ts beats null ts
+
+
+def test_latest_snapshot_empty(ray_session):
+    from raycontract.pipelines.cdc import latest_snapshot
+
+    t = pa.table({"id": pa.array([], pa.int64()),
+                  "ts": pa.array([], pa.timestamp("us")),
+                  "k": pa.array([], pa.int64())})
+    out = latest_snapshot(rd.from_arrow(t), "k", "ts", "id").to_pandas()
+    assert len(out) == 0
+
+
+def test_control_chart_flags_planted_spike(ray_session):
+    from raycontract.pipelines.dataprofile import control_chart
+
+    day = 86_400_000_000
+    # 10 steady days of 100 rows, then a 500-row spike on day 10
+    counts = [100] * 10 + [500]
+    ts = np.concatenate([np.full(c, d * day, dtype=np.int64) + np.arange(c)
+                         for d, c in enumerate(counts)])
+    t = pa.table({"ts": ts.astype("datetime64[us]")})
+    out = control_chart(rd.from_arrow(t).repartition(4), "ts",
+                        bucket_s=86400, window=7, z=3).to_pandas()
+    out = out.sort_values("bucket_us").reset_index(drop=True)
+    assert list(out["n_rows"]) == counts
+    # steady days unflagged (zero variance, zero deviation: 0 > 0 false),
+    # spike day flagged (w·x−s = 7·500−700 → lhs² ≫ 0 = 9·var)
+    assert list(out["flagged"]) == [0] * 10 + [1]
+    assert out["n_window"].iloc[0] == 0 and out["n_window"].iloc[10] == 7
+
+
+def test_control_chart_short_history_unflagged(ray_session):
+    from raycontract.pipelines.dataprofile import control_chart
+
+    day = 86_400_000_000
+    ts = np.concatenate([np.full(c, d * day, dtype=np.int64)
+                         for d, c in enumerate([100, 900])])
+    t = pa.table({"ts": ts.astype("datetime64[us]")})
+    out = control_chart(rd.from_arrow(t), "ts").to_pandas()
+    # only 1 trailing day < min_window=3 → never flagged
+    assert list(out["flagged"]) == [0, 0]
+
+
+def test_fd_violations_reports_only_violators(ray_session):
+    from raycontract.pipelines.dataprofile import fd_violations
+
+    t = pa.table({
+        "det": pa.array([1, 1, 2, 2, 3, None, None], pa.int64()),
+        "dep": pa.array(["x", "x", "a", "b", "z", "p", "q"]),
+    })
+    out = fd_violations(rd.from_arrow(t).repartition(3),
+                        "det", "dep").to_pandas()
+    got = {(None if row.isna()["det"] else int(row["det"])):
+           int(row["n_distinct_dep"]) for _, row in out.iterrows()}
+    # det=1 holds (one dep), det=2 violates (2), det=3 holds, null det
+    # group violates (2 deps) — SQL GROUP BY keeps the null group
+    assert got == {2: 2, None: 2}
+
+
+def test_fd_violations_holding_fd_is_empty(ray_session):
+    from raycontract.pipelines.dataprofile import fd_violations
+
+    t = pa.table({"det": pa.array([1, 1, 2], pa.int64()),
+                  "dep": pa.array(["a", "a", "b"])})
+    out = fd_violations(rd.from_arrow(t), "det", "dep").to_pandas()
+    assert len(out) == 0
+
+
+def test_tukey_fences_planted_outliers(ray_session):
+    from raycontract.pipelines.groupstats import tukey_outlier_counts
+
+    # group 1: tight cluster 10.00..10.09 plus outliers 1000.0 and -1000.0;
+    # group 2: uniform spread, no outliers
+    g1v = [10.0 + i / 100 for i in range(10)] + [1000.0, -1000.0]
+    g2v = [float(i) for i in range(20)]
+    t = pa.table({
+        "g": pa.array([1] * len(g1v) + [2] * len(g2v), pa.int64()),
+        "v": pa.array(g1v + g2v, pa.float64()),
+    })
+    out = tukey_outlier_counts(rd.from_arrow(t).repartition(3),
+                               "g", "v").to_pandas()
+    out = out.set_index("g")
+    assert out.loc[1, "n_outliers"] == 2
+    assert out.loc[2, "n_outliers"] == 0
+    assert out.loc[1, "n_rows"] == 12 and out.loc[2, "n_rows"] == 20
+    # exact quantile_disc cents: rank ceil(0.25*12)=3 over sorted
+    # (-1000, 10.00, 10.01, ...) → 10.01 → 1001
+    assert out.loc[1, "q1_cents"] == 1001
+
+
+def test_tukey_null_values_excluded(ray_session):
+    from raycontract.pipelines.groupstats import tukey_outlier_counts
+
+    t = pa.table({"g": pa.array([1, 1, 1, 1], pa.int64()),
+                  "v": pa.array([1.0, 2.0, None, 3.0], pa.float64())})
+    out = tukey_outlier_counts(rd.from_arrow(t), "g", "v").to_pandas()
+    assert out.loc[0, "n_rows"] == 3
