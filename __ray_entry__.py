@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW round 5: grouped HLL, in-query verified vs the exact
         # grouped COUNT DISTINCT twin (raises >5%)
         "grouped_approx_distinct_events": q.grouped_approx_distinct_events,
+        # NEW round 5: pixel-exact cross-format image dedup (binary decode —
+        # non-SQL; planted re-encodings verified in-query, raises on drift)
+        "pixel_dedup_images": q.pixel_dedup_images,
     }
 
 

@@ -3142,3 +3142,55 @@ SELECT q.g AS o_custkey, q.q1 AS q1_cents, q.q3 AS q3_cents,
          AS n_outliers
 FROM c JOIN q USING (g) GROUP BY q.g, q.q1, q.q3
 """
+
+
+def pixel_dedup_images(sf_dir: str) -> pa.Table:
+    """Pixel-exact image dedup ACROSS container formats: decode on the actor
+    pool, hash the canonical pixel buffer, count duplicate rows. The fixture
+    plants 40 re-encodings (same pixels, DIFFERENT format ⇒ different bytes
+    — invisible to byte-level dedup) plus 5 corrupt rows; the query verifies
+    the planted counts exactly and raises on drift, so the emitted row is
+    deterministic (sf_dir sets scale only; corpus self-synthesized).
+    Non-SQL-expressible (binary decode) — rows-only with in-query
+    self-verification."""
+    import pyarrow.parquet as pq
+    import tempfile
+
+    from raycontract.fixtures import make_images_table
+    from raycontract.functions.codecs import decode_image, encode_image
+    from raycontract.pipelines.multimodal import pixel_dedup_stats
+
+    n_base, n_dup, n_bad = 400, 40, 5
+    d = os.path.join(tempfile.gettempdir(), "raycontract_pixdedup_v1")
+    path = os.path.join(d, "images.parquet")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        t = make_images_table(n_base)
+        cols = {c: t[c].to_pylist() for c in t.column_names}
+        alt = {"png": "bmp", "bmp": "ppm", "ppm": "png"}
+        for i in range(n_dup):  # re-encode row i's pixels in another format
+            img = decode_image(cols["bytes"][i], cols["fmt"][i])
+            f2 = alt[cols["fmt"][i]]
+            for c in t.column_names:
+                cols[c].append(cols[c][i])
+            cols["image_id"][-1] = f"img-dup-{i:08d}"
+            cols["fmt"][-1] = f2
+            cols["bytes"][-1] = encode_image(img, f2)
+        for i in range(n_bad):  # truncated payloads: decoded_ok=False
+            for c in t.column_names:
+                cols[c].append(cols[c][n_dup + i])
+            cols["image_id"][-1] = f"img-bad-{i:08d}"
+            cols["bytes"][-1] = cols["bytes"][n_dup + i][:7]
+        pq.write_table(pa.table(
+            {c: pa.array(cols[c], type=t.schema.field(c).type)
+             for c in t.column_names}), path)
+    ds = rd.read_parquet(path)
+    out = pixel_dedup_stats(ds)
+    got = {c: int(out[c][0].as_py()) for c in out.column_names}
+    expected = {"n_rows": n_base + n_dup + n_bad,
+                "n_decoded": n_base + n_dup,
+                "n_distinct_pixels": n_base,
+                "n_dup_rows": n_dup}
+    if got != expected:
+        raise AssertionError(f"pixel dedup drifted: {got} != {expected}")
+    return out

@@ -17,6 +17,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 class ImageFeatures:
@@ -298,3 +299,105 @@ def video_frame_features(ds, id_col="video_id", bytes_col="bytes",
         fn_constructor_args=(id_col, bytes_col, every_n, False, codec_col),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     )
+
+
+class PixelHash:
+    """Actor-pool stage: decode → canonical hash of the RAW PIXEL BUFFER
+    (dims header + RGB bytes). Two images that decode to identical pixels
+    get the same hash even when their container bytes differ (png vs bmp vs
+    ppm re-encodings, compression-level changes) — the duplicates byte-level
+    exact dedup can NEVER see. Decode is inherently per-image Python (the
+    vendored codecs are numpy-per-image); the md5 is noise next to it.
+
+    Emits ``(id, pixel_hash int64, decoded_ok)`` — the hash is the first 8
+    bytes of the md5, plenty below birthday risk at 10^12 rows for
+    GROUPING (verify candidate groups with a full-hash or pixel compare
+    before destructive drops at that scale).
+    """
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt",
+                 id_col: str = "image_id"):
+        import hashlib
+
+        from raycontract.functions import codecs
+
+        self.codecs = codecs
+        self.md5 = hashlib.md5
+        self.bytes_col, self.fmt_col, self.id_col = bytes_col, fmt_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        hashes: list = []
+        ok: list = []
+        for b, f in zip(blobs, fmts):
+            try:
+                img = self.codecs.decode_image(b, f)
+                d = self.md5(np.asarray(img.shape, dtype=np.int64).tobytes()
+                             + np.ascontiguousarray(img).tobytes()).digest()
+                hashes.append(int.from_bytes(d[:8], "big", signed=True))
+                ok.append(True)
+            except Exception:
+                hashes.append(None)
+                ok.append(False)
+        return pa.table({self.id_col: batch[self.id_col],
+                         "pixel_hash": pa.array(hashes, pa.int64()),
+                         "decoded_ok": pa.array(ok, pa.bool_())})
+
+
+def pixel_dedup_stats(ds, bytes_col: str = "bytes", fmt_col: str = "fmt",
+                      id_col: str = "image_id", batch_size: int = 256,
+                      concurrency=(1, 8)):
+    """Pixel-exact image dedup summary: decode on the actor pool, hash the
+    canonical pixel buffer, keep-min-id per hash. Returns
+    ``(n_rows, n_decoded, n_distinct_pixels, n_dup_rows)`` — one row.
+
+    Scale shape: after the decode stage only slim ``(hash, min_id, count)``
+    partials move (one row per distinct hash per block — the adaptive
+    ``smallagg`` fold; distributed groupby beyond 2M partials). Undecodable
+    rows are excluded from the dedup universe and counted separately.
+    """
+    from raycontract.pipelines.smallagg import groupby_agg
+
+    hashed = ds.select_columns([id_col, bytes_col, fmt_col]).map_batches(
+        PixelHash, fn_constructor_args=(bytes_col, fmt_col, id_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["pixel_hash"]))
+        n_bad = batch.num_rows - t.num_rows
+        h = np.asarray(t["pixel_hash"])
+        uniq, inv = (np.unique(h, return_inverse=True) if len(h)
+                     else (np.empty(0, np.int64), np.empty(0, np.int64)))
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        # ride the undecodable count along as a sentinel-hash row so ONE
+        # fold carries both (no second pass over the decode output)
+        if n_bad:
+            uniq = np.r_[uniq, np.int64(-(2 ** 63))]
+            cnt = np.r_[cnt, np.int64(n_bad)]
+        return pa.table({"h": pa.array(uniq), "n": pa.array(cnt)})
+
+    import ray as _ray
+
+    tabs = [pa.table(t) for t in _ray.get(
+        groupby_agg(hashed.map_batches(partial, batch_format="pyarrow"),
+                    ["h"], {"n": "sum"}).to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        z = pa.array([0], pa.int64())
+        return pa.table({"n_rows": z, "n_decoded": z,
+                         "n_distinct_pixels": z, "n_dup_rows": z})
+    folded = pa.concat_tables(tabs)
+    h = np.asarray(folded["h"], dtype=np.int64)
+    n = np.asarray(folded["n"], dtype=np.int64)
+    bad_mask = h == np.int64(-(2 ** 63))
+    n_bad = int(n[bad_mask].sum())
+    n = n[~bad_mask]
+    n_decoded = int(n.sum())
+    n_distinct = int(len(n))
+    return pa.table({
+        "n_rows": pa.array([n_decoded + n_bad], pa.int64()),
+        "n_decoded": pa.array([n_decoded], pa.int64()),
+        "n_distinct_pixels": pa.array([n_distinct], pa.int64()),
+        "n_dup_rows": pa.array([n_decoded - n_distinct], pa.int64()),
+    })

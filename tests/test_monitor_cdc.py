@@ -141,3 +141,27 @@ def test_tukey_null_values_excluded(ray_session):
                   "v": pa.array([1.0, 2.0, None, 3.0], pa.float64())})
     out = tukey_outlier_counts(rd.from_arrow(t), "g", "v").to_pandas()
     assert out.loc[0, "n_rows"] == 3
+
+
+def test_pixel_dedup_cross_format(ray_session):
+    """Same pixels encoded png AND bmp → one distinct pixel hash, two rows;
+    corrupt payload excluded from the dedup universe."""
+    from raycontract.functions.codecs import encode_image
+    from raycontract.pipelines.multimodal import pixel_dedup_stats
+
+    rng = np.random.default_rng(7)
+    img1 = rng.integers(0, 256, (9, 11, 3)).astype(np.uint8)
+    img2 = rng.integers(0, 256, (5, 5, 3)).astype(np.uint8)
+    t = pa.table({
+        "image_id": pa.array(["a", "b", "c", "d"]),
+        "bytes": pa.array([encode_image(img1, "png"),
+                           encode_image(img1, "bmp"),  # pixel-dup of a
+                           encode_image(img2, "ppm"),
+                           b"junk"], pa.binary()),
+        "fmt": pa.array(["png", "bmp", "ppm", "png"]),
+    })
+    out = pixel_dedup_stats(rd.from_arrow(t).repartition(2),
+                            concurrency=(1, 2)).to_pandas()
+    r = out.iloc[0]
+    assert (r["n_rows"], r["n_decoded"], r["n_distinct_pixels"],
+            r["n_dup_rows"]) == (4, 3, 2, 1)
