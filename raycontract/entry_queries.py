@@ -3194,3 +3194,39 @@ def pixel_dedup_images(sf_dir: str) -> pa.Table:
     if got != expected:
         raise AssertionError(f"pixel dedup drifted: {got} != {expected}")
     return out
+
+
+def trend_slope_events(sf_dir: str) -> pa.Table:
+    """Per-event-type least-squares value trend (drift monitor): integer
+    moment partials (x = whole seconds since the global min ts, y = cents)
+    + one adaptive fold; slope computed in float64 with the oracle's exact
+    expression order and emitted as cents/day × 1e6."""
+    from raycontract.pipelines.dataprofile import trend_slope_by_group
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return trend_slope_by_group(ev, "event_type", "ts", "value")
+
+
+def trend_slope_events_sql() -> str:
+    return """
+WITH c AS (
+  SELECT event_type AS g,
+         epoch_us(ts) // 1000000
+           - (SELECT epoch_us(min(ts)) // 1000000 FROM events
+              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                AND value IS NOT NULL) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+m AS (
+  SELECT g, CAST(count(*) AS DOUBLE) n, CAST(sum(x) AS DOUBLE) sx,
+         CAST(sum(y) AS DOUBLE) sy, CAST(sum(x*x) AS DOUBLE) sxx,
+         CAST(sum(x*y) AS DOUBLE) sxy
+  FROM c GROUP BY g)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n_rows,
+       CAST(round(CASE WHEN n*sxx - sx*sx > 0
+                       THEN (n*sxy - sx*sy) / (n*sxx - sx*sx)
+                            * 86400.0 * 1e6
+                       ELSE 0.0 END) AS BIGINT) AS slope_day_micro
+FROM m
+"""

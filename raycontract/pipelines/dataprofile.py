@@ -393,3 +393,94 @@ def fd_violations(ds, det_col: str, dep_col: str):
         return t.rename_columns([det_col, "n_distinct_dep"])
 
     return counted.map_batches(viol, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- trend slope
+
+
+def trend_slope_by_group(ds, group_col: str, ts_col: str, value_col: str,
+                         y_scale: float = 100.0):
+    """Per-group least-squares TREND of ``value_col`` over time — the drift
+    monitor that complements :func:`control_chart` (level shifts) with
+    slope ("this metric is creeping"). Slope is computed from INTEGER
+    moment partials (n, Σx, Σy, Σx², Σxy with x = whole seconds since the
+    global minimum timestamp, y = scaled ints — exact, order-independent;
+    Σxy fits int64 for span_s × |y| × rows/group ≲ 9e18, widen partials
+    beyond) in float64 with the SAME expression order as the SQL oracle,
+    emitted as ``slope_day_micro`` (slope in y-units/day × 1e6, int64;
+    0 when the group has a single distinct timestamp).
+
+    Three shuffle-free passes: a global min-ts fold (one int per block),
+    grouped moment partials + one adaptive fold, driver math per group.
+    Rows with null group/ts/value are excluded (and in the oracle).
+
+    Output: ``({group_col}, n_rows, slope_day_micro)``.
+    """
+    def _valid(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.and_kleene(
+            pc.and_kleene(pc.is_valid(batch[group_col]),
+                          pc.is_valid(batch[ts_col])),
+            pc.is_valid(batch[value_col])))
+
+    proj = ds.select_columns([group_col, ts_col, value_col]).materialize()
+
+    def min_ts(batch: pa.Table) -> pa.Table:
+        t = _valid(batch)
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64())})
+        return pa.table({"k": pa.array([1], pa.int64()),
+                         "m": pa.array([int(_ts_us(t[ts_col]).min())],
+                                       pa.int64())})
+
+    mins = [pa.table(t) for t in ray.get(
+        groupby_agg(proj.map_batches(min_ts, batch_format="pyarrow"),
+                    ["k"], {"m": "min"}).to_arrow_refs()) if t.num_rows]
+    if not mins:
+        z = pa.array([], pa.int64())
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n_rows": z, "slope_day_micro": z})
+    anchor_s = int(pa.concat_tables(mins)["m"][0].as_py()) // 1_000_000
+
+    def moments(batch: pa.Table) -> pa.Table:
+        t = _valid(batch)
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"g": pa.array([], pa.string()), "n": z,
+                             "sx": z, "sy": z, "sxx": z, "sxy": z})
+        x = _ts_us(t[ts_col]) // 1_000_000 - anchor_s
+        y = _round_half_away(
+            np.asarray(pc.cast(t[value_col], pa.float64())) * y_scale)
+        g = np.asarray(t[group_col].cast(pa.string()))
+        uniq, inv = np.unique(g, return_inverse=True)
+        k = len(uniq)
+        n = np.bincount(inv, minlength=k).astype(np.int64)
+        sx = np.zeros(k, np.int64); np.add.at(sx, inv, x)
+        sy = np.zeros(k, np.int64); np.add.at(sy, inv, y)
+        sxx = np.zeros(k, np.int64); np.add.at(sxx, inv, x * x)
+        sxy = np.zeros(k, np.int64); np.add.at(sxy, inv, x * y)
+        return pa.table({"g": pa.array(uniq), "n": pa.array(n),
+                         "sx": pa.array(sx), "sy": pa.array(sy),
+                         "sxx": pa.array(sxx), "sxy": pa.array(sxy)})
+
+    folded = pa.concat_tables(
+        [pa.table(t) for t in ray.get(
+            groupby_sum(proj.map_batches(moments, batch_format="pyarrow"),
+                        ["g"], ["n", "sx", "sy", "sxx", "sxy"]
+                        ).to_arrow_refs())
+         if t.num_rows])
+    g = np.asarray(folded["g"])
+    order = np.argsort(g, kind="stable")
+    g = g[order]
+    n = np.asarray(folded["n"], dtype=np.float64)[order]
+    sx = np.asarray(folded["sx"], dtype=np.float64)[order]
+    sy = np.asarray(folded["sy"], dtype=np.float64)[order]
+    sxx = np.asarray(folded["sxx"], dtype=np.float64)[order]
+    sxy = np.asarray(folded["sxy"], dtype=np.float64)[order]
+    denom = n * sxx - sx * sx
+    slope = np.where(denom > 0, (n * sxy - sx * sy)
+                     / np.where(denom > 0, denom, 1.0), 0.0)
+    return pa.table({group_col: pa.array(g),
+                     "n_rows": pa.array(n.astype(np.int64)),
+                     "slope_day_micro": pa.array(_round_half_away(
+                         slope * 86400.0 * 1e6))})

@@ -165,3 +165,28 @@ def test_pixel_dedup_cross_format(ray_session):
     r = out.iloc[0]
     assert (r["n_rows"], r["n_decoded"], r["n_distinct_pixels"],
             r["n_dup_rows"]) == (4, 3, 2, 1)
+
+
+def test_trend_slope_planted_line(ray_session):
+    """Exact line y = 3 + 2x (cents over seconds) → slope 2 cents/s =
+    2·86400·1e6 micro/day; a single-timestamp group reports 0."""
+    from raycontract.pipelines.dataprofile import trend_slope_by_group
+
+    xs = np.arange(50, dtype=np.int64)
+    ts_a = (1_700_000_000_000_000 + xs * 1_000_000)
+    val_a = (3 + 2 * xs) / 100.0  # cents → value units
+    t = pa.table({
+        "g": pa.array(["a"] * 50 + ["b"] * 3 + [None, "a"]),
+        "ts": np.concatenate([ts_a,
+                              np.full(3, 1_700_000_000_000_000, np.int64),
+                              [1_700_000_000_000_000] * 2]
+                             ).astype("datetime64[us]"),
+        "v": pa.array(list(val_a) + [1.0, 2.0, 3.0] + [4.0, None],
+                      pa.float64()),
+    })
+    out = trend_slope_by_group(rd.from_arrow(t).repartition(4),
+                               "g", "ts", "v").to_pandas().set_index("g")
+    assert out.loc["a", "slope_day_micro"] == 2 * 86400 * 1_000_000
+    assert out.loc["a", "n_rows"] == 50  # null value row excluded
+    assert out.loc["b", "slope_day_micro"] == 0  # zero x-variance
+    assert "None" not in out.index and None not in out.index
