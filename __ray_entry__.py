@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_violations_orders": q.fd_violations_orders,
         "tukey_outliers_orders": q.tukey_outliers_orders,
         "trend_slope_events": q.trend_slope_events,
+        "entropy_lang_by_source": q.entropy_lang_by_source,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_violations_orders": q.fd_violations_orders_sql(),
         "tukey_outliers_orders": q.tukey_outliers_orders_sql(),
         "trend_slope_events": q.trend_slope_events_sql(),
+        "entropy_lang_by_source": q.entropy_lang_by_source_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

@@ -165,6 +165,10 @@ servers:
         ("chunk_dedup_documents", lambda d: q.chunk_dedup_documents(d).to_pandas()),
         ("ngram_contamination_documents",
          lambda d: q.ngram_contamination_documents(d).to_pandas()),
+        # round-5c representative: CDC keep-latest (arg-max partials →
+        # grouped binary-max fold → broadcast winning-id keep pass)
+        ("latest_snapshot_events",
+         lambda d: q.latest_snapshot_events(d).to_pandas()),
     ]
     for name, fn in secondary:
         t0 = time.time()

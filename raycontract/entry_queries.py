@@ -3230,3 +3230,29 @@ SELECT g AS event_type, CAST(n AS BIGINT) AS n_rows,
                        ELSE 0.0 END) AS BIGINT) AS slope_day_micro
 FROM m
 """
+
+
+def entropy_lang_by_source(sf_dir: str) -> pa.Table:
+    """Per-source Shannon entropy of the language mix (nats × 1e6) — the
+    categorical diversity monitor: exact (source, lang, count) partials +
+    one fold; entropy in the oracle's exact expression order."""
+    from raycontract.pipelines.dataprofile import entropy_by_group
+
+    d = _read(sf_dir, "documents", ["source", "lang"])
+    return entropy_by_group(d, "source", "lang")
+
+
+def entropy_lang_by_source_sql() -> str:
+    return """
+WITH c AS (SELECT source AS g, lang AS v, CAST(count(*) AS BIGINT) AS n
+           FROM documents
+           WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+m AS (SELECT g, CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS s
+      FROM c GROUP BY g)
+SELECT g AS source, n_rows, n_distinct,
+       CAST(round((ln(CAST(n_rows AS DOUBLE)) - s / CAST(n_rows AS DOUBLE))
+                  * 1e6) AS BIGINT) AS entropy_micro
+FROM m
+"""

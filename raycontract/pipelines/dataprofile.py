@@ -484,3 +484,59 @@ def trend_slope_by_group(ds, group_col: str, ts_col: str, value_col: str,
                      "n_rows": pa.array(n.astype(np.int64)),
                      "slope_day_micro": pa.array(_round_half_away(
                          slope * 86400.0 * 1e6))})
+
+
+# ---------------------------------------------------------------- entropy
+
+
+def entropy_by_group(ds, group_col: str, value_col: str):
+    """Per-group Shannon entropy of a categorical column (natural log) —
+    the diversity monitor ("did this source collapse to one language?").
+    Exact counts travel; entropy is driver math in the SQL oracle's exact
+    expression order, ``ln(N) − Σ n·ln(n) / N``, emitted as
+    ``entropy_micro`` (int64, nats × 1e6).
+
+    Distributed work: ONE pass of (group, value, count) partials + one
+    adaptive fold (shuffle volume = distinct pairs); null group or value
+    rows are excluded (and in the oracle).
+
+    Output: ``({group_col}, n_rows, n_distinct, entropy_micro)``.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"g": batch[group_col].cast(pa.string()),
+                      "v": batch[value_col].cast(pa.string())})
+        t = t.filter(pc.and_kleene(pc.is_valid(t["g"]), pc.is_valid(t["v"])))
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "v": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = t.append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
+        return t.group_by(["g", "v"]).aggregate([("n", "sum")]
+                                                ).rename_columns(["g", "v", "n"])
+
+    folded = pa.concat_tables(
+        [pa.table(t) for t in ray.get(
+            groupby_sum(ds.select_columns([group_col, value_col]).map_batches(
+                partial, batch_format="pyarrow"), ["g", "v"], ["n"]
+            ).to_arrow_refs())
+         if t.num_rows])
+    if folded.num_rows == 0:
+        z = pa.array([], pa.int64())
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n_rows": z, "n_distinct": z, "entropy_micro": z})
+    g = np.asarray(folded["g"])
+    n = np.asarray(folded["n"], dtype=np.int64)
+    groups, gi = np.unique(g, return_inverse=True)
+    k = len(groups)
+    tot = np.zeros(k, np.int64)
+    np.add.at(tot, gi, n)
+    nd = np.bincount(gi, minlength=k).astype(np.int64)
+    # Σ n·ln(n) per group, then H = ln(N) − Σ/N — same order as the oracle
+    nlogn = n.astype(np.float64) * np.log(n.astype(np.float64))
+    s = np.zeros(k, np.float64)
+    np.add.at(s, gi, nlogn)
+    ent = np.log(tot.astype(np.float64)) - s / tot.astype(np.float64)
+    return pa.table({group_col: pa.array(groups.tolist(), pa.string()),
+                     "n_rows": pa.array(tot),
+                     "n_distinct": pa.array(nd),
+                     "entropy_micro": pa.array(_round_half_away(ent * 1e6))})

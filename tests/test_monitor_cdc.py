@@ -190,3 +190,21 @@ def test_trend_slope_planted_line(ray_session):
     assert out.loc["a", "n_rows"] == 50  # null value row excluded
     assert out.loc["b", "slope_day_micro"] == 0  # zero x-variance
     assert "None" not in out.index and None not in out.index
+
+
+def test_entropy_by_group_uniform_and_collapsed(ray_session):
+    from raycontract.pipelines.dataprofile import entropy_by_group
+
+    t = pa.table({
+        "g": pa.array(["u"] * 8 + ["c"] * 5 + [None, "u"]),
+        "v": pa.array(["a", "b", "c", "d"] * 2  # uniform over 4
+                      + ["only"] * 5            # collapsed
+                      + ["x", None]),
+    })
+    out = entropy_by_group(rd.from_arrow(t).repartition(3),
+                           "g", "v").to_pandas().set_index("g")
+    assert out.loc["u", "entropy_micro"] == round(np.log(4) * 1e6)
+    assert out.loc["u", "n_rows"] == 8  # null value row excluded
+    assert out.loc["c", "entropy_micro"] == 0
+    assert out.loc["c", "n_distinct"] == 1
+    assert len(out) == 2  # null group excluded
