@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tukey_outliers_orders": q.tukey_outliers_orders,
         "trend_slope_events": q.trend_slope_events,
         "entropy_lang_by_source": q.entropy_lang_by_source,
+        "orphan_rate_daily_events": q.orphan_rate_daily_events,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -285,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         "tukey_outliers_orders": q.tukey_outliers_orders_sql(),
         "trend_slope_events": q.trend_slope_events_sql(),
         "entropy_lang_by_source": q.entropy_lang_by_source_sql(),
+        "orphan_rate_daily_events": q.orphan_rate_daily_events_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

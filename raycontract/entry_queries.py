@@ -3256,3 +3256,26 @@ SELECT g AS source, n_rows, n_distinct,
                   * 1e6) AS BIGINT) AS entropy_micro
 FROM m
 """
+
+
+def orphan_rate_daily_events(sf_dir: str) -> pa.Table:
+    """Referential-integrity trend: per day, events whose user never placed
+    an order (NOT-EXISTS vs orders.o_custkey; null user = orphan) — distinct
+    reference keys reduce per block, broadcast once, one zero-shuffle
+    counting pass."""
+    from raycontract.pipelines.dataprofile import orphan_rate_daily
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return orphan_rate_daily(ev, orders, "user_id", "o_custkey", "ts")
+
+
+def orphan_rate_daily_events_sql() -> str:
+    return """
+SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = e.user_id))
+         AS BIGINT) AS n_orphan
+FROM events e WHERE ts IS NOT NULL GROUP BY 1
+"""

@@ -540,3 +540,82 @@ def entropy_by_group(ds, group_col: str, value_col: str):
                      "n_rows": pa.array(tot),
                      "n_distinct": pa.array(nd),
                      "entropy_micro": pa.array(_round_half_away(ent * 1e6))})
+
+
+# ------------------------------------------------------ referential trend
+
+
+def orphan_rate_daily(ds, ref_ds, key_col: str, ref_key_col: str,
+                      ts_col: str, bucket_s: int = 86400,
+                      max_broadcast: int = 2_000_000):
+    """Referential-integrity TREND: per time bucket, how many rows carry a
+    ``key_col`` with no match in the reference table (NOT-EXISTS semantics
+    — null keys count as orphans) — "did the producer start emitting
+    dangling ids on Tuesday?". The north-star's per-partition violation
+    metric as a time series.
+
+    Scale shape: the reference's distinct keys reduce per block and
+    broadcast ONCE (``ray.put`` sorted int64; raises loudly beyond
+    ``max_broadcast`` — switch to the bucketed key exchange of
+    ``pipelines/joins.py`` at that cardinality), then ONE zero-shuffle
+    counting pass emits per-bucket (n_rows, n_orphan) partials + one fold.
+
+    Output: ``(bucket_us, n_rows, n_orphan)``.
+    """
+    bucket_us = np.int64(bucket_s) * 1_000_000
+
+    def keys_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[ref_key_col]))
+        u = np.unique(np.asarray(t[ref_key_col].cast(pa.int64())))
+        return pa.table({"k": pa.array(u), "one": pa.array(
+            np.ones(len(u), np.int64))})
+
+    ktabs = [pa.table(t) for t in ray.get(
+        groupby_sum(ref_ds.select_columns([ref_key_col]).map_batches(
+            keys_partial, batch_format="pyarrow"), ["k"], ["one"]
+        ).to_arrow_refs()) if t.num_rows]
+    keys = (np.sort(np.asarray(pa.concat_tables(ktabs)["k"], dtype=np.int64))
+            if ktabs else np.empty(0, np.int64))
+    if len(keys) > max_broadcast:
+        raise ValueError(
+            f"{len(keys)} reference keys exceed max_broadcast="
+            f"{max_broadcast}; use the bucketed key exchange "
+            "(pipelines.joins) at this cardinality")
+    keys_ref = ray.put(keys)
+
+    def counts(batch: pa.Table, _ref=keys_ref) -> pa.Table:
+        k = ray.get(_ref)
+        t = batch.filter(pc.is_valid(batch[ts_col]))
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"bkt": z, "n": z, "n_orphan": z})
+        day = (_ts_us(t[ts_col]) // bucket_us) * bucket_us
+        isnull = np.asarray(pc.is_null(t[key_col]))
+        v = np.asarray(pc.fill_null(pc.cast(t[key_col], pa.int64()), 0))
+        if len(k):
+            pos = np.minimum(np.searchsorted(k, v), len(k) - 1)
+            orphan = isnull | (k[pos] != v)
+        else:
+            orphan = np.ones(t.num_rows, bool)
+        uniq, inv = np.unique(day, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        no = np.zeros(len(uniq), np.int64)
+        np.add.at(no, inv, orphan.astype(np.int64))
+        return pa.table({"bkt": pa.array(uniq), "n": pa.array(n),
+                         "n_orphan": pa.array(no)})
+
+    tabs = [pa.table(t) for t in ray.get(
+        groupby_sum(ds.select_columns([key_col, ts_col]).map_batches(
+            counts, batch_format="pyarrow"), ["bkt"], ["n", "n_orphan"]
+        ).to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        z = pa.array([], pa.int64())
+        return pa.table({"bucket_us": z, "n_rows": z, "n_orphan": z})
+    folded = pa.concat_tables(tabs)
+    b = np.asarray(folded["bkt"], dtype=np.int64)
+    order = np.argsort(b, kind="stable")
+    return pa.table({"bucket_us": pa.array(b[order]),
+                     "n_rows": pa.array(
+                         np.asarray(folded["n"], np.int64)[order]),
+                     "n_orphan": pa.array(
+                         np.asarray(folded["n_orphan"], np.int64)[order])})

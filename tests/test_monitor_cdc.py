@@ -208,3 +208,34 @@ def test_entropy_by_group_uniform_and_collapsed(ray_session):
     assert out.loc["c", "entropy_micro"] == 0
     assert out.loc["c", "n_distinct"] == 1
     assert len(out) == 2  # null group excluded
+
+
+def test_orphan_rate_daily_planted(ray_session):
+    from raycontract.pipelines.dataprofile import orphan_rate_daily
+
+    day = 86_400_000_000
+    ev = pa.table({
+        "k": pa.array([1, 2, 99, None, 1, 77], pa.int64()),
+        "ts": np.array([0, 0, 0, day, day, day],
+                       np.int64).astype("datetime64[us]"),
+    })
+    ref = pa.table({"rk": pa.array([1, 2, 3, 2, None], pa.int64())})
+    out = orphan_rate_daily(rd.from_arrow(ev).repartition(3),
+                            rd.from_arrow(ref).repartition(2),
+                            "k", "rk", "ts").to_pandas()
+    out = out.sort_values("bucket_us").reset_index(drop=True)
+    # day 0: keys 1,2,99 → one orphan (99); day 1: None,1,77 → two
+    # (null key is NOT-EXISTS-orphan, 77 unmatched)
+    assert list(out["n_rows"]) == [3, 3]
+    assert list(out["n_orphan"]) == [1, 2]
+
+
+def test_orphan_rate_empty_reference(ray_session):
+    from raycontract.pipelines.dataprofile import orphan_rate_daily
+
+    ev = pa.table({"k": pa.array([5], pa.int64()),
+                   "ts": np.array([0], np.int64).astype("datetime64[us]")})
+    ref = pa.table({"rk": pa.array([], pa.int64())})
+    out = orphan_rate_daily(rd.from_arrow(ev), rd.from_arrow(ref),
+                            "k", "rk", "ts").to_pandas()
+    assert list(out["n_orphan"]) == [1]
