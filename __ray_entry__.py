@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_slope_events": q.trend_slope_events,
         "entropy_lang_by_source": q.entropy_lang_by_source,
         "orphan_rate_daily_events": q.orphan_rate_daily_events,
+        "snapshot_diff_orders": q.snapshot_diff_orders,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -287,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_slope_events": q.trend_slope_events_sql(),
         "entropy_lang_by_source": q.entropy_lang_by_source_sql(),
         "orphan_rate_daily_events": q.orphan_rate_daily_events_sql(),
+        "snapshot_diff_orders": q.snapshot_diff_orders_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

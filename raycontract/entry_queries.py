@@ -3279,3 +3279,56 @@ SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
          AS BIGINT) AS n_orphan
 FROM events e WHERE ts IS NOT NULL GROUP BY 1
 """
+
+
+def snapshot_diff_orders(sf_dir: str) -> pa.Table:
+    """CDC data-level diff: orders vs a deterministic synthetic snapshot B
+    (rows with o_orderkey % 53 == 0 dropped; o_totalprice bumped +1.0 where
+    o_orderkey % 97 == 0). Slim (key, count, content-hash) partials per
+    side + one adaptive fold; row hashing runs the SAME DuckDB expression
+    as the oracle, so classification agrees by construction."""
+    from raycontract.pipelines.cdc import snapshot_diff_counts
+
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    a = _read(sf_dir, "orders", ["o_orderkey"] + cols)
+
+    def make_b(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+        import pyarrow.compute as _pc
+        k = _np.asarray(batch["o_orderkey"])
+        t = batch.filter(pa.array(k % 53 != 0))
+        k2 = _np.asarray(t["o_orderkey"])
+        v = _np.asarray(_pc.cast(t["o_totalprice"], pa.float64()))
+        v2 = _np.where(k2 % 97 == 0, v + 1.0, v)
+        return t.set_column(t.schema.get_field_index("o_totalprice"),
+                            "o_totalprice", pa.array(v2))
+
+    b = _read(sf_dir, "orders", ["o_orderkey"] + cols).map_batches(
+        make_b, batch_format="pyarrow")
+    return snapshot_diff_counts(a, b, "o_orderkey", cols)
+
+
+def snapshot_diff_orders_sql() -> str:
+    from raycontract.pipelines.cdc import row_hash_sql
+
+    h = row_hash_sql(["o_custkey", "o_orderstatus", "o_totalprice"])
+    return f"""
+WITH a AS (SELECT o_orderkey AS k, {h} AS h FROM orders),
+b AS (SELECT o_orderkey AS k,
+             {h.replace('CAST(o_totalprice AS VARCHAR)',
+                        "CAST(CASE WHEN o_orderkey % 97 = 0 "
+                        "THEN o_totalprice + 1.0 ELSE o_totalprice END "
+                        "AS VARCHAR)")} AS h
+      FROM orders WHERE o_orderkey % 53 <> 0),
+j AS (SELECT a.k AS ka, b.k AS kb, a.h AS ha, b.h AS hb
+      FROM a FULL JOIN b ON a.k = b.k)
+SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+       CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+       CAST(count(*) FILTER (WHERE ka IS NULL) AS BIGINT) AS n_added,
+       CAST(count(*) FILTER (WHERE kb IS NULL) AS BIGINT) AS n_removed,
+       CAST(count(*) FILTER (WHERE ka IS NOT NULL AND kb IS NOT NULL
+                              AND ha <> hb) AS BIGINT) AS n_changed,
+       CAST(count(*) FILTER (WHERE ka IS NOT NULL AND kb IS NOT NULL
+                              AND ha = hb) AS BIGINT) AS n_unchanged
+FROM j
+"""

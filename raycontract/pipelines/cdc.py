@@ -100,3 +100,87 @@ def latest_snapshot(ds, key_col: str, ts_col: str, tiebreak_col: str,
         return batch.filter(pa.array(win[pos_c] == tb))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _row_hash_u32(batch: pa.Table, cols: list[str]) -> np.ndarray:
+    """Per-row content hash, evaluated in EMBEDDED DuckDB with the exact
+    expression :func:`row_hash_sql` emits — so a distributed diff agrees
+    with its SQL oracle by construction (the ``functions/strhash.py``
+    pattern). NULLs map to chr(1), fields join on chr(31)."""
+    from raycontract.functions.strhash import _connection
+
+    tbl = batch.select(cols)  # noqa: F841 — duckdb reads it by name
+    expr = ", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(1))" for c in cols)
+    out = _connection().execute(
+        f"SELECT md5_number_lower(concat_ws(chr(31), {expr})) % {1 << 32} "
+        f"AS h FROM tbl").arrow()["h"]
+    out = out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+    return np.asarray(out.cast(pa.int64()))
+
+
+def row_hash_sql(cols: list[str]) -> str:
+    """The DuckDB expression reproducing :func:`_row_hash_u32`."""
+    expr = ", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(1))" for c in cols)
+    return f"(md5_number_lower(concat_ws(chr(31), {expr})) % {1 << 32})"
+
+
+def snapshot_diff_counts(ds_a, ds_b, key_col: str, cols: list[str]):
+    """Data-level diff between two snapshots of a keyed table — the CDC
+    audit that complements the repo's SPEC diff (``breaking.py``): how many
+    rows were added / removed / changed / unchanged between version A and
+    version B. Keys must be unique per side (primary keys); "changed"
+    compares the DuckDB-reproducible content hash of ``cols``.
+
+    Scale shape: each side emits ONE slim ``(key, n_side, h_side)`` row per
+    key per block (hashing runs vectorized in embedded DuckDB per batch);
+    one adaptive grouped fold joins the sides by key (driver polars ≤2M
+    keys, Ray's hierarchical shuffle beyond) and the classification is a
+    vectorized pass over the folded key table.
+
+    Output: one row ``(n_a, n_b, n_added, n_removed, n_changed,
+    n_unchanged)``.
+    """
+    def side(tag_a: bool):
+        def partial(batch: pa.Table) -> pa.Table:
+            k = np.asarray(pc.cast(batch[key_col], pa.int64()))
+            h = _row_hash_u32(batch, cols)
+            z = np.zeros(len(k), np.int64)
+            one = np.ones(len(k), np.int64)
+            return pa.table({"k": pa.array(k),
+                             "na": pa.array(one if tag_a else z),
+                             "nb": pa.array(z if tag_a else one),
+                             "ha": pa.array(h if tag_a else z),
+                             "hb": pa.array(z if tag_a else h)})
+        return partial
+
+    proj_cols = [key_col] + [c for c in cols if c != key_col]
+    pa_ds = ds_a.select_columns(proj_cols).map_batches(
+        side(True), batch_format="pyarrow")
+    pb_ds = ds_b.select_columns(proj_cols).map_batches(
+        side(False), batch_format="pyarrow")
+    folded_ds = groupby_agg(pa_ds.union(pb_ds), ["k"],
+                            {"na": "sum", "nb": "sum",
+                             "ha": "max", "hb": "max"})
+    tabs = [pa.table(t) for t in ray.get(folded_ds.to_arrow_refs())
+            if t.num_rows]
+    if not tabs:
+        z = pa.array([0], pa.int64())
+        return pa.table({"n_a": z, "n_b": z, "n_added": z, "n_removed": z,
+                         "n_changed": z, "n_unchanged": z})
+    f = pa.concat_tables(tabs)
+    na = np.asarray(f["na"], np.int64)
+    nb = np.asarray(f["nb"], np.int64)
+    ha = np.asarray(f["ha"], np.int64)
+    hb = np.asarray(f["hb"], np.int64)
+    if (na > 1).any() or (nb > 1).any():
+        raise ValueError(f"{key_col} is not unique within a snapshot; "
+                         "snapshot_diff_counts requires per-side pk keys")
+    both = (na > 0) & (nb > 0)
+    return pa.table({
+        "n_a": pa.array([int(na.sum())], pa.int64()),
+        "n_b": pa.array([int(nb.sum())], pa.int64()),
+        "n_added": pa.array([int(((na == 0) & (nb > 0)).sum())], pa.int64()),
+        "n_removed": pa.array([int(((na > 0) & (nb == 0)).sum())], pa.int64()),
+        "n_changed": pa.array([int((both & (ha != hb)).sum())], pa.int64()),
+        "n_unchanged": pa.array([int((both & (ha == hb)).sum())], pa.int64()),
+    })

@@ -239,3 +239,32 @@ def test_orphan_rate_empty_reference(ray_session):
     out = orphan_rate_daily(rd.from_arrow(ev), rd.from_arrow(ref),
                             "k", "rk", "ts").to_pandas()
     assert list(out["n_orphan"]) == [1]
+
+
+def test_snapshot_diff_all_classes(ray_session):
+    from raycontract.pipelines.cdc import snapshot_diff_counts
+
+    a = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "v": pa.array(["x", "y", None, "w"]),
+                  "m": pa.array([1.5, 2.5, 3.5, 4.5], pa.float64())})
+    # k=1 unchanged, k=2 changed (v), k=3 unchanged (null v both sides),
+    # k=4 removed, k=5 added
+    b = pa.table({"k": pa.array([1, 2, 3, 5], pa.int64()),
+                  "v": pa.array(["x", "Y", None, "new"]),
+                  "m": pa.array([1.5, 2.5, 3.5, 5.5], pa.float64())})
+    out = snapshot_diff_counts(rd.from_arrow(a).repartition(2),
+                               rd.from_arrow(b).repartition(3),
+                               "k", ["v", "m"]).to_pandas().iloc[0]
+    assert (out["n_a"], out["n_b"]) == (4, 4)
+    assert (out["n_added"], out["n_removed"]) == (1, 1)
+    assert (out["n_changed"], out["n_unchanged"]) == (1, 2)
+
+
+def test_snapshot_diff_rejects_duplicate_keys(ray_session):
+    from raycontract.pipelines.cdc import snapshot_diff_counts
+
+    a = pa.table({"k": pa.array([1, 1], pa.int64()),
+                  "v": pa.array(["x", "y"])})
+    b = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array(["x"])})
+    with pytest.raises(ValueError, match="not unique"):
+        snapshot_diff_counts(rd.from_arrow(a), rd.from_arrow(b), "k", ["v"])
