@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_lang_by_source": q.entropy_lang_by_source,
         "orphan_rate_daily_events": q.orphan_rate_daily_events,
         "snapshot_diff_orders": q.snapshot_diff_orders,
+        "mad_outliers_orders": q.mad_outliers_orders,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -289,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "entropy_lang_by_source": q.entropy_lang_by_source_sql(),
         "orphan_rate_daily_events": q.orphan_rate_daily_events_sql(),
         "snapshot_diff_orders": q.snapshot_diff_orders_sql(),
+        "mad_outliers_orders": q.mad_outliers_orders_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

@@ -3332,3 +3332,34 @@ SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
                               AND ha = hb) AS BIGINT) AS n_unchanged
 FROM j
 """
+
+
+def mad_outliers_orders(sf_dir: str) -> pa.Table:
+    """Robust per-priority outlier screen: median + MAD by two exact radix
+    selections (the second over the DERIVED |v − median| column), integer
+    fence |v − med| > 3·MAD — the screen the outliers themselves can't
+    drag (unlike mean/σ)."""
+    from raycontract.pipelines.groupstats import mad_outlier_counts
+
+    # o_custkey keeps the group cardinality interesting (~n/10 groups)
+    o = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    return mad_outlier_counts(o, "o_custkey", "o_totalprice", k=3)
+
+
+def mad_outliers_orders_sql() -> str:
+    return """
+WITH c AS (SELECT o_custkey AS g,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders WHERE o_totalprice IS NOT NULL),
+m AS (SELECT g, CAST(quantile_disc(v, 0.5) AS BIGINT) AS med
+      FROM c GROUP BY g),
+d AS (SELECT c.g, c.v, m.med, abs(c.v - m.med) AS dev
+      FROM c JOIN m USING (g)),
+md AS (SELECT g, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+       FROM d GROUP BY g)
+SELECT d.g AS o_custkey, d.med AS median_cents, md.mad AS mad_cents,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE d.dev > 3 * md.mad) AS BIGINT)
+         AS n_outliers
+FROM d JOIN md USING (g) GROUP BY d.g, d.med, md.mad
+"""

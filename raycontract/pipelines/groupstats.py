@@ -618,3 +618,103 @@ def tukey_outlier_counts(ds, group_col: str, value_col: str,
                      "q1_cents": pa.array(q1), "q3_cents": pa.array(q3),
                      "n_rows": pa.array(cn[pos]),
                      "n_outliers": pa.array(cout[pos])})
+
+
+# --------------------------------------------------------------------- MAD
+
+
+def mad_outlier_counts(ds, group_col: str, value_col: str, k: int = 3,
+                       max_broadcast: int = 5_000_000):
+    """Per group: median / MAD (median absolute deviation) robust outlier
+    counts — rows with ``|v − median_g| > k·MAD_g`` in EXACT integer cents
+    (``quantile_disc`` medians; no float scale factor — the classic 1.4826
+    consistency constant is deliberately folded into ``k`` so every
+    comparison stays integer-exact and oracle-reproducible).
+
+    Composition shape: one :func:`grouped_quantiles` radix selection for
+    the medians, a broadcast map deriving ``|v − median_g|``, a SECOND
+    radix selection over the DERIVED column for the MADs, then the usual
+    broadcast counting pass. Each selection is O(rounds) narrow passes; no
+    row shuffle anywhere.
+
+    Output: ``({group_col}, median_cents, mad_cents, n_rows, n_outliers)``.
+    """
+    gtype = _field_type(ds, group_col)
+    proj = ds.select_columns([group_col, value_col])
+    med_t = grouped_quantiles(proj, group_col, value_col, qs=(0.5,))
+    if med_t.num_rows == 0:
+        z = pa.array([], pa.int64())
+        return pa.table({group_col: pa.array([], gtype), "median_cents": z,
+                         "mad_cents": z, "n_rows": z, "n_outliers": z})
+    mg = med_t[group_col]
+    mgn = np.asarray(pc.is_null(mg))
+    gkeys = np.where(mgn, _NULLG,
+                     np.asarray(pc.fill_null(pc.cast(mg, pa.int64()), 0)))
+    meds = np.asarray(med_t["value_cents"], dtype=np.int64)
+    order = np.argsort(gkeys, kind="stable")
+    gkeys, meds = gkeys[order], meds[order]
+    if len(gkeys) > max_broadcast:
+        raise ValueError(f"{len(gkeys)} groups exceed {max_broadcast}")
+    med_ref = ray.put({"keys": gkeys, "med": meds})
+
+    def to_dev(batch: pa.Table, _ref=med_ref) -> pa.Table:
+        lut = ray.get(_ref)
+        t = batch.filter(pc.is_valid(batch[value_col]))
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.int64()),
+                             value_col: pa.array([], pa.float64())})
+        vc = _cents_np(t[value_col])
+        comp = _group_codes(t[group_col])
+        idx = np.searchsorted(lut["keys"], comp)
+        dev = np.abs(vc - lut["med"][idx])
+        # /100.0 so grouped_quantiles' cents quantization recovers the
+        # integer deviation exactly (cents < 2^53)
+        return pa.table({group_col: _codes_to_arrow(comp, pa.int64()),
+                         value_col: pa.array(dev / 100.0)})
+
+    derived = proj.map_batches(to_dev, batch_format="pyarrow")
+    mad_t = grouped_quantiles(derived, group_col, value_col, qs=(0.5,))
+    madg = mad_t[group_col]
+    madgn = np.asarray(pc.is_null(madg))
+    mk = np.where(madgn, _NULLG,
+                  np.asarray(pc.fill_null(pc.cast(madg, pa.int64()), 0)))
+    mads = np.asarray(mad_t["value_cents"], dtype=np.int64)
+    mo = np.argsort(mk, kind="stable")
+    mk, mads = mk[mo], mads[mo]
+    assert np.array_equal(mk, gkeys)
+    thr_ref = ray.put({"keys": gkeys, "med": meds, "thr": k * mads})
+
+    def count_out(batch: pa.Table, _ref=thr_ref) -> pa.Table:
+        lut = ray.get(_ref)
+        t = batch.filter(pc.is_valid(batch[value_col]))
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"g": z, "n": z, "n_out": z})
+        vc = _cents_np(t[value_col])
+        comp = _group_codes(t[group_col])
+        idx = np.searchsorted(lut["keys"], comp)
+        out = np.abs(vc - lut["med"][idx]) > lut["thr"][idx]
+        uniq, inv = np.unique(comp, return_inverse=True)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, inv, out.astype(np.int64))
+        return pa.table({"g": pa.array(uniq),
+                         "n": pa.array(np.bincount(inv).astype(np.int64)),
+                         "n_out": pa.array(cnt)})
+
+    counts = pa.concat_tables(
+        [pa.table(t) for t in ray.get(
+            groupby_sum(proj.map_batches(count_out, batch_format="pyarrow"),
+                        ["g"], ["n", "n_out"]).to_arrow_refs())
+         if t.num_rows])
+    cc = np.asarray(counts["g"], dtype=np.int64)
+    co = np.argsort(cc, kind="stable")
+    cc = cc[co]
+    cn = np.asarray(counts["n"], dtype=np.int64)[co]
+    cout = np.asarray(counts["n_out"], dtype=np.int64)[co]
+    pos = np.searchsorted(cc, gkeys)
+    assert np.array_equal(cc[pos], gkeys)
+    return pa.table({group_col: _codes_to_arrow(gkeys, gtype),
+                     "median_cents": pa.array(meds),
+                     "mad_cents": pa.array(mads),
+                     "n_rows": pa.array(cn[pos]),
+                     "n_outliers": pa.array(cout[pos])})

@@ -268,3 +268,27 @@ def test_snapshot_diff_rejects_duplicate_keys(ray_session):
     b = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array(["x"])})
     with pytest.raises(ValueError, match="not unique"):
         snapshot_diff_counts(rd.from_arrow(a), rd.from_arrow(b), "k", ["v"])
+
+
+def test_mad_outliers_planted(ray_session):
+    """Tight cluster + two extremes: MAD ignores the extremes (median-based)
+    so both are flagged; all-identical group has MAD 0 and any deviation
+    flags."""
+    from raycontract.pipelines.groupstats import mad_outlier_counts
+
+    g1v = [10.0 + i / 100 for i in range(11)] + [500.0, -500.0]
+    g2v = [7.0] * 6 + [7.01]
+    t = pa.table({
+        "g": pa.array([1] * len(g1v) + [2] * len(g2v), pa.int64()),
+        "v": pa.array(g1v + g2v, pa.float64()),
+    })
+    out = mad_outlier_counts(rd.from_arrow(t).repartition(3),
+                             "g", "v").to_pandas().set_index("g")
+    # g1: median 10.06? ranks: 13 values sorted (-500, 10.00..10.10, 500)
+    # → rank ceil(0.5*13)=7 → 10.05 → 1005; dev median over
+    # (0,1..5,5..?,49000..) → small MAD; extremes flagged
+    assert out.loc[1, "n_outliers"] == 2
+    assert out.loc[1, "median_cents"] == 1005
+    # g2: median 700, MAD 0 → only the 7.01 row deviates (dev 1 > 0)
+    assert out.loc[2, "mad_cents"] == 0
+    assert out.loc[2, "n_outliers"] == 1
