@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orphan_rate_daily_events": q.orphan_rate_daily_events,
         "snapshot_diff_orders": q.snapshot_diff_orders,
         "mad_outliers_orders": q.mad_outliers_orders,
+        "ks_sources_documents": q.ks_sources_documents,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -291,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "orphan_rate_daily_events": q.orphan_rate_daily_events_sql(),
         "snapshot_diff_orders": q.snapshot_diff_orders_sql(),
         "mad_outliers_orders": q.mad_outliers_orders_sql(),
+        "ks_sources_documents": q.ks_sources_documents_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

@@ -3363,3 +3363,40 @@ SELECT d.g AS o_custkey, d.med AS median_cents, md.mad AS mad_cents,
          AS n_outliers
 FROM d JOIN md USING (g) GROUP BY d.g, d.med, md.mad
 """
+
+
+def ks_sources_documents(sf_dir: str) -> pa.Table:
+    """Per-source EXACT KS distance of the n_chars distribution vs the
+    global corpus (north-star per-column KS drift, precise variant):
+    distinct (source, value, count) partials + one fold; step-CDF max on
+    the driver in the oracle's exact expression order."""
+    from raycontract.pipelines.dataprofile import ks_by_group
+
+    d = _read(sf_dir, "documents", ["source", "n_chars"])
+    return ks_by_group(d, "source", "n_chars")
+
+
+def ks_sources_documents_sql() -> str:
+    return """
+WITH c AS (SELECT source AS g, n_chars AS v FROM documents
+           WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+vals AS (SELECT DISTINCT v FROM c),
+grp AS (SELECT g, CAST(count(*) AS BIGINT) AS ng FROM c GROUP BY g),
+gv AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY v),
+gcum AS (SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum
+         FROM gv),
+gc AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY g, v),
+dense AS (SELECT grp.g, vals.v, grp.ng, coalesce(gc.n, 0) AS n
+          FROM grp CROSS JOIN vals
+          LEFT JOIN gc ON gc.g = grp.g AND gc.v = vals.v),
+dcum AS (SELECT g, v, ng,
+                CAST(sum(n) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+                  AS cumg
+         FROM dense)
+SELECT d.g AS source, CAST(d.ng AS BIGINT) AS n_rows,
+       CAST(round(max(abs(CAST(d.cumg AS DOUBLE) / CAST(d.ng AS DOUBLE)
+                          - CAST(gcum.cum AS DOUBLE)
+                            / CAST((SELECT count(*) FROM c) AS DOUBLE)))
+                  * 1e6) AS BIGINT) AS ks_micro
+FROM dcum d JOIN gcum USING (v) GROUP BY d.g, d.ng
+"""

@@ -619,3 +619,70 @@ def orphan_rate_daily(ds, ref_ds, key_col: str, ref_key_col: str,
                          np.asarray(folded["n"], np.int64)[order]),
                      "n_orphan": pa.array(
                          np.asarray(folded["n_orphan"], np.int64)[order])})
+
+
+# --------------------------------------------------------------- exact KS
+
+
+def ks_by_group(ds, group_col: str, value_col: str):
+    """EXACT Kolmogorov–Smirnov distance of each group's ``value_col``
+    distribution (integer-valued) against the GLOBAL distribution — the
+    north-star's "per-column KS comparison" as a precise, oracle-paired
+    query (``stages/drift.py`` keeps the sketch-based t-digest variant for
+    streaming baselines): KS_g = max over the union support of
+    ``|CDF_g(v) − CDF_global(v)|``, emitted as ``ks_micro`` (int64).
+
+    Distributed work: ONE pass of exact (group, value, count) partials +
+    one adaptive fold (shuffle volume = the distinct pair set); the
+    step-function CDFs and the max are driver math over
+    groups × distinct-values, with the division in the oracle's exact
+    expression order. Null group/value rows are excluded.
+
+    Output: ``({group_col}, n_rows, ks_micro)``.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"g": batch[group_col].cast(pa.string()),
+                      "v": batch[value_col].cast(pa.int64())})
+        t = t.filter(pc.and_kleene(pc.is_valid(t["g"]), pc.is_valid(t["v"])))
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        t = t.append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
+        return t.group_by(["g", "v"]).aggregate([("n", "sum")]
+                                                ).rename_columns(["g", "v", "n"])
+
+    folded = pa.concat_tables(
+        [pa.table(t) for t in ray.get(
+            groupby_sum(ds.select_columns([group_col, value_col]).map_batches(
+                partial, batch_format="pyarrow"), ["g", "v"], ["n"]
+            ).to_arrow_refs())
+         if t.num_rows])
+    if folded.num_rows == 0:
+        z = pa.array([], pa.int64())
+        return pa.table({group_col: pa.array([], pa.string()),
+                         "n_rows": z, "ks_micro": z})
+    g = np.asarray(folded["g"])
+    v = np.asarray(folded["v"], dtype=np.int64)
+    n = np.asarray(folded["n"], dtype=np.int64)
+    support = np.unique(v)
+    vi = np.searchsorted(support, v)
+    S = len(support)
+    glob = np.zeros(S, np.int64)
+    np.add.at(glob, vi, n)
+    gcum = np.cumsum(glob)
+    N = float(gcum[-1])
+    groups, gi = np.unique(g, return_inverse=True)
+    K = len(groups)
+    # dense (group, support) counts — groups × distinct values, driver-sized
+    dense = np.zeros((K, S), np.int64)
+    np.add.at(dense, (gi, vi), n)
+    cumg = np.cumsum(dense, axis=1)
+    ng = cumg[:, -1].astype(np.float64)
+    # |cumg/ng − cum/N| in the oracle's exact expression order
+    diff = np.abs(cumg.astype(np.float64) / ng[:, None]
+                  - gcum.astype(np.float64) / N)
+    ks = diff.max(axis=1)
+    return pa.table({group_col: pa.array(groups.tolist(), pa.string()),
+                     "n_rows": pa.array(ng.astype(np.int64)),
+                     "ks_micro": pa.array(_round_half_away(ks * 1e6))})

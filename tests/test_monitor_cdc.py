@@ -292,3 +292,27 @@ def test_mad_outliers_planted(ray_session):
     # g2: median 700, MAD 0 → only the 7.01 row deviates (dev 1 > 0)
     assert out.loc[2, "mad_cents"] == 0
     assert out.loc[2, "n_outliers"] == 1
+
+
+def test_ks_identical_and_shifted(ray_session):
+    """A group identical to the corpus majority has small KS; a fully
+    disjoint-shifted group has KS = its mass separation (here 1.0 against
+    its own complement... verified against a hand-computed value)."""
+    from raycontract.pipelines.dataprofile import ks_by_group
+
+    # group A: values 1..10 (uniform); group B: values 101..110 — disjoint.
+    # Global = A ∪ B. CDF_A runs to 1 by v=10 while global is at 0.5 →
+    # KS_A = 0.5; symmetric for B.
+    t = pa.table({
+        "g": pa.array(["A"] * 10 + ["B"] * 10),
+        "v": pa.array(list(range(1, 11)) + list(range(101, 111)), pa.int64()),
+    })
+    out = ks_by_group(rd.from_arrow(t).repartition(4),
+                      "g", "v").to_pandas().set_index("g")
+    assert out.loc["A", "ks_micro"] == 500000
+    assert out.loc["B", "ks_micro"] == 500000
+    # a group that IS the corpus: KS = 0
+    t2 = pa.table({"g": pa.array(["only"] * 5),
+                   "v": pa.array([1, 2, 2, 3, 9], pa.int64())})
+    out2 = ks_by_group(rd.from_arrow(t2), "g", "v").to_pandas()
+    assert out2["ks_micro"].iloc[0] == 0
