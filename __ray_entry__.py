@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff_orders": q.snapshot_diff_orders,
         "mad_outliers_orders": q.mad_outliers_orders,
         "ks_sources_documents": q.ks_sources_documents,
+        "top_event_types_per_user": q.top_event_types_per_user,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -293,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff_orders": q.snapshot_diff_orders_sql(),
         "mad_outliers_orders": q.mad_outliers_orders_sql(),
         "ks_sources_documents": q.ks_sources_documents_sql(),
+        "top_event_types_per_user": q.top_event_types_per_user_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

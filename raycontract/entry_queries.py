@@ -3400,3 +3400,27 @@ SELECT d.g AS source, CAST(d.ng AS BIGINT) AS n_rows,
                   * 1e6) AS BIGINT) AS ks_micro
 FROM dcum d JOIN gcum USING (v) GROUP BY d.g, d.ng
 """
+
+
+def top_event_types_per_user(sf_dir: str) -> pa.Table:
+    """Grouped top-k-by-frequency (exact grouped heavy hitters, k=2,
+    deterministic tie-break count desc / value asc): per-batch pair
+    pre-counts → one grouped-sum fold → one lexsort + run-boundary rank
+    mask (driver below 2M distinct pairs, hash-partition exchange above)."""
+    from raycontract.pipelines.relational import grouped_topk_values
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_topk_values(ev, "user_id", "event_type", k=2)
+
+
+def top_event_types_per_user_sql() -> str:
+    return """
+SELECT user_id, event_type, n, rank FROM (
+  SELECT user_id, event_type, n,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY n DESC, event_type) AS BIGINT)
+           AS rank
+  FROM (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2))
+WHERE rank <= 2
+"""

@@ -1036,3 +1036,97 @@ def grouped_profile(ds, group_col: str, value_col: str, text_col: str):
     out = out.rename_columns([group_col, "n_rows", "n_null_text", "sum_value",
                               "min_value", "max_value"])
     return out.take(pc.sort_indices(out, sort_keys=[(group_col, "ascending")]))
+
+
+def grouped_topk_values(ds, group_col: str, value_col: str, k: int = 3,
+                        driver_limit: int = 2_000_000):
+    """Per group, the ``k`` MOST FREQUENT values with a deterministic
+    tie-break (count desc, value asc) — grouped heavy hitters with exact
+    counts (``grouped_mode`` is the k=1 special case).
+
+    Scale shape: per-batch (group, value) pre-counts → one grouped-sum fold
+    (shuffle volume = the distinct pair set, zipf-bounded). Ranking needs a
+    group's pairs co-located: below ``driver_limit`` distinct pairs ONE
+    driver lexsort + run-boundary rank mask answers every group at once;
+    beyond, the AGGREGATED pair set (already ≪ rows) hash-partitions by
+    group (``partition.partition_map``) and the same vectorized kernel runs
+    per partition.
+
+    Output: ``({group_col}, {value_col}, n, rank 1..k)``; NULL values are
+    ignored (SQL aggregate semantics), NULL groups kept.
+    """
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        t = pa.table({"g": batch[group_col], "v": batch[value_col],
+                      "n": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+        t = t.filter(pc.is_valid(t["v"]))
+        out = t.group_by(["g", "v"]).aggregate([("n", "sum")])
+        return out.rename_columns(["g", "v", "n"])
+
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    pairs_ds = groupby_sum(
+        ds.select_columns([group_col, value_col]).map_batches(
+            pair_counts, batch_format="pyarrow"), ["g", "v"], ["n"],
+        driver_limit=driver_limit)
+
+    def topk_kernel(part: pa.Table) -> pa.Table:
+        """Rank co-located (g, v, n) pairs: one lexsort + run-boundary
+        cumcount; keep rank ≤ k."""
+        if part.num_rows == 0:
+            return part
+        gcol = part["g"].combine_chunks() if isinstance(
+            part["g"], pa.ChunkedArray) else part["g"]
+        vcol = part["v"].combine_chunks() if isinstance(
+            part["v"], pa.ChunkedArray) else part["v"]
+        n = np.asarray(part["n"], dtype=np.int64)
+        # order: group, count desc, value asc — via sort_indices (handles
+        # string/int groups and values uniformly, nulls-last groups kept)
+        order = np.asarray(pc.sort_indices(
+            pa.table({"g": gcol, "n": pa.array(-n), "v": vcol}),
+            sort_keys=[("g", "ascending"), ("n", "ascending"),
+                       ("v", "ascending")]))
+        gs = gcol.take(pa.array(order))
+        eq = pc.equal(gs.slice(1), gs.slice(0, len(gs) - 1))
+        same = np.concatenate(([False],
+                               np.asarray(pc.fill_null(eq, False))))
+        # null groups: pc.equal yields null; both-null ⇒ same group
+        if len(gs) > 1:
+            nulls = np.asarray(pc.is_null(gs))
+            same |= np.concatenate(([False], nulls[1:] & nulls[:-1]))
+        starts = np.flatnonzero(~same)
+        rank = np.arange(len(gs), dtype=np.int64) + 1
+        rank -= np.repeat(starts + 1, np.diff(np.r_[starts, len(gs)])) - 1
+        keep = rank <= k
+        out = pa.table({group_col: gs.filter(pa.array(keep)),
+                        value_col: vcol.take(pa.array(order)).filter(
+                            pa.array(keep)),
+                        "n": pa.array(n[order][keep]),
+                        "rank": pa.array(rank[keep])})
+        return out
+
+    # smallagg's incremental-fetch pattern: pull pair blocks until the
+    # driver limit trips, then fall back to the co-locating exchange over
+    # the SAME materialized blocks (no re-scan)
+    refs = pairs_ds.to_arrow_refs()
+    tabs, total = [], 0
+    for r in refs:
+        t = pa.table(ray.get(r))
+        if t.num_rows:
+            tabs.append(t)
+            total += t.num_rows
+        if total > driver_limit:
+            break
+    if total == 0:
+        z = pa.array([], pa.int64())
+        return pa.table({group_col: z, value_col: pa.array([], pa.string()),
+                         "n": z, "rank": z})
+    if total <= driver_limit:
+        return topk_kernel(pa.concat_tables(tabs))
+    from raycontract.pipelines.partition import partition_map
+
+    import ray.data as rd
+
+    part_ds = partition_map(rd.from_arrow_refs(refs), "g", topk_kernel)
+    return pa.concat_tables(
+        [pa.table(t) for t in ray.get(part_ds.to_arrow_refs())
+         if t.num_rows])

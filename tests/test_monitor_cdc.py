@@ -316,3 +316,49 @@ def test_ks_identical_and_shifted(ray_session):
                    "v": pa.array([1, 2, 2, 3, 9], pa.int64())})
     out2 = ks_by_group(rd.from_arrow(t2), "g", "v").to_pandas()
     assert out2["ks_micro"].iloc[0] == 0
+
+
+def test_grouped_topk_ties_and_nulls(ray_session):
+    from raycontract.pipelines.relational import grouped_topk_values
+
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 1, 1, 2, 2, None, None], pa.int64()),
+        "v": pa.array(["b", "b", "a", "a", "c", "x", None, "p", "p"]),
+    })
+    out = grouped_topk_values(rd.from_arrow(t).repartition(3),
+                              "g", "v", k=2).to_pandas()
+    rows = {(None if pd_isna(r["g"]) else int(r["g"]), r["v"]):
+            (int(r["n"]), int(r["rank"])) for _, r in out.iterrows()}
+    # g=1: a and b tie at 2 → value-asc breaks: a rank 1, b rank 2, c cut
+    assert rows[(1, "a")] == (2, 1) and rows[(1, "b")] == (2, 2)
+    assert (1, "c") not in rows
+    # g=2: null value ignored → only x
+    assert rows[(2, "x")] == (1, 1)
+    # null group kept as its own partition
+    assert rows[(None, "p")] == (2, 1)
+
+
+def pd_isna(x):
+    import pandas as _pd
+    return _pd.isna(x)
+
+
+def test_grouped_topk_partition_path_matches_driver(ray_session):
+    """Force the hash-partition exchange (driver_limit=1) and check it
+    matches the driver lexsort path exactly."""
+    from raycontract.pipelines.relational import grouped_topk_values
+
+    rng = np.random.default_rng(11)
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 40, 3000), pa.int64()),
+        "v": pa.array([f"v{int(x)}" for x in rng.integers(0, 9, 3000)]),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+    a = grouped_topk_values(ds, "g", "v", k=3).to_pandas()
+    b = grouped_topk_values(ds, "g", "v", k=3,
+                            driver_limit=1).to_pandas()
+    key = ["g", "v", "n", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    import pandas as _pd
+    _pd.testing.assert_frame_equal(a, b)
