@@ -2141,7 +2141,9 @@ def _images_fixture_dir(n: int = 1500) -> str:
         bad, _ = apply_violations(t, dict(dup_id=3, null_id=4, bad_id_format=5,
                                           null_caption=6, bad_caption=7, wrong_dims=8,
                                           corrupt_bytes=9, bad_fmt=10, wrong_phash=11))
-        pq.write_table(bad, path)
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(bad, tmp)
+        os.replace(tmp, path)  # atomic: concurrent first runs can't tear
     return d
 
 
@@ -2580,7 +2582,9 @@ def jpeg_psnr_images(sf_dir: str):
     path = os.path.join(d, "images.parquet")
     if not os.path.exists(path):
         os.makedirs(d, exist_ok=True)
-        pq.write_table(make_jpeg_master_rows(240), path)
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(make_jpeg_master_rows(240), tmp)
+        os.replace(tmp, path)  # atomic: concurrent first runs can't tear
     ds = rd.read_parquet(path)
     spec = ImageSpec(check_key="images__bytes__jpeg_conformance",
                      master_column="master")
@@ -3181,9 +3185,11 @@ def pixel_dedup_images(sf_dir: str) -> pa.Table:
                 cols[c].append(cols[c][n_dup + i])
             cols["image_id"][-1] = f"img-bad-{i:08d}"
             cols["bytes"][-1] = cols["bytes"][n_dup + i][:7]
+        tmp = f"{path}.tmp{os.getpid()}"
         pq.write_table(pa.table(
             {c: pa.array(cols[c], type=t.schema.field(c).type)
-             for c in t.column_names}), path)
+             for c in t.column_names}), tmp)
+        os.replace(tmp, path)  # atomic: concurrent first runs can't tear
     ds = rd.read_parquet(path)
     out = pixel_dedup_stats(ds)
     got = {c: int(out[c][0].as_py()) for c in out.column_names}

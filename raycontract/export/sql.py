@@ -208,11 +208,9 @@ def _quote_ident(name: str, dialect: str) -> str:
 
 def _table_ddl(name: str, model: Model, dialect: str) -> str:
     create = "CREATE OR REPLACE TABLE" if dialect == "databricks" else "CREATE TABLE"
-    if "." in name:  # optional catalog.schema. prefix rides along unquoted
-        pre, _, last = name.rpartition(".")
-        name = f"{pre}.{_quote_ident(last, dialect)}"
-    else:
-        name = _quote_ident(name, dialect)
+    # quote every dotted segment (catalog.schema.table) — a schema
+    # literally named "order" must quote too
+    name = ".".join(_quote_ident(seg, dialect) for seg in name.split("."))
     lines = [f"{create} {name} ("]
     cols = []
     for fname, f in model.fields.items():

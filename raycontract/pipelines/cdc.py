@@ -48,8 +48,8 @@ def latest_snapshot(ds, key_col: str, ts_col: str, tiebreak_col: str,
     — the current CDC snapshot. ``tiebreak_col`` must be a unique
     non-negative int64 row id (it both breaks ts ties and names the winning
     row); ``ts_col`` must be non-negative (epoch timestamps are), and null
-    ts order below every real ts (DuckDB ``ORDER BY ts DESC`` NULLS-LAST
-    semantics) via a 0 fill.
+    ts orders strictly below every real ts — including epoch 0 — (DuckDB
+    ``ORDER BY ts DESC`` NULLS-LAST semantics) via a ts+1/null→0 packing.
 
     Returns a Dataset with the input's full schema, one row per key.
     """
@@ -60,9 +60,13 @@ def latest_snapshot(ds, key_col: str, ts_col: str, tiebreak_col: str,
                              "p": pa.array([], pa.binary())})
         gn = np.asarray(pc.is_null(batch[key_col]))
         g = np.asarray(pc.fill_null(pc.cast(batch[key_col], pa.int64()), 0))
+        # pack ts+1 (null → 0) so a null ts ranks BELOW a real ts of
+        # exactly epoch 0 (DuckDB ORDER BY ts DESC nulls-last), never ties
+        isn = np.asarray(pc.is_null(batch[ts_col]))
         ts = np.asarray(pc.fill_null(pc.cast(batch[ts_col],
                                              pa.timestamp("us")), 0)
                         ).astype("datetime64[us]").view(np.int64)
+        ts = np.where(isn, np.int64(0), ts + 1)
         tb = np.asarray(pc.cast(batch[tiebreak_col], pa.int64()))
         order = np.lexsort((tb, ts, g, gn))
         gs, gns = g[order], gn[order]
@@ -107,8 +111,14 @@ def _row_hash_u32(batch: pa.Table, cols: list[str]) -> np.ndarray:
     expression :func:`row_hash_sql` emits — so a distributed diff agrees
     with its SQL oracle by construction (the ``functions/strhash.py``
     pattern). NULLs map to chr(1), fields join on chr(31)."""
-    from raycontract.functions.strhash import _connection
+    from raycontract.functions import strhash
 
+    if strhash._duckdb is None:  # pragma: no cover - env without duckdb
+        raise ImportError(
+            "snapshot_diff_counts requires duckdb for oracle-identical row "
+            "hashing (CAST(DOUBLE AS VARCHAR) formatting is not "
+            "reproducible in pure Python)")
+    _connection = strhash._connection
     tbl = batch.select(cols)  # noqa: F841 — duckdb reads it by name
     expr = ", ".join(f"coalesce(CAST({c} AS VARCHAR), chr(1))" for c in cols)
     out = _connection().execute(

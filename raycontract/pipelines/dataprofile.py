@@ -424,23 +424,43 @@ def trend_slope_by_group(ds, group_col: str, ts_col: str, value_col: str,
 
     proj = ds.select_columns([group_col, ts_col, value_col]).materialize()
 
-    def min_ts(batch: pa.Table) -> pa.Table:
+    def bounds(batch: pa.Table) -> pa.Table:
         t = _valid(batch)
         if t.num_rows == 0:
-            return pa.table({"k": pa.array([], pa.int64()),
-                             "m": pa.array([], pa.int64())})
+            z = pa.array([], pa.int64())
+            return pa.table({"k": z, "m": z, "mx": z, "ay": z, "n": z})
+        ts = _ts_us(t[ts_col])
+        y = _round_half_away(
+            np.asarray(pc.cast(t[value_col], pa.float64())) * y_scale)
         return pa.table({"k": pa.array([1], pa.int64()),
-                         "m": pa.array([int(_ts_us(t[ts_col]).min())],
-                                       pa.int64())})
+                         "m": pa.array([int(ts.min())], pa.int64()),
+                         "mx": pa.array([int(ts.max())], pa.int64()),
+                         "ay": pa.array([int(np.abs(y).max())], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
 
     mins = [pa.table(t) for t in ray.get(
-        groupby_agg(proj.map_batches(min_ts, batch_format="pyarrow"),
-                    ["k"], {"m": "min"}).to_arrow_refs()) if t.num_rows]
+        groupby_agg(proj.map_batches(bounds, batch_format="pyarrow"),
+                    ["k"], {"m": "min", "mx": "max", "ay": "max", "n": "sum"}
+                    ).to_arrow_refs()) if t.num_rows]
     if not mins:
         z = pa.array([], pa.int64())
         return pa.table({group_col: pa.array([], pa.string()),
                          "n_rows": z, "slope_day_micro": z})
-    anchor_s = int(pa.concat_tables(mins)["m"][0].as_py()) // 1_000_000
+    bt = pa.concat_tables(mins)
+    anchor_s = int(bt["m"][0].as_py()) // 1_000_000
+    # int64-overflow guard for the moment sums (the oracle's HUGEINT never
+    # wraps; np.add.at would wrap SILENTLY): sum of n terms each bounded by
+    # span² (sxx) / span·max|y| (sxy) must stay below 2^63. Exact worst-case
+    # bound in Python ints — raise loudly rather than degrade (VERDICT-r4
+    # convention; widen to per-block hugeint partials to lift).
+    span_s = int(bt["mx"][0].as_py()) // 1_000_000 - anchor_s + 1
+    n_tot = int(bt["n"][0].as_py())
+    max_ay = int(bt["ay"][0].as_py())
+    if max(span_s * span_s, span_s * max_ay) * n_tot >= 2 ** 63:
+        raise ValueError(
+            f"trend_slope_by_group int64 moment bound exceeded "
+            f"(span_s={span_s}, max|y|={max_ay}, rows={n_tot}); widen the "
+            "partials to hugeint/object sums before running at this scale")
 
     def moments(batch: pa.Table) -> pa.Table:
         t = _valid(batch)
@@ -486,7 +506,38 @@ def trend_slope_by_group(ds, group_col: str, ts_col: str, value_col: str,
                          slope * 86400.0 * 1e6))})
 
 
+def _grouped_pair_counts(ds, group_col: str, value_col: str,
+                         value_type: pa.DataType) -> pa.Table:
+    """Folded exact (group, value, count) pairs — the shared first stage of
+    the entropy and KS profiles (groups cast to string, values to
+    ``value_type``; null group/value rows excluded, SQL-style). ONE pass of
+    per-batch pair pre-counts + one adaptive fold; shuffle volume is the
+    distinct pair set."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"g": batch[group_col].cast(pa.string()),
+                      "v": batch[value_col].cast(value_type)})
+        t = t.filter(pc.and_kleene(pc.is_valid(t["g"]), pc.is_valid(t["v"])))
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "v": pa.array([], value_type),
+                             "n": pa.array([], pa.int64())})
+        t = t.append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
+        return t.group_by(["g", "v"]).aggregate([("n", "sum")]
+                                                ).rename_columns(["g", "v", "n"])
+
+    tabs = [pa.table(t) for t in ray.get(
+        groupby_sum(ds.select_columns([group_col, value_col]).map_batches(
+            partial, batch_format="pyarrow"), ["g", "v"], ["n"]
+        ).to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({"g": pa.array([], pa.string()),
+                         "v": pa.array([], value_type),
+                         "n": pa.array([], pa.int64())})
+    return pa.concat_tables(tabs)
+
+
 # ---------------------------------------------------------------- entropy
+
 
 
 def entropy_by_group(ds, group_col: str, value_col: str):
@@ -502,24 +553,7 @@ def entropy_by_group(ds, group_col: str, value_col: str):
 
     Output: ``({group_col}, n_rows, n_distinct, entropy_micro)``.
     """
-    def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({"g": batch[group_col].cast(pa.string()),
-                      "v": batch[value_col].cast(pa.string())})
-        t = t.filter(pc.and_kleene(pc.is_valid(t["g"]), pc.is_valid(t["v"])))
-        if t.num_rows == 0:
-            return pa.table({"g": pa.array([], pa.string()),
-                             "v": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        t = t.append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
-        return t.group_by(["g", "v"]).aggregate([("n", "sum")]
-                                                ).rename_columns(["g", "v", "n"])
-
-    folded = pa.concat_tables(
-        [pa.table(t) for t in ray.get(
-            groupby_sum(ds.select_columns([group_col, value_col]).map_batches(
-                partial, batch_format="pyarrow"), ["g", "v"], ["n"]
-            ).to_arrow_refs())
-         if t.num_rows])
+    folded = _grouped_pair_counts(ds, group_col, value_col, pa.string())
     if folded.num_rows == 0:
         z = pa.array([], pa.int64())
         return pa.table({group_col: pa.array([], pa.string()),
@@ -640,24 +674,7 @@ def ks_by_group(ds, group_col: str, value_col: str):
 
     Output: ``({group_col}, n_rows, ks_micro)``.
     """
-    def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({"g": batch[group_col].cast(pa.string()),
-                      "v": batch[value_col].cast(pa.int64())})
-        t = t.filter(pc.and_kleene(pc.is_valid(t["g"]), pc.is_valid(t["v"])))
-        if t.num_rows == 0:
-            return pa.table({"g": pa.array([], pa.string()),
-                             "v": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        t = t.append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
-        return t.group_by(["g", "v"]).aggregate([("n", "sum")]
-                                                ).rename_columns(["g", "v", "n"])
-
-    folded = pa.concat_tables(
-        [pa.table(t) for t in ray.get(
-            groupby_sum(ds.select_columns([group_col, value_col]).map_batches(
-                partial, batch_format="pyarrow"), ["g", "v"], ["n"]
-            ).to_arrow_refs())
-         if t.num_rows])
+    folded = _grouped_pair_counts(ds, group_col, value_col, pa.int64())
     if folded.num_rows == 0:
         z = pa.array([], pa.int64())
         return pa.table({group_col: pa.array([], pa.string()),

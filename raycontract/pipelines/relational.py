@@ -1073,7 +1073,10 @@ def grouped_topk_values(ds, group_col: str, value_col: str, k: int = 3,
         """Rank co-located (g, v, n) pairs: one lexsort + run-boundary
         cumcount; keep rank ≤ k."""
         if part.num_rows == 0:
-            return part
+            return pa.table({group_col: pa.array([], part.schema.field("g").type),
+                             value_col: pa.array([], part.schema.field("v").type),
+                             "n": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
         gcol = part["g"].combine_chunks() if isinstance(
             part["g"], pa.ChunkedArray) else part["g"]
         vcol = part["v"].combine_chunks() if isinstance(
@@ -1117,8 +1120,11 @@ def grouped_topk_values(ds, group_col: str, value_col: str, k: int = 3,
         if total > driver_limit:
             break
     if total == 0:
+        from raycontract.pipelines.groupstats import _field_type
+
         z = pa.array([], pa.int64())
-        return pa.table({group_col: z, value_col: pa.array([], pa.string()),
+        return pa.table({group_col: pa.array([], _field_type(ds, group_col)),
+                         value_col: pa.array([], _field_type(ds, value_col)),
                          "n": z, "rank": z})
     if total <= driver_limit:
         return topk_kernel(pa.concat_tables(tabs))

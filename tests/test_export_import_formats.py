@@ -98,6 +98,10 @@ models:
     # mysql-family uses backticks, sqlserver brackets
     assert "`select`" in to_sql_ddl(c, dialect="mysql")
     assert "[select]" in to_sql_ddl(c, dialect="sqlserver")
+    # a reserved-word catalog/schema PREFIX segment quotes too
+    from raycontract.export.sql import _table_ddl
+    ddl2 = _table_ddl("order.items", c.models["order"], "duckdb")
+    assert ddl2.startswith('CREATE TABLE "order".items (')
 
 
 def test_sql_ddl_dialects():

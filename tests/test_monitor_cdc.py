@@ -362,3 +362,46 @@ def test_grouped_topk_partition_path_matches_driver(ray_session):
     b = b.sort_values(key).reset_index(drop=True)
     import pandas as _pd
     _pd.testing.assert_frame_equal(a, b)
+
+
+def test_latest_snapshot_epoch_zero_beats_null_ts(ray_session):
+    """Regression (review finding): a real ts of exactly epoch 0 must beat
+    a null ts even when the null row has the larger tiebreak id."""
+    from raycontract.pipelines.cdc import latest_snapshot
+
+    t = pa.table({
+        "id": pa.array([5, 9], pa.int64()),
+        "ts": pa.array([0, None], pa.timestamp("us")),
+        "k": pa.array([1, 1], pa.int64()),
+    })
+    out = latest_snapshot(rd.from_arrow(t), "k", "ts", "id").to_pandas()
+    assert list(out["id"]) == [5]
+
+
+def test_trend_slope_overflow_guard_raises(ray_session):
+    """Regression (review finding): moment sums that would wrap int64 must
+    raise loudly, not silently diverge from the HUGEINT oracle."""
+    from raycontract.pipelines.dataprofile import trend_slope_by_group
+
+    # span of ~120 years in seconds (~3.8e9) → span² ≈ 1.4e19 > 2^63
+    t = pa.table({
+        "g": pa.array(["a", "a"]),
+        "ts": np.array([0, 3_800_000_000_000_000],
+                       np.int64).astype("datetime64[us]"),
+        "v": pa.array([1.0, 2.0], pa.float64()),
+    })
+    with pytest.raises(ValueError, match="moment bound"):
+        trend_slope_by_group(rd.from_arrow(t), "g", "ts", "v")
+
+
+def test_grouped_topk_empty_input_typed(ray_session):
+    """Regression (review finding): empty input yields the input's own
+    group/value types, not hardcoded int64/string."""
+    from raycontract.pipelines.relational import grouped_topk_values
+
+    t = pa.table({"g": pa.array([], pa.string()),
+                  "v": pa.array([], pa.int32())})
+    out = grouped_topk_values(rd.from_arrow(t), "g", "v", k=2)
+    assert out.schema.field("g").type == pa.string()
+    assert out.schema.field("v").type == pa.int32()
+    assert out.num_rows == 0
