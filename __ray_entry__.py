@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_orders": q.mad_outliers_orders,
         "ks_sources_documents": q.ks_sources_documents,
         "top_event_types_per_user": q.top_event_types_per_user,
+        "join_skew_events_orders": q.join_skew_events_orders,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -295,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers_orders": q.mad_outliers_orders_sql(),
         "ks_sources_documents": q.ks_sources_documents_sql(),
         "top_event_types_per_user": q.top_event_types_per_user_sql(),
+        "join_skew_events_orders": q.join_skew_events_orders_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

@@ -3430,3 +3430,30 @@ SELECT user_id, event_type, n, rank FROM (
         FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2))
 WHERE rank <= 2
 """
+
+
+def join_skew_events_orders(sf_dir: str) -> pa.Table:
+    """Join-explosion detector: top-10 heaviest keys of the prospective
+    events↔orders customer join by output contribution n_left·n_right —
+    per-key (count, count) partials fold once (shuffle = distinct keys);
+    the skew scan is vectorized over the folded key table."""
+    from raycontract.pipelines.relational import join_skew_profile
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return join_skew_profile(ev, orders, "user_id", "o_custkey", top=10)
+
+
+def join_skew_events_orders_sql() -> str:
+    return """
+WITH l AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS nl
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+r AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS nr
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1)
+SELECT CAST(k AS BIGINT) AS key,
+       CAST(coalesce(l.nl, 0) AS BIGINT) AS n_left,
+       CAST(coalesce(r.nr, 0) AS BIGINT) AS n_right,
+       CAST(coalesce(l.nl, 0) * coalesce(r.nr, 0) AS BIGINT) AS n_out
+FROM l FULL JOIN r USING (k)
+ORDER BY n_out DESC, key ASC LIMIT 10
+"""

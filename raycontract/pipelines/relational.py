@@ -1136,3 +1136,62 @@ def grouped_topk_values(ds, group_col: str, value_col: str, k: int = 3,
     return pa.concat_tables(
         [pa.table(t) for t in ray.get(part_ds.to_arrow_refs())
          if t.num_rows])
+
+
+def join_skew_profile(ds_left, ds_right, left_key: str, right_key: str,
+                      top: int = 10):
+    """Join-explosion detector — profile a prospective equi-join BEFORE
+    running it: per join key the left/right multiplicities and their
+    product (the key's output-row contribution), returning the ``top``
+    heaviest keys by product (ties → key asc) plus every key's totals
+    folded into the summary columns. The planner's skew diagnostic as a
+    first-class operator: one hot key (nl·nr in the billions) is the
+    classic cause of a stuck distributed join.
+
+    Scale shape: each side reduces to (key, count) partials per block —
+    shuffle volume is distinct keys, never rows — one adaptive fold joins
+    the sides, and the top-k product scan is vectorized over the folded
+    key table. Null keys are excluded (equi-joins never match them).
+
+    Output: ``(key, n_left, n_right, n_out)`` — the top keys by n_out —
+    plus a summary row is NOT mixed in; totals belong to the caller
+    (sum(n_out) over ALL keys = exact join cardinality, exposed via the
+    companion :func:`join_cardinality`).
+    """
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    def side_counts(key: str, tag: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.is_valid(batch[key]))
+            u, c = np.unique(np.asarray(t[key].cast(pa.int64())),
+                             return_counts=True)
+            zero = np.zeros(len(u), np.int64)
+            return pa.table({"k": pa.array(u),
+                             "nl": pa.array(c.astype(np.int64)
+                                            if tag == "l" else zero),
+                             "nr": pa.array(c.astype(np.int64)
+                                            if tag == "r" else zero)})
+        return partial
+
+    pl_ds = ds_left.select_columns([left_key]).map_batches(
+        side_counts(left_key, "l"), batch_format="pyarrow")
+    pr_ds = ds_right.select_columns([right_key]).map_batches(
+        side_counts(right_key, "r"), batch_format="pyarrow")
+    tabs = [pa.table(t) for t in ray.get(
+        groupby_sum(pl_ds.union(pr_ds), ["k"], ["nl", "nr"]).to_arrow_refs())
+        if t.num_rows]
+    if not tabs:
+        z = pa.array([], pa.int64())
+        return pa.table({"key": z, "n_left": z, "n_right": z, "n_out": z})
+    f = pa.concat_tables(tabs)
+    k = np.asarray(f["k"], np.int64)
+    nl = np.asarray(f["nl"], np.int64)
+    nr = np.asarray(f["nr"], np.int64)
+    prod = nl * nr
+    # top-k by (product desc, key asc): lexsort on (-prod, k)… numpy lexsort
+    # sorts by last key primary
+    order = np.lexsort((k, -prod))[:top]
+    return pa.table({"key": pa.array(k[order]),
+                     "n_left": pa.array(nl[order]),
+                     "n_right": pa.array(nr[order]),
+                     "n_out": pa.array(prod[order])})

@@ -405,3 +405,18 @@ def test_grouped_topk_empty_input_typed(ray_session):
     assert out.schema.field("g").type == pa.string()
     assert out.schema.field("v").type == pa.int32()
     assert out.num_rows == 0
+
+
+def test_join_skew_planted_hot_key(ray_session):
+    from raycontract.pipelines.relational import join_skew_profile
+
+    left = pa.table({"k": pa.array([7] * 50 + [1, 2, 3] + [None],
+                                   pa.int64())})
+    right = pa.table({"k": pa.array([7] * 40 + [1, 1, 9], pa.int64())})
+    out = join_skew_profile(rd.from_arrow(left).repartition(3),
+                            rd.from_arrow(right).repartition(2),
+                            "k", "k", top=3).to_pandas()
+    assert list(out["key"]) == [7, 1, 2]  # 2000, 2, 0 (tie 0: key asc)
+    assert list(out["n_out"]) == [2000, 2, 0]
+    r0 = out.iloc[0]
+    assert (r0["n_left"], r0["n_right"]) == (50, 40)
