@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_sources_documents": q.ks_sources_documents,
         "top_event_types_per_user": q.top_event_types_per_user,
         "join_skew_events_orders": q.join_skew_events_orders,
+        "redact_pii_documents": q.redact_pii_documents,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -297,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_sources_documents": q.ks_sources_documents_sql(),
         "top_event_types_per_user": q.top_event_types_per_user_sql(),
         "join_skew_events_orders": q.join_skew_events_orders_sql(),
+        "redact_pii_documents": q.redact_pii_documents_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

@@ -3457,3 +3457,25 @@ SELECT CAST(k AS BIGINT) AS key,
 FROM l FULL JOIN r USING (k)
 ORDER BY n_out DESC, key ASC LIMIT 10
 """
+
+
+def redact_pii_documents(sf_dir: str):
+    """PII REDACTION (the transform, complementing the pii_scan metric):
+    every email/phone/ipv4/ssn match replaced by its [TYPE] tag — one
+    vectorized RE2 replace per pattern per batch, zero shuffle. Arrow and
+    DuckDB both run RE2, so the redacted strings are oracle-comparable
+    byte-for-byte."""
+    from raycontract.pipelines.curation import pii_redact
+
+    d = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pii_redact(d, "text", "doc_id")
+
+
+def redact_pii_documents_sql() -> str:
+    from raycontract.pipelines.curation import PII_PATTERNS
+
+    expr = "text"
+    for name, pat in PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{esc}', '[{name.upper()}]', 'g')"
+    return f"SELECT doc_id, {expr} AS text_redacted FROM documents"

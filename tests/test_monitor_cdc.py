@@ -420,3 +420,39 @@ def test_join_skew_planted_hot_key(ray_session):
     assert list(out["n_out"]) == [2000, 2, 0]
     r0 = out.iloc[0]
     assert (r0["n_left"], r0["n_right"]) == (50, 40)
+
+
+def test_pii_redact_planted_matches_duckdb(ray_session, duck):
+    """Planted PII of all four types: engine redaction (Arrow RE2) must be
+    byte-identical to DuckDB regexp_replace (also RE2), including nulls."""
+    from raycontract.pipelines.curation import pii_redact
+    from raycontract.entry_queries import redact_pii_documents_sql
+
+    texts = [
+        "mail me at alice.smith+x@example.co.uk today",
+        "call (415) 555-1234 or +1-415 555 9999",
+        "server at 192.168.0.1 responded",
+        "ssn 123-45-6789 leaked",
+        "clean text, nothing here",
+        None,
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = pii_redact(rd.from_arrow(t).repartition(2),
+                     "text", "doc_id").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert "[EMAIL]" in out.loc[0, "text_redacted"]
+    assert "[PHONE]" in out.loc[1, "text_redacted"]
+    assert "[IPV4]" in out.loc[2, "text_redacted"]
+    assert "[SSN]" in out.loc[3, "text_redacted"]
+    assert out.loc[4, "text_redacted"] == texts[4]
+    assert out.loc[5, "text_redacted"] is None or pd_isna(
+        out.loc[5, "text_redacted"])
+    # byte-identical to the oracle expression over the same rows
+    import duckdb as _duck
+    con = _duck.connect()
+    con.register("documents", t)
+    sql = redact_pii_documents_sql()
+    odf = con.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+    import pandas as _pd
+    _pd.testing.assert_frame_equal(out, odf)
