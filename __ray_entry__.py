@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_types_per_user": q.top_event_types_per_user,
         "join_skew_events_orders": q.join_skew_events_orders,
         "redact_pii_documents": q.redact_pii_documents,
+        "daily_value_quantiles_events": q.daily_value_quantiles_events,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -299,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "top_event_types_per_user": q.top_event_types_per_user_sql(),
         "join_skew_events_orders": q.join_skew_events_orders_sql(),
         "redact_pii_documents": q.redact_pii_documents_sql(),
+        "daily_value_quantiles_events": q.daily_value_quantiles_events_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

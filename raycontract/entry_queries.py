@@ -3479,3 +3479,37 @@ def redact_pii_documents_sql() -> str:
         esc = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{esc}', '[{name.upper()}]', 'g')"
     return f"SELECT doc_id, {expr} AS text_redacted FROM documents"
+
+
+def daily_value_quantiles_events(sf_dir: str) -> pa.Table:
+    """Daily p25/p50/p95 of the event value (the percentile-band trend a
+    monitoring dashboard plots): EXACT radix selection with the day bucket
+    as the group key — one vectorized histogram pass per round for ALL
+    days × quantiles."""
+    from raycontract.pipelines.groupstats import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+        import pyarrow.compute as _pc
+        t = batch.filter(_pc.is_valid(batch["ts"]))
+        day = (_np.asarray(_pc.cast(t["ts"], pa.timestamp("us"))
+                           ).astype("datetime64[us]").view(_np.int64)
+               // 86_400_000_000) * 86_400_000_000
+        return pa.table({"bucket_us": pa.array(day), "value": t["value"]})
+
+    return grouped_quantiles(ev.map_batches(bucketed, batch_format="pyarrow"),
+                             "bucket_us", "value", qs=(0.25, 0.5, 0.95))
+
+
+def daily_value_quantiles_events_sql() -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT bucket_us, {q} AS q, "
+        f"CAST(quantile_disc(vc, {q}) AS BIGINT) AS value_cents "
+        f"FROM c GROUP BY bucket_us"
+        for q in (0.25, 0.5, 0.95))
+    return ("WITH c AS (SELECT CAST(epoch_us(date_trunc('day', ts)) "
+            "AS BIGINT) AS bucket_us, CAST(round(value*100) AS BIGINT) vc "
+            "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL) "
+            + parts)
