@@ -145,7 +145,8 @@ def snapshot_diff_counts(ds_a, ds_b, key_col: str, cols: list[str]):
     key per block (hashing runs vectorized in embedded DuckDB per batch);
     one adaptive grouped fold joins the sides by key (driver polars ≤2M
     keys, Ray's hierarchical shuffle beyond) and the classification is a
-    vectorized pass over the folded key table.
+    per-block tally over the folded key table — the key set never
+    materializes on the driver (one 7-int row per block + a tiny fold).
 
     Output: one row ``(n_a, n_b, n_added, n_removed, n_changed,
     n_unchanged)``.
@@ -171,26 +172,40 @@ def snapshot_diff_counts(ds_a, ds_b, key_col: str, cols: list[str]):
     folded_ds = groupby_agg(pa_ds.union(pb_ds), ["k"],
                             {"na": "sum", "nb": "sum",
                              "ha": "max", "hb": "max"})
-    tabs = [pa.table(t) for t in ray.get(folded_ds.to_arrow_refs())
-            if t.num_rows]
+
+    def classify(batch: pa.Table) -> pa.Table:
+        """Per-block class tallies over the folded key table — the key set
+        itself never lands on the driver (only one 7-int row per block)."""
+        na = np.asarray(batch["na"], np.int64)
+        nb = np.asarray(batch["nb"], np.int64)
+        ha = np.asarray(batch["ha"], np.int64)
+        hb = np.asarray(batch["hb"], np.int64)
+        if (na > 1).any() or (nb > 1).any():
+            raise ValueError(
+                f"{key_col} is not unique within a snapshot; "
+                "snapshot_diff_counts requires per-side pk keys")
+        both = (na > 0) & (nb > 0)
+        return pa.table({
+            "k": pa.array([1], pa.int64()),
+            "n_a": pa.array([int(na.sum())], pa.int64()),
+            "n_b": pa.array([int(nb.sum())], pa.int64()),
+            "n_added": pa.array([int(((na == 0) & (nb > 0)).sum())],
+                                pa.int64()),
+            "n_removed": pa.array([int(((na > 0) & (nb == 0)).sum())],
+                                  pa.int64()),
+            "n_changed": pa.array([int((both & (ha != hb)).sum())],
+                                  pa.int64()),
+            "n_unchanged": pa.array([int((both & (ha == hb)).sum())],
+                                    pa.int64()),
+        })
+
+    cols = ["n_a", "n_b", "n_added", "n_removed", "n_changed", "n_unchanged"]
+    tabs = [pa.table(t) for t in ray.get(
+        groupby_agg(folded_ds.map_batches(classify, batch_format="pyarrow"),
+                    ["k"], {c: "sum" for c in cols}).to_arrow_refs())
+        if t.num_rows]
     if not tabs:
         z = pa.array([0], pa.int64())
-        return pa.table({"n_a": z, "n_b": z, "n_added": z, "n_removed": z,
-                         "n_changed": z, "n_unchanged": z})
+        return pa.table({c: z for c in cols})
     f = pa.concat_tables(tabs)
-    na = np.asarray(f["na"], np.int64)
-    nb = np.asarray(f["nb"], np.int64)
-    ha = np.asarray(f["ha"], np.int64)
-    hb = np.asarray(f["hb"], np.int64)
-    if (na > 1).any() or (nb > 1).any():
-        raise ValueError(f"{key_col} is not unique within a snapshot; "
-                         "snapshot_diff_counts requires per-side pk keys")
-    both = (na > 0) & (nb > 0)
-    return pa.table({
-        "n_a": pa.array([int(na.sum())], pa.int64()),
-        "n_b": pa.array([int(nb.sum())], pa.int64()),
-        "n_added": pa.array([int(((na == 0) & (nb > 0)).sum())], pa.int64()),
-        "n_removed": pa.array([int(((na > 0) & (nb == 0)).sum())], pa.int64()),
-        "n_changed": pa.array([int((both & (ha != hb)).sum())], pa.int64()),
-        "n_unchanged": pa.array([int((both & (ha == hb)).sum())], pa.int64()),
-    })
+    return pa.table({c: f[c].cast(pa.int64()) for c in cols})

@@ -507,7 +507,8 @@ def trend_slope_by_group(ds, group_col: str, ts_col: str, value_col: str,
 
 
 def _grouped_pair_counts(ds, group_col: str, value_col: str,
-                         value_type: pa.DataType) -> pa.Table:
+                         value_type: pa.DataType,
+                         max_driver_rows: int = 5_000_000) -> pa.Table:
     """Folded exact (group, value, count) pairs — the shared first stage of
     the entropy and KS profiles (groups cast to string, values to
     ``value_type``; null group/value rows excluded, SQL-style). ONE pass of
@@ -533,7 +534,13 @@ def _grouped_pair_counts(ds, group_col: str, value_col: str,
         return pa.table({"g": pa.array([], pa.string()),
                          "v": pa.array([], value_type),
                          "n": pa.array([], pa.int64())})
-    return pa.concat_tables(tabs)
+    out = pa.concat_tables(tabs)
+    if out.num_rows > max_driver_rows:
+        raise ValueError(
+            f"{out.num_rows} distinct (group, value) pairs exceed the "
+            f"driver budget ({max_driver_rows}); bucket the value column "
+            "(psi_by_group's fixed-width buckets) at this cardinality")
+    return out
 
 
 # ---------------------------------------------------------------- entropy
@@ -691,6 +698,11 @@ def ks_by_group(ds, group_col: str, value_col: str):
     N = float(gcum[-1])
     groups, gi = np.unique(g, return_inverse=True)
     K = len(groups)
+    if K * S > 200_000_000:  # ~1.6 GB of int64 — the dense-CDF budget
+        raise ValueError(
+            f"KS dense CDF would need {K}x{S} cells; bucket the value "
+            "column (fixed-width integer buckets keep KS exact over the "
+            "bucketed distribution) at this cardinality")
     # dense (group, support) counts — groups × distinct values, driver-sized
     dense = np.zeros((K, S), np.int64)
     np.add.at(dense, (gi, vi), n)

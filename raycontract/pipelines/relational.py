@@ -1052,8 +1052,10 @@ def grouped_topk_values(ds, group_col: str, value_col: str, k: int = 3,
     group (``partition.partition_map``) and the same vectorized kernel runs
     per partition.
 
-    Output: ``({group_col}, {value_col}, n, rank 1..k)``; NULL values are
-    ignored (SQL aggregate semantics), NULL groups kept.
+    Output: ``({group_col}, {value_col}, n, rank 1..k)`` — a pyarrow Table
+    below ``driver_limit`` distinct pairs, a Dataset from the partitioned
+    scale path (groups × k output rows can exceed the driver). NULL
+    values are ignored (SQL aggregate semantics), NULL groups kept.
     """
     def pair_counts(batch: pa.Table) -> pa.Table:
         t = pa.table({"g": batch[group_col], "v": batch[value_col],
@@ -1132,10 +1134,9 @@ def grouped_topk_values(ds, group_col: str, value_col: str, k: int = 3,
 
     import ray.data as rd
 
-    part_ds = partition_map(rd.from_arrow_refs(refs), "g", topk_kernel)
-    return pa.concat_tables(
-        [pa.table(t) for t in ray.get(part_ds.to_arrow_refs())
-         if t.num_rows])
+    # scale path returns the DATASET (groups × k rows can itself be huge —
+    # write it out or keep processing; never force it through the driver)
+    return partition_map(rd.from_arrow_refs(refs), "g", topk_kernel)
 
 
 def join_skew_profile(ds_left, ds_right, left_key: str, right_key: str,
