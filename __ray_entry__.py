@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_skew_events_orders": q.join_skew_events_orders,
         "redact_pii_documents": q.redact_pii_documents,
         "daily_value_quantiles_events": q.daily_value_quantiles_events,
+        "hard_negatives_embeddings": q.hard_negatives_embeddings,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -301,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "join_skew_events_orders": q.join_skew_events_orders_sql(),
         "redact_pii_documents": q.redact_pii_documents_sql(),
         "daily_value_quantiles_events": q.daily_value_quantiles_events_sql(),
+        "hard_negatives_embeddings": q.hard_negatives_embeddings_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

@@ -3513,3 +3513,30 @@ def daily_value_quantiles_events_sql() -> str:
             "AS BIGINT) AS bucket_us, CAST(round(value*100) AS BIGINT) vc "
             "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL) "
             + parts)
+
+
+def hard_negatives_embeddings(sf_dir: str) -> pa.Table:
+    """Contrastive hard-negative mining: each vector's most-similar
+    DIFFERENT-label neighbour (exact cosine, sim-desc/id-asc tie-break) —
+    broadcast query matrix, one masked matmul + block argmax per batch,
+    driver lexsort over N×blocks candidates."""
+    from raycontract.pipelines.similarity import hard_negatives
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return hard_negatives(ds, "embedding", "vec_id", "label")
+
+
+def hard_negatives_embeddings_sql() -> str:
+    return """
+WITH n AS (SELECT vec_id, label, embedding FROM embeddings
+           WHERE label IS NOT NULL),
+p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+             list_cosine_similarity(a.embedding, b.embedding) AS sim
+      FROM n a JOIN n b ON a.label <> b.label)
+SELECT qid AS vec_id, nid AS hard_negative_id
+FROM (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, nid) AS rn
+      FROM p)
+WHERE rn = 1
+"""

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -624,3 +625,89 @@ def reciprocal_knn_pairs(ds, emb_col: str = "embedding", id_col: str = "vec_id",
     pairs = pairs[np.lexsort((pairs[:, 1], pairs[:, 0]))]
     return pa.table({"id_a": pa.array(pairs[:, 0]),
                      "id_b": pa.array(pairs[:, 1])})
+
+
+def hard_negatives(ds, emb_col: str = "embedding", id_col: str = "vec_id",
+                   label_col: str = "label", max_broadcast: int = 100_000):
+    """Hard-negative mining for contrastive training: for every vector, its
+    single most-similar neighbour carrying a DIFFERENT label (exact cosine,
+    deterministic sim-desc/id-asc tie-break). One-sided same-label
+    neighbours are easy positives; the nearest cross-label point is the
+    gradient-rich negative every metric-learning recipe asks for.
+
+    Broadcast baseline path (mirrors :func:`reciprocal_knn_pairs`): ids,
+    labels and the normalized matrix ship once via ``ray.put``; each batch
+    scores its block against every query with ONE matmul, masks same-label
+    and self entries, and emits its per-query block argmax — N rows per
+    block, folded on the driver with one lexsort (raises above
+    ``max_broadcast``; generate candidates with ``lsh_buckets``/IVF and
+    mask labels in the verify stage at that size). Null-label vectors are
+    excluded from both sides (SQL join semantics).
+
+    Output: ``({id_col}, hard_negative_id)`` — vectors whose label has no
+    cross-label counterpart are absent (matching the SQL inner join).
+    """
+    import ray as _ray
+
+    tabs = [pa.table(t) for t in _ray.get(
+        ds.select_columns([id_col, emb_col, label_col]).to_arrow_refs())
+        if t.num_rows]
+    from raycontract.pipelines.dedup import _emb_matrix
+
+    if not tabs:
+        z = pa.array([], pa.int64())
+        return pa.table({id_col: z, "hard_negative_id": z})
+    valid = [t.filter(pc.is_valid(t[label_col])) for t in tabs]
+    ids = np.concatenate([np.asarray(t[id_col], dtype=np.int64)
+                          for t in valid])
+    labels = np.concatenate([np.asarray(t[label_col].cast(pa.int64()))
+                             for t in valid])
+    if len(ids) > max_broadcast:
+        raise ValueError(
+            f"{len(ids)} vectors exceed max_broadcast={max_broadcast}; "
+            "generate candidates with lsh_buckets/IVF and apply the label "
+            "mask in the verify stage at this cardinality")
+    Q = _normalize(np.concatenate([_emb_matrix(t, emb_col) for t in valid]))
+    qref = _ray.put((ids, labels, Q))
+
+    def block_argmax(batch: pa.Table, _ref=qref) -> pa.Table:
+        qids, qlabels, Qn = _ray.get(_ref)
+        t = batch.filter(pc.is_valid(batch[label_col]))
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"qid": z, "nid": z,
+                             "score": pa.array([], pa.float64())})
+        bids = np.asarray(t[id_col], dtype=np.int64)
+        blabels = np.asarray(t[label_col].cast(pa.int64()))
+        M = _normalize(_emb_matrix(t, emb_col))
+        S = Qn @ M.T  # N × b
+        S[qlabels[:, None] == blabels[None, :]] = -np.inf  # same label/self
+        # per-query block argmax with id-asc tie-break: order block columns
+        # by id so the first max wins ties
+        order = np.argsort(bids, kind="stable")
+        S = S[:, order]
+        bi = S.argmax(axis=1)
+        best = S[np.arange(len(qids)), bi]
+        keep = np.isfinite(best)
+        return pa.table({"qid": pa.array(qids[keep]),
+                         "nid": pa.array(bids[order][bi[keep]]),
+                         "score": pa.array(best[keep])})
+
+    cand = pa.concat_tables(
+        [pa.table(t) for t in _ray.get(
+            ds.select_columns([id_col, emb_col, label_col]).map_batches(
+                block_argmax, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows])
+    if cand.num_rows == 0:
+        z = pa.array([], pa.int64())
+        return pa.table({id_col: z, "hard_negative_id": z})
+    qid = np.asarray(cand["qid"], np.int64)
+    nid = np.asarray(cand["nid"], np.int64)
+    sc = np.asarray(cand["score"], np.float64)
+    order = np.lexsort((nid, -sc, qid))  # per query: score desc, id asc
+    qs, ns = qid[order], nid[order]
+    firsts = np.r_[0, np.flatnonzero(qs[1:] != qs[:-1]) + 1]
+    out_q, out_n = qs[firsts], ns[firsts]
+    oo = np.argsort(out_q, kind="stable")
+    return pa.table({id_col: pa.array(out_q[oo]),
+                     "hard_negative_id": pa.array(out_n[oo])})

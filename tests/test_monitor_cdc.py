@@ -458,3 +458,39 @@ def test_pii_redact_planted_matches_duckdb(ray_session, duck):
     odf = con.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
     import pandas as _pd
     _pd.testing.assert_frame_equal(out, odf)
+
+
+def test_hard_negatives_planted_clusters(ray_session):
+    """Two tight clusters per label: the hard negative must be the nearest
+    OTHER-label vector, never a same-label one."""
+    from raycontract.pipelines.similarity import hard_negatives
+
+    rng = np.random.default_rng(3)
+    # label 0 around +e1, label 1 around a 10°-rotated direction, label 1
+    # far cluster around -e1
+    base0 = np.array([1.0, 0.0, 0.0])
+    base1 = np.array([np.cos(0.17), np.sin(0.17), 0.0])
+    base2 = np.array([-1.0, 0.0, 0.0])
+    vecs, labs = [], []
+    for i in range(6):
+        vecs.append(base0 + rng.normal(0, 0.01, 3)); labs.append(0)
+    for i in range(6):
+        vecs.append(base1 + rng.normal(0, 0.01, 3)); labs.append(1)
+    for i in range(4):
+        vecs.append(base2 + rng.normal(0, 0.01, 3)); labs.append(1)
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labs, pa.int32()),
+    })
+    out = hard_negatives(rd.from_arrow(t).repartition(3),
+                         "embedding", "vec_id", "label").to_pandas()
+    lab = dict(zip(range(len(labs)), labs))
+    assert len(out) == len(vecs)
+    for _, r in out.iterrows():
+        assert lab[r["vec_id"]] != lab[r["hard_negative_id"]]
+    # every label-0 vector's hard negative sits in the NEAR label-1
+    # cluster (ids 6-11), never the far one (12-15)
+    neg0 = out[out["vec_id"] < 6]["hard_negative_id"]
+    assert set(neg0).issubset(set(range(6, 12)))
