@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_documents": q.redact_pii_documents,
         "daily_value_quantiles_events": q.daily_value_quantiles_events,
         "hard_negatives_embeddings": q.hard_negatives_embeddings,
+        "mixture_plan_documents": q.mixture_plan_documents,
         # -------- rows-only (approximate / non-SQL / self-synthesized input)
         "phash_neardup_images": q.phash_neardup_images,
         "neardup_lsh_embeddings": q.neardup_lsh_embeddings,
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii_documents": q.redact_pii_documents_sql(),
         "daily_value_quantiles_events": q.daily_value_quantiles_events_sql(),
         "hard_negatives_embeddings": q.hard_negatives_embeddings_sql(),
+        "mixture_plan_documents": q.mixture_plan_documents_sql(),
         # no oracle (non-SQL-expressible / approximate / self-synthesized input):
         # contract_images_validation, approx_distinct_hll,
         # minhash/simhash pairs, dup_clusters_minhash, phash_neardup_images

@@ -3540,3 +3540,35 @@ FROM (SELECT qid, nid,
       FROM p)
 WHERE rn = 1
 """
+
+
+def mixture_plan_documents(sf_dir: str) -> pa.Table:
+    """Domain-reweighting planner: per-source token mass and the uniform-
+    target Bernoulli keep-rate (micro-units) that mixture_sample applies —
+    grouped integer partials + one fold, plan math in the oracle's exact
+    expression order."""
+    from raycontract.pipelines.sampling import mixture_plan
+
+    d = _read(sf_dir, "documents", ["source", "text"])
+    return mixture_plan(d, "source", "text")
+
+
+def mixture_plan_documents_sql() -> str:
+    return """
+WITH c AS (SELECT source AS g,
+                  CAST(length(text) - length(replace(text, ' ', '')) + 1
+                       AS BIGINT) AS tok
+           FROM documents
+           WHERE source IS NOT NULL AND text IS NOT NULL),
+m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS n_tokens
+      FROM c GROUP BY g),
+t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+             CAST(count(*) AS DOUBLE) AS k FROM m)
+SELECT g AS source, n_docs, n_tokens,
+       CAST(round(CAST(n_tokens AS DOUBLE) / tot * 1e6) AS BIGINT)
+         AS share_micro,
+       CAST(round(least(1.0, (1.0 / k * tot) / CAST(n_tokens AS DOUBLE))
+                  * 1e6) AS BIGINT) AS rate_micro
+FROM m, t
+"""

@@ -200,3 +200,67 @@ def weighted_sample(ds, id_col: str, weight_col: str, scale: float,
         return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mixture_plan(ds, group_col: str, text_col: str):
+    """Mixture PLANNER — computes the per-group sampling rates that
+    :func:`mixture_sample` applies: given the corpus's actual token mass per
+    group, the Bernoulli keep-rate that equalizes every group's contribution
+    (uniform target shares; groups below their quota keep everything,
+    rate capped at 1). The domain-reweighting step every LLM data recipe
+    runs before mixing.
+
+    One pass of per-group (docs, tokens) integer partials (whitespace
+    tokens = space-count + 1, the repo's oracle convention) + one adaptive
+    fold; the plan itself is driver math over the K-groups table in the
+    oracle's exact expression order, rates in integer micro-units.
+
+    Output: ``({group_col}, n_docs, n_tokens, share_micro, rate_micro)``.
+    """
+    import ray as _ray
+
+    from raycontract.pipelines.smallagg import groupby_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_kleene(pc.is_valid(batch[group_col]),
+                                       pc.is_valid(batch[text_col])))
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"g": pa.array([], pa.string()),
+                             "nd": z, "nt": z})
+        txt = t[text_col]
+        n_chars = pc.utf8_length(txt)
+        stripped = pc.utf8_length(pc.replace_substring(txt, " ", ""))
+        tok = np.asarray(pc.add(pc.subtract(n_chars, stripped), 1),
+                         dtype=np.int64)
+        g = np.asarray(t[group_col].cast(pa.string()))
+        uniq, inv = np.unique(g, return_inverse=True)
+        nd = np.bincount(inv).astype(np.int64)
+        nt = np.zeros(len(uniq), np.int64)
+        np.add.at(nt, inv, tok)
+        return pa.table({"g": pa.array(uniq), "nd": pa.array(nd),
+                         "nt": pa.array(nt)})
+
+    tabs = [pa.table(t) for t in _ray.get(
+        groupby_sum(ds.select_columns([group_col, text_col]).map_batches(
+            partial, batch_format="pyarrow"), ["g"], ["nd", "nt"]
+        ).to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        z = pa.array([], pa.int64())
+        return pa.table({group_col: pa.array([], pa.string()), "n_docs": z,
+                         "n_tokens": z, "share_micro": z, "rate_micro": z})
+    f = pa.concat_tables(tabs)
+    g = np.asarray(f["g"])
+    order = np.argsort(g, kind="stable")
+    g = g[order]
+    nd = np.asarray(f["nd"], np.int64)[order]
+    nt = np.asarray(f["nt"], np.int64)[order]
+    tot = float(nt.sum())
+    k = float(len(g))
+    share = nt.astype(np.float64) / tot
+    rate = np.minimum(1.0, (1.0 / k * tot) / nt.astype(np.float64))
+    rnd = lambda x: (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)  # noqa: E731
+    return pa.table({group_col: pa.array(g.tolist(), pa.string()),
+                     "n_docs": pa.array(nd), "n_tokens": pa.array(nt),
+                     "share_micro": pa.array(rnd(share * 1e6)),
+                     "rate_micro": pa.array(rnd(rate * 1e6))})

@@ -494,3 +494,25 @@ def test_hard_negatives_planted_clusters(ray_session):
     # cluster (ids 6-11), never the far one (12-15)
     neg0 = out[out["vec_id"] < 6]["hard_negative_id"]
     assert set(neg0).issubset(set(range(6, 12)))
+
+
+def test_mixture_plan_skewed_sources(ray_session):
+    """A 9:1 token-skewed corpus: the heavy source gets rate ≈ 5/9 (uniform
+    2-way target), the light one keeps everything (rate capped at 1)."""
+    from raycontract.pipelines.sampling import mixture_plan
+
+    t = pa.table({
+        "src": pa.array(["big"] * 9 + ["small"] + [None, "big"]),
+        "text": pa.array(["a b c d e f g h i j"] * 9   # 10 tokens each
+                         + ["x y z w v u q r s t"]      # 10 tokens
+                         + ["ignored", None]),
+    })
+    out = mixture_plan(rd.from_arrow(t).repartition(3),
+                       "src", "text").to_pandas().set_index("src")
+    assert out.loc["big", "n_tokens"] == 90
+    assert out.loc["small", "n_tokens"] == 10
+    # total 100, uniform target 50 per source: big rate 50/90, small 1.0
+    assert out.loc["big", "rate_micro"] == round(50 / 90 * 1e6)
+    assert out.loc["small", "rate_micro"] == 1_000_000
+    assert out.loc["big", "share_micro"] == 900_000
+    assert len(out) == 2  # null source/text rows excluded
