@@ -41,8 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (driver-green in ALL of rounds 1-4: freshness_retention, pricing_summary,
     # top_customers, dedup_exact, neardup_cosine) rotated past the cap;
     # tests/test_entry_parity.py enforces parity locally for EVERY
-    # oracle_sql() entry on every pytest run (102 pairs after the round-5
-    # additions, all past the cap).
+    # oracle_sql() entry on every pytest run (all round-5 additions sit
+    # past the cap; SURVEY §2f carries the authoritative counts).
     return {
         # -------- oracle-paired (every key here has an oracle_sql() entry)
         # contract validation (SURVEY §2a)

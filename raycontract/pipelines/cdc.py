@@ -199,13 +199,14 @@ def snapshot_diff_counts(ds_a, ds_b, key_col: str, cols: list[str]):
                                     pa.int64()),
         })
 
-    cols = ["n_a", "n_b", "n_added", "n_removed", "n_changed", "n_unchanged"]
+    out_cols = ["n_a", "n_b", "n_added", "n_removed", "n_changed",
+                "n_unchanged"]  # NOT `cols`: the side() closures capture it
     tabs = [pa.table(t) for t in ray.get(
         groupby_agg(folded_ds.map_batches(classify, batch_format="pyarrow"),
-                    ["k"], {c: "sum" for c in cols}).to_arrow_refs())
+                    ["k"], {c: "sum" for c in out_cols}).to_arrow_refs())
         if t.num_rows]
     if not tabs:
         z = pa.array([0], pa.int64())
-        return pa.table({c: z for c in cols})
+        return pa.table({c: z for c in out_cols})
     f = pa.concat_tables(tabs)
-    return pa.table({c: f[c].cast(pa.int64()) for c in cols})
+    return pa.table({c: f[c].cast(pa.int64()) for c in out_cols})

@@ -526,21 +526,26 @@ def _grouped_pair_counts(ds, group_col: str, value_col: str,
         return t.group_by(["g", "v"]).aggregate([("n", "sum")]
                                                 ).rename_columns(["g", "v", "n"])
 
-    tabs = [pa.table(t) for t in ray.get(
-        groupby_sum(ds.select_columns([group_col, value_col]).map_batches(
+    refs = groupby_sum(
+        ds.select_columns([group_col, value_col]).map_batches(
             partial, batch_format="pyarrow"), ["g", "v"], ["n"]
-        ).to_arrow_refs()) if t.num_rows]
+    ).to_arrow_refs()
+    tabs, total = [], 0
+    for r in refs:  # enforce the budget DURING the fetch, before the memory
+        t = pa.table(ray.get(r))
+        if t.num_rows:
+            tabs.append(t)
+            total += t.num_rows
+        if total > max_driver_rows:
+            raise ValueError(
+                f">{max_driver_rows} distinct (group, value) pairs exceed "
+                "the driver budget; bucket the value column "
+                "(psi_by_group's fixed-width buckets) at this cardinality")
     if not tabs:
         return pa.table({"g": pa.array([], pa.string()),
                          "v": pa.array([], value_type),
                          "n": pa.array([], pa.int64())})
-    out = pa.concat_tables(tabs)
-    if out.num_rows > max_driver_rows:
-        raise ValueError(
-            f"{out.num_rows} distinct (group, value) pairs exceed the "
-            f"driver budget ({max_driver_rows}); bucket the value column "
-            "(psi_by_group's fixed-width buckets) at this cardinality")
-    return out
+    return pa.concat_tables(tabs)
 
 
 # ---------------------------------------------------------------- entropy

@@ -1154,10 +1154,9 @@ def join_skew_profile(ds_left, ds_right, left_key: str, right_key: str,
     the sides, and the top-k product scan is vectorized over the folded
     key table. Null keys are excluded (equi-joins never match them).
 
-    Output: ``(key, n_left, n_right, n_out)`` — the top keys by n_out —
-    plus a summary row is NOT mixed in; totals belong to the caller
-    (sum(n_out) over ALL keys = exact join cardinality, exposed via the
-    companion :func:`join_cardinality`).
+    Output: ``(key, n_left, n_right, n_out)`` — the ``top`` keys by
+    n_out. (The exact join cardinality is the sum of n_out over ALL keys;
+    this profile intentionally returns only the heavy tail.)
     """
     from raycontract.pipelines.smallagg import groupby_sum
 
@@ -1188,6 +1187,14 @@ def join_skew_profile(ds_left, ds_right, left_key: str, right_key: str,
     k = np.asarray(f["k"], np.int64)
     nl = np.asarray(f["nl"], np.int64)
     nr = np.asarray(f["nr"], np.int64)
+    # int64 wraparound guard: the one key this operator exists to catch
+    # (billions × billions) must raise loudly like the BIGINT oracle, not
+    # rank last with a garbage negative product
+    if len(nl) and float(nl.max()) * float(nr.max()) >= 2.0 ** 62:
+        raise ValueError(
+            "join_skew_profile per-key product would overflow int64 "
+            f"(max n_left={nl.max()}, max n_right={nr.max()}); widen to "
+            "object/hugeint products at this multiplicity")
     prod = nl * nr
     # top-k by (product desc, key asc): lexsort on (-prod, k)… numpy lexsort
     # sorts by last key primary

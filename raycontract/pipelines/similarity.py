@@ -693,14 +693,14 @@ def hard_negatives(ds, emb_col: str = "embedding", id_col: str = "vec_id",
                          "nid": pa.array(bids[order][bi[keep]]),
                          "score": pa.array(best[keep])})
 
-    cand = pa.concat_tables(
-        [pa.table(t) for t in _ray.get(
-            ds.select_columns([id_col, emb_col, label_col]).map_batches(
-                block_argmax, batch_format="pyarrow").to_arrow_refs())
-         if t.num_rows])
-    if cand.num_rows == 0:
+    cand_tabs = [pa.table(t) for t in _ray.get(
+        ds.select_columns([id_col, emb_col, label_col]).map_batches(
+            block_argmax, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not cand_tabs:  # single-label / all-null corpora: SQL join is empty
         z = pa.array([], pa.int64())
         return pa.table({id_col: z, "hard_negative_id": z})
+    cand = pa.concat_tables(cand_tabs)
     qid = np.asarray(cand["qid"], np.int64)
     nid = np.asarray(cand["nid"], np.int64)
     sc = np.asarray(cand["score"], np.float64)

@@ -516,3 +516,19 @@ def test_mixture_plan_skewed_sources(ray_session):
     assert out.loc["small", "rate_micro"] == 1_000_000
     assert out.loc["big", "share_micro"] == 900_000
     assert len(out) == 2  # null source/text rows excluded
+
+
+def test_hard_negatives_single_label_empty(ray_session):
+    """Regression (review finding): a single-label corpus returns the
+    empty table the SQL cross-label join would, not a concat crash."""
+    from raycontract.pipelines.similarity import hard_negatives
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([5, 5], pa.int32()),
+    })
+    out = hard_negatives(rd.from_arrow(t), "embedding", "vec_id", "label")
+    assert out.num_rows == 0
+    assert out.column_names == ["vec_id", "hard_negative_id"]
