@@ -3144,7 +3144,8 @@ SELECT q.g AS o_custkey, q.q1 AS q1_cents, q.q3 AS q3_cents,
          WHERE 2 * c.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
             OR 2 * c.v > 2 * q.q3 + 3 * (q.q3 - q.q1)) AS BIGINT)
          AS n_outliers
-FROM c JOIN q USING (g) GROUP BY q.g, q.q1, q.q3
+FROM c JOIN q ON c.g IS NOT DISTINCT FROM q.g
+GROUP BY q.g, q.q1, q.q3
 """
 
 
@@ -3360,14 +3361,15 @@ WITH c AS (SELECT o_custkey AS g,
 m AS (SELECT g, CAST(quantile_disc(v, 0.5) AS BIGINT) AS med
       FROM c GROUP BY g),
 d AS (SELECT c.g, c.v, m.med, abs(c.v - m.med) AS dev
-      FROM c JOIN m USING (g)),
+      FROM c JOIN m ON c.g IS NOT DISTINCT FROM m.g),
 md AS (SELECT g, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
        FROM d GROUP BY g)
 SELECT d.g AS o_custkey, d.med AS median_cents, md.mad AS mad_cents,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(*) FILTER (WHERE d.dev > 3 * md.mad) AS BIGINT)
          AS n_outliers
-FROM d JOIN md USING (g) GROUP BY d.g, d.med, md.mad
+FROM d JOIN md ON d.g IS NOT DISTINCT FROM md.g
+GROUP BY d.g, d.med, md.mad
 """
 
 

@@ -1,0 +1,210 @@
+"""Seeded randomized equivalence: the session-3 operators vs DuckDB on
+random tables WITH nulls and ties — inputs the curated fixtures don't
+reach. Deterministic seeds (no flakiness); each case builds a fresh table,
+runs the engine distributed (multi-block) and the oracle SQL over the same
+rows, and compares values exactly."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _events(seed: int, n: int = 400) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.integers(1_700_000_000_000_000,
+                              1_700_000_000_000_000 + 30 * 86_400_000_000,
+                              n))
+    ts_mask = rng.random(n) < 0.03
+    user = rng.integers(0, 12, n)
+    user_mask = rng.random(n) < 0.05
+    val = np.round(rng.normal(50, 20, n), 2)
+    val_mask = rng.random(n) < 0.05
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array([None if m else int(t) for m, t in zip(ts_mask, ts)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([None if m else int(u)
+                             for m, u in zip(user_mask, user)], pa.int64()),
+        "value": pa.array([None if m else float(v)
+                           for m, v in zip(val_mask, val)], pa.float64()),
+    })
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_latest_snapshot_random(ray_session, seed):
+    from raycontract.pipelines.cdc import latest_snapshot
+
+    t = _events(seed)
+    got = latest_snapshot(rd.from_arrow(t).repartition(5),
+                          "user_id", "ts", "event_id").to_pandas()
+    con = duckdb.connect()
+    con.register("e", t)
+    exp = con.sql("""
+        SELECT event_id, ts, user_id, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) rn
+          FROM e) WHERE rn = 1""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_control_chart_random(ray_session, seed):
+    from raycontract.pipelines.dataprofile import control_chart
+
+    t = _events(seed)
+    got = control_chart(rd.from_arrow(t).repartition(4), "ts",
+                        bucket_s=86400, window=7, z=3).to_pandas()
+    con = duckdb.connect()
+    con.register("e", t)
+    exp = con.sql("""
+        WITH d AS (SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT)
+                     AS bucket_us, CAST(count(*) AS BIGINT) AS n
+                   FROM e WHERE ts IS NOT NULL GROUP BY 1),
+        w AS (SELECT bucket_us, n,
+                CAST(count(n) OVER win AS BIGINT) w,
+                CAST(coalesce(sum(n) OVER win, 0) AS BIGINT) s,
+                CAST(coalesce(sum(n*n) OVER win, 0) AS BIGINT) ss
+              FROM d WINDOW win AS (ORDER BY bucket_us
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT bucket_us, n AS n_rows, w AS n_window,
+               CAST(CASE WHEN w >= 3
+                      AND (w*n - s)*(w*n - s) > 9*(w*ss - s*s)
+                    THEN 1 ELSE 0 END AS BIGINT) AS flagged FROM w""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [6, 7, 8])
+def test_tukey_and_mad_random(ray_session, seed):
+    from raycontract.pipelines.groupstats import (mad_outlier_counts,
+                                                  tukey_outlier_counts)
+
+    t = _events(seed, n=300)
+    ds = rd.from_arrow(t).repartition(4)
+    con = duckdb.connect()
+    con.register("e", t)
+
+    got = tukey_outlier_counts(ds, "user_id", "value").to_pandas()
+    exp = con.sql("""
+        WITH c AS (SELECT user_id AS g, CAST(round(value*100) AS BIGINT) v
+                   FROM e WHERE value IS NOT NULL),
+        q AS (SELECT g, CAST(quantile_disc(v, 0.25) AS BIGINT) q1,
+                     CAST(quantile_disc(v, 0.75) AS BIGINT) q3
+              FROM c GROUP BY g)
+        SELECT q.g AS user_id, q.q1 AS q1_cents, q.q3 AS q3_cents,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (
+                 WHERE 2*c.v < 2*q.q1 - 3*(q.q3-q.q1)
+                    OR 2*c.v > 2*q.q3 + 3*(q.q3-q.q1)) AS BIGINT)
+                 AS n_outliers
+        FROM c JOIN q ON c.g IS NOT DISTINCT FROM q.g GROUP BY q.g, q.q1, q.q3""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = mad_outlier_counts(ds, "user_id", "value", k=3).to_pandas()
+    exp = con.sql("""
+        WITH c AS (SELECT user_id AS g, CAST(round(value*100) AS BIGINT) v
+                   FROM e WHERE value IS NOT NULL),
+        m AS (SELECT g, CAST(quantile_disc(v, 0.5) AS BIGINT) med
+              FROM c GROUP BY g),
+        d AS (SELECT c.g, c.v, m.med, abs(c.v - m.med) AS dev
+              FROM c JOIN m ON c.g IS NOT DISTINCT FROM m.g),
+        md AS (SELECT g, CAST(quantile_disc(dev, 0.5) AS BIGINT) mad
+               FROM d GROUP BY g)
+        SELECT d.g AS user_id, d.med AS median_cents, md.mad AS mad_cents,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE d.dev > 3*md.mad) AS BIGINT)
+                 AS n_outliers
+        FROM d JOIN md ON d.g IS NOT DISTINCT FROM md.g GROUP BY d.g, d.med, md.mad""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [9, 10, 11])
+def test_grouped_topk_random(ray_session, seed):
+    from raycontract.pipelines.relational import grouped_topk_values
+
+    rng = np.random.default_rng(seed)
+    n = 500
+    g = rng.integers(0, 15, n)
+    gm = rng.random(n) < 0.05
+    v = rng.integers(0, 6, n)
+    vm = rng.random(n) < 0.05
+    t = pa.table({
+        "g": pa.array([None if m else int(x) for m, x in zip(gm, g)],
+                      pa.int64()),
+        "v": pa.array([None if m else f"v{int(x)}"
+                       for m, x in zip(vm, v)]),
+    })
+    got = grouped_topk_values(rd.from_arrow(t).repartition(4),
+                              "g", "v", k=2).to_pandas()
+    con = duckdb.connect()
+    con.register("e", t)
+    exp = con.sql("""
+        SELECT g, v, n, rank FROM (
+          SELECT g, v, n, CAST(row_number() OVER (PARTITION BY g
+                 ORDER BY n DESC, v) AS BIGINT) AS rank
+          FROM (SELECT g, v, CAST(count(*) AS BIGINT) n FROM e
+                WHERE v IS NOT NULL GROUP BY 1, 2))
+        WHERE rank <= 2""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [12, 13])
+def test_snapshot_diff_random(ray_session, seed):
+    from raycontract.pipelines.cdc import snapshot_diff_counts
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    a = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "s": pa.array([None if rng.random() < 0.1 else f"s{rng.integers(5)}"
+                       for _ in range(n)]),
+        "x": pa.array(np.round(rng.normal(0, 9, n), 3), pa.float64()),
+    })
+    # B: drop ~10%, mutate ~15%, add 30 new keys
+    keep = rng.random(n) >= 0.1
+    mut = rng.random(n) < 0.15
+    xs = np.asarray(a["x"])
+    x2 = np.where(mut, np.round(xs + 1.5, 3), xs)
+    b = pa.table({
+        "k": pa.array(np.concatenate([np.arange(n)[keep],
+                                      np.arange(n, n + 30)]).astype(np.int64)),
+        "s": pa.array([v for v, kp in zip(a["s"].to_pylist(), keep) if kp]
+                      + ["new"] * 30),
+        "x": pa.array(np.concatenate([x2[keep], np.zeros(30)]),
+                      pa.float64()),
+    })
+    got = snapshot_diff_counts(rd.from_arrow(a).repartition(3),
+                               rd.from_arrow(b).repartition(4),
+                               "k", ["s", "x"]).to_pandas().iloc[0]
+    con = duckdb.connect()
+    con.register("ta", a)
+    con.register("tb", b)
+    exp = con.sql("""
+        WITH j AS (SELECT ta.k AS ka, tb.k AS kb,
+                     (coalesce(CAST(ta.s AS VARCHAR), chr(1)) =
+                      coalesce(CAST(tb.s AS VARCHAR), chr(1))
+                      AND ta.x = tb.x) AS same
+                   FROM ta FULL JOIN tb ON ta.k = tb.k)
+        SELECT CAST((SELECT count(*) FROM ta) AS BIGINT) n_a,
+               CAST((SELECT count(*) FROM tb) AS BIGINT) n_b,
+               CAST(count(*) FILTER (WHERE ka IS NULL) AS BIGINT) n_added,
+               CAST(count(*) FILTER (WHERE kb IS NULL) AS BIGINT) n_removed,
+               CAST(count(*) FILTER (WHERE ka IS NOT NULL
+                    AND kb IS NOT NULL AND NOT same) AS BIGINT) n_changed,
+               CAST(count(*) FILTER (WHERE ka IS NOT NULL
+                    AND kb IS NOT NULL AND same) AS BIGINT) n_unchanged
+        FROM j""").df().iloc[0]
+    for c in ["n_a", "n_b", "n_added", "n_removed", "n_changed",
+              "n_unchanged"]:
+        assert got[c] == exp[c], (c, got[c], exp[c])
