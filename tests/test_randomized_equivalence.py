@@ -208,3 +208,139 @@ def test_snapshot_diff_random(ray_session, seed):
     for c in ["n_a", "n_b", "n_added", "n_removed", "n_changed",
               "n_unchanged"]:
         assert got[c] == exp[c], (c, got[c], exp[c])
+
+
+@pytest.mark.parametrize("seed", [14, 15, 16])
+def test_trend_slope_random(ray_session, seed):
+    from raycontract.pipelines.dataprofile import trend_slope_by_group
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    ts = rng.integers(1_700_000_000_000_000,
+                      1_700_000_000_000_000 + 20 * 86_400_000_000, n)
+    g = rng.integers(0, 6, n)
+    t = pa.table({
+        "g": pa.array([None if rng.random() < 0.05 else f"g{int(x)}"
+                       for x in g]),
+        "ts": pa.array([None if rng.random() < 0.03 else int(x)
+                        for x in ts], pa.timestamp("us")),
+        "v": pa.array([None if rng.random() < 0.05
+                       else float(np.round(rng.normal(10, 4), 2))
+                       for _ in range(n)], pa.float64()),
+    })
+    got = trend_slope_by_group(rd.from_arrow(t).repartition(4),
+                               "g", "ts", "v").to_pandas()
+    con = duckdb.connect()
+    con.register("e", t)
+    exp = con.sql("""
+        WITH c AS (SELECT g, epoch_us(ts) // 1000000
+                     - (SELECT epoch_us(min(ts)) // 1000000 FROM e
+                        WHERE g IS NOT NULL AND ts IS NOT NULL
+                          AND v IS NOT NULL) AS x,
+                     CAST(round(v * 100) AS BIGINT) AS y
+                   FROM e WHERE g IS NOT NULL AND ts IS NOT NULL
+                     AND v IS NOT NULL),
+        m AS (SELECT g, CAST(count(*) AS DOUBLE) n,
+                     CAST(sum(x) AS DOUBLE) sx, CAST(sum(y) AS DOUBLE) sy,
+                     CAST(sum(x*x) AS DOUBLE) sxx,
+                     CAST(sum(x*y) AS DOUBLE) sxy
+              FROM c GROUP BY g)
+        SELECT g, CAST(n AS BIGINT) AS n_rows,
+               CAST(round(CASE WHEN n*sxx - sx*sx > 0
+                    THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) * 86400.0 * 1e6
+                    ELSE 0.0 END) AS BIGINT) AS slope_day_micro
+        FROM m""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [17, 18])
+def test_entropy_ks_fd_random(ray_session, seed):
+    from raycontract.pipelines.dataprofile import (entropy_by_group,
+                                                   fd_violations,
+                                                   ks_by_group)
+
+    rng = np.random.default_rng(seed)
+    n = 600
+    t = pa.table({
+        "g": pa.array([None if rng.random() < 0.05 else f"s{rng.integers(8)}"
+                       for _ in range(n)]),
+        "v": pa.array([None if rng.random() < 0.05
+                       else int(rng.integers(0, 40))
+                       for _ in range(n)], pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+    con = duckdb.connect()
+    con.register("e", t)
+
+    got = entropy_by_group(ds, "g", "v").to_pandas()
+    exp = con.sql("""
+        WITH c AS (SELECT g, CAST(v AS VARCHAR) AS v,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM e WHERE g IS NOT NULL AND v IS NOT NULL
+                   GROUP BY 1, 2),
+        m AS (SELECT g, CAST(sum(n) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS s
+              FROM c GROUP BY g)
+        SELECT g, n_rows, n_distinct,
+               CAST(round((ln(CAST(n_rows AS DOUBLE))
+                           - s / CAST(n_rows AS DOUBLE)) * 1e6) AS BIGINT)
+                 AS entropy_micro
+        FROM m""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = ks_by_group(ds, "g", "v").to_pandas()
+    exp = con.sql("""
+        WITH c AS (SELECT g, v FROM e
+                   WHERE g IS NOT NULL AND v IS NOT NULL),
+        vals AS (SELECT DISTINCT v FROM c),
+        grp AS (SELECT g, CAST(count(*) AS BIGINT) AS ng FROM c GROUP BY g),
+        gv AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY v),
+        gcum AS (SELECT v, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum
+                 FROM gv),
+        gc AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n
+               FROM c GROUP BY g, v),
+        dense AS (SELECT grp.g, vals.v, grp.ng, coalesce(gc.n, 0) AS n
+                  FROM grp CROSS JOIN vals
+                  LEFT JOIN gc ON gc.g = grp.g AND gc.v = vals.v),
+        dcum AS (SELECT g, v, ng,
+                   CAST(sum(n) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+                     AS cumg FROM dense)
+        SELECT d.g, CAST(d.ng AS BIGINT) AS n_rows,
+               CAST(round(max(abs(CAST(d.cumg AS DOUBLE)
+                      / CAST(d.ng AS DOUBLE)
+                      - CAST(gcum.cum AS DOUBLE)
+                        / CAST((SELECT count(*) FROM c) AS DOUBLE)))
+                      * 1e6) AS BIGINT) AS ks_micro
+        FROM dcum d JOIN gcum USING (v) GROUP BY d.g, d.ng""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = fd_violations(ds, "g", "v").to_pandas()
+    exp = con.sql("""
+        SELECT g, CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_dep
+        FROM e GROUP BY g HAVING count(DISTINCT v) > 1""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [19, 20])
+def test_orphan_rate_random(ray_session, seed):
+    from raycontract.pipelines.dataprofile import orphan_rate_daily
+
+    t = _events(seed)
+    ref = pa.table({"rk": pa.array(
+        list(np.random.default_rng(seed + 100).integers(0, 8, 30)),
+        pa.int64())})
+    got = orphan_rate_daily(rd.from_arrow(t).repartition(4),
+                            rd.from_arrow(ref).repartition(2),
+                            "user_id", "rk", "ts").to_pandas()
+    con = duckdb.connect()
+    con.register("e", t)
+    con.register("r", ref)
+    exp = con.sql("""
+        SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE NOT EXISTS
+                 (SELECT 1 FROM r WHERE r.rk = e.user_id)) AS BIGINT)
+                 AS n_orphan
+        FROM e WHERE ts IS NOT NULL GROUP BY 1""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
