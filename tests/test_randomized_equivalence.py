@@ -344,3 +344,81 @@ def test_orphan_rate_random(ray_session, seed):
                  AS n_orphan
         FROM e WHERE ts IS NOT NULL GROUP BY 1""").df()
     pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+def _events_dense(seed: int, n: int = 500) -> pa.Table:
+    """Events with non-null ts/ids but null users, values and types —
+    the window family's ordering columns are total, payloads nullable."""
+    rng = np.random.default_rng(seed)
+    base = 1_700_000_000_000_000
+    # coarse ts grid → plenty of exact ts TIES (RANGE-frame peers)
+    ts = base + rng.integers(0, 2000, n) * 1_000_000
+    types = ["view", "click", "purchase", "error", None]
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "user_id": pa.array([None if rng.random() < 0.05
+                             else int(rng.integers(0, 10))
+                             for _ in range(n)], pa.int64()),
+        "event_type": pa.array([types[rng.integers(0, 5)]
+                                for _ in range(n)]),
+        "value": pa.array(np.round(rng.normal(5, 2, n), 3), pa.float64()),
+    })
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_window_family_random(ray_session, seed):
+    from raycontract.pipelines.window import (ordered_string_agg,
+                                              rolling_time_window,
+                                              running_total,
+                                              throttle_first_in_window)
+
+    t = _events_dense(seed)
+    ds = rd.from_arrow(t).repartition(5)
+    con = duckdb.connect()
+    con.register("e", t)
+
+    got = running_total(ds, "user_id", "ts", "event_id",
+                        "value").to_pandas()
+    exp = con.sql("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_micros
+        FROM e""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = rolling_time_window(ds, "user_id", "ts", "event_id", "value",
+                              window_s=600).to_pandas()
+    exp = con.sql("""
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+               CAST(SUM(micros) OVER w AS BIGINT) AS sum_window_micros
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(ROUND(value * 1000000) AS BIGINT) AS micros
+              FROM e)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING
+             AND CURRENT ROW)""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = ordered_string_agg(ds, "user_id", "ts", "event_id",
+                             "event_type").to_pandas()
+    exp = con.sql("""
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+        FROM e GROUP BY user_id""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = throttle_first_in_window(ds, "user_id", "ts", "event_id",
+                                   window_s=300).to_pandas()
+    exp = con.sql("""
+        SELECT event_id, user_id,
+               (d IS NULL OR d > INTERVAL 300 SECONDS) AS kept
+        FROM (SELECT event_id, user_id,
+                     ts - LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS d
+              FROM e)""").df()
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
