@@ -422,3 +422,49 @@ def test_window_family_random(ray_session, seed):
     got = got[sorted(got.columns)]
     exp = exp[sorted(exp.columns)]
     pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [23, 24])
+def test_asof_join_random(ray_session, seed):
+    """Random nulls + duplicate (key, ts) right rows: engine tie-break =
+    max of the first right col, mirrored in the oracle's pre-aggregation
+    (DuckDB ASOF leaves ties unspecified, so the oracle collapses them)."""
+    from raycontract.pipelines.joins import asof_join
+
+    rng = np.random.default_rng(seed)
+    nl, nr = 300, 120
+    base = 1_700_000_000_000_000
+    left = pa.table({
+        "lid": pa.array(np.arange(nl, dtype=np.int64)),
+        "k": pa.array([None if rng.random() < 0.05
+                       else int(rng.integers(0, 8)) for _ in range(nl)],
+                      pa.int64()),
+        "lts": pa.array([None if rng.random() < 0.03
+                         else base + int(rng.integers(0, 500)) * 1_000_000
+                         for _ in range(nl)], pa.timestamp("us")),
+    })
+    # coarse right ts grid → duplicate (k, ts) pairs exercise the tie-break
+    right = pa.table({
+        "rid": pa.array(np.arange(nr, dtype=np.int64) + 1000),
+        "k": pa.array([int(rng.integers(0, 8)) for _ in range(nr)],
+                      pa.int64()),
+        "rts": pa.array([base + int(rng.integers(0, 50)) * 10_000_000
+                         for _ in range(nr)], pa.timestamp("us")),
+    })
+    got = asof_join(rd.from_arrow(left).repartition(4),
+                    rd.from_arrow(right).repartition(3),
+                    "k", "lts", "rts", ["rid"]).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r0", right)
+    # NOTE: DuckDB's ASOF JOIN *matches* a NULL left timestamp to the
+    # key's latest right row (a nulls-last sort quirk of its merge
+    # implementation, diverging from its own comparison semantics where
+    # NULL >= x is NULL). The engine follows the documented SQL-comparison
+    # contract — NULL ts matches nothing — so the oracle filters them.
+    exp = con.sql("""
+        WITH r AS (SELECT k, rts, max(rid) AS rid FROM r0 GROUP BY 1, 2)
+        SELECT l.lid, l.k, l.lts, r.rid
+        FROM (SELECT * FROM l WHERE lts IS NOT NULL) l
+        ASOF JOIN r ON l.k = r.k AND l.lts >= r.rts""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
