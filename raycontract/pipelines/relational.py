@@ -213,11 +213,21 @@ def sessionize_events(events_ds, gap_minutes: int = 30,
                              "n_events": pa.array([], pa.int64()),
                              "session_start": pa.array([], ts_type),
                              "session_end": pa.array([], ts_type)})
-        users = np.asarray(part["user_id"])
+        ucol = part["user_id"].combine_chunks() if isinstance(
+            part["user_id"], pa.ChunkedArray) else part["user_id"]
+        # null users form ONE partition (SQL PARTITION BY semantics) — a
+        # bare np.asarray would turn them into NaN floats where NaN != NaN
+        # makes every null row its own session (caught by the randomized
+        # equivalence suite)
+        unull = np.asarray(pc.is_null(ucol))
+        users = np.where(unull, np.int64(-(2 ** 62)),
+                         np.asarray(pc.fill_null(pc.cast(ucol, pa.int64()),
+                                                 0)))
         ts = np.asarray(pc.cast(part["ts"].combine_chunks(),
                                 pa.timestamp("us")).cast(pa.int64()))
         order = np.lexsort((ts, users))
         u, t = users[order], ts[order]
+        unull_o = unull[order]
         n = len(t)
         new_user = np.zeros(n, dtype=bool)
         new_user[0] = True
@@ -236,8 +246,13 @@ def sessionize_events(events_ds, gap_minutes: int = 30,
         session_id_row = sess_cum - sess_before_row       # restarts at 1 per user
         start_us = t[sess_start]
         end_us = t[sess_end]
+        out_u = pc.if_else(
+            pa.array(unull_o[sess_start]),
+            pa.scalar(None, pa.int64()),
+            pa.array(np.where(unull_o[sess_start], 0,
+                              u[sess_start]))).cast(ucol.type)
         return pa.table({
-            "user_id": pa.array(u[sess_start]),
+            "user_id": out_u,
             "session_id": pa.array(session_id_row[sess_start]),
             "n_events": pa.array((sess_end - sess_start + 1).astype(np.int64)),
             "session_start": pc.cast(pa.array(start_us, pa.int64()).cast(

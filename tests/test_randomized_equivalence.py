@@ -468,3 +468,62 @@ def test_asof_join_random(ray_session, seed):
         FROM (SELECT * FROM l WHERE lts IS NOT NULL) l
         ASOF JOIN r ON l.k = r.k AND l.lts >= r.rts""").df()
     pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [25, 26])
+def test_sessionize_lag_rank_random(ray_session, seed):
+    from raycontract.pipelines.joins import lag_delta
+    from raycontract.pipelines.relational import sessionize_events
+    from raycontract.pipelines.window import group_rank
+
+    t = _events_dense(seed)  # ts ties + null users/types, non-null ids
+    ds = rd.from_arrow(t).repartition(5)
+    con = duckdb.connect()
+    con.register("e", t)
+
+    got = lag_delta(ds.select_columns(["event_id", "ts", "user_id"]),
+                    "user_id", "ts", "event_id").to_pandas()
+    got = got[["event_id", "user_id", "delta"]].dropna(subset=["delta"])
+    got["delta"] = got["delta"].astype("int64")
+    exp = con.sql("""
+        SELECT event_id, user_id, delta FROM (
+          SELECT event_id, user_id,
+                 CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                   AS delta
+          FROM e) t WHERE delta IS NOT NULL""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = group_rank(ds.select_columns(["event_id", "user_id", "value"]),
+                     "user_id", "value", "event_id", buckets=4).to_pandas()
+    exp = con.sql("""
+        SELECT event_id, user_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS row_num,
+               CAST(RANK() OVER wt AS BIGINT) AS rnk,
+               CAST(PERCENT_RANK() OVER wt AS DOUBLE) AS pct_rank,
+               CAST(NTILE(4) OVER w AS BIGINT) AS bucket
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id),
+               wt AS (PARTITION BY user_id ORDER BY value)""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = sessionize_events(
+        ds.select_columns(["user_id", "ts"]), gap_minutes=5).to_pandas()
+    got["start_us"] = got.pop("session_start").astype(
+        "datetime64[us]").astype("int64")
+    got["end_us"] = got.pop("session_end").astype(
+        "datetime64[us]").astype("int64")
+    exp = con.sql("""
+        WITH x AS (SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        y AS (SELECT user_id, ts, SUM(new_s) OVER
+                (PARTITION BY user_id ORDER BY ts) AS session_id FROM x)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
+        FROM y GROUP BY user_id, session_id""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
