@@ -1016,7 +1016,7 @@ def cohort_retention_events_sql() -> str:
     return """
 WITH d AS (SELECT user_id,
                   CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day
-           FROM events),
+           FROM events WHERE user_id IS NOT NULL),
 f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id),
 a AS (SELECT DISTINCT user_id, day FROM d)
 SELECT f.cohort_day, CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
@@ -2338,7 +2338,8 @@ def funnel_events(sf_dir: str):
 def funnel_events_sql() -> str:
     return """
 WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
-            WHERE event_type = 'view' GROUP BY user_id),
+            WHERE event_type = 'view' AND user_id IS NOT NULL
+            GROUP BY user_id),
 t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
        JOIN t1 ON e.user_id = t1.user_id
        WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id),

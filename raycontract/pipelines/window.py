@@ -142,11 +142,14 @@ def funnel(ds, key: str, ts: str, step_col: str, steps: Sequence[str],
     ``np.minimum.reduceat`` per key-run (events of the step's type later
     than the key's step-(k-1) time), so cost is O(len(steps) · n) vectorized.
     The per-partition partials (keys reached per step) are integers; the
-    driver folds len(steps) numbers per partition. Output:
-    (step:int64 1-based, event_type, n_keys:int64)."""
+    driver folds len(steps) numbers per partition. Null keys are EXCLUDED
+    (a funnel needs an identity; the SQL formulation is itself inconsistent
+    there — GROUP BY keeps a NULL step-1 group that the step-2 join then
+    drops). Output: (step:int64 1-based, event_type, n_keys:int64)."""
     steps = list(steps)
 
     def per_partition(part: pa.Table) -> pa.Table:
+        part = part.filter(pc.is_valid(part[key]))
         if part.num_rows == 0:
             return pa.table({"step": pa.array([], pa.int64()),
                              "event_type": pa.array([], pa.string()),
@@ -384,13 +387,16 @@ def cohort_retention(ds, key: str, ts: str, id_col: str,
         FROM a JOIN f USING (key) GROUP BY 1, 2
 
     with ``day = FLOOR(epoch_us(ts) / 86400e6)`` as epoch days (BIGINT —
-    keeps the oracle dtype-exact without DATE round-trips). Kernel: rows
-    hash-partition by key; per partition one lexsort puts each key's days
-    in order, so the cohort is the run's first day and DISTINCT days are
-    run-local boundary changes — O(n) vectorized, partials grouped-sum."""
+    keeps the oracle dtype-exact without DATE round-trips). Null keys are
+    EXCLUDED (retention needs an identity; the SQL join drops them).
+    Kernel: rows hash-partition by key; per partition one lexsort puts each
+    key's days in order, so the cohort is the run's first day and DISTINCT
+    days are run-local boundary changes — O(n) vectorized, partials
+    grouped-sum."""
     cols = [key, ts, id_col]
 
     def per_partition(part: pa.Table) -> pa.Table:
+        part = part.filter(pc.is_valid(part[key]))
         if part.num_rows == 0:
             return pa.table({"cohort_day": pa.array([], pa.int64()),
                              "day_offset": pa.array([], pa.int64()),

@@ -527,3 +527,65 @@ def test_sessionize_lag_rank_random(ray_session, seed):
                CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
         FROM y GROUP BY user_id, session_id""").df()
     pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [27, 28])
+def test_funnel_timesince_cohort_random(ray_session, seed):
+    from raycontract.pipelines.window import (cohort_retention, funnel,
+                                              time_since_last_match)
+
+    t = _events_dense(seed)
+    ds = rd.from_arrow(t).repartition(5)
+    con = duckdb.connect()
+    con.register("e", t)
+
+    got = funnel(ds, "user_id", "ts", "event_type",
+                 ["view", "click", "purchase"]).to_pandas()
+    exp = con.sql("""
+        WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM e
+                    WHERE event_type = 'view' AND user_id IS NOT NULL
+                    GROUP BY user_id),
+        t2 AS (SELECT e2.user_id, MIN(e2.ts) AS ts2 FROM e e2
+               JOIN t1 ON e2.user_id = t1.user_id
+               WHERE e2.event_type = 'click' AND e2.ts > t1.ts1
+               GROUP BY e2.user_id),
+        t3 AS (SELECT e3.user_id, MIN(e3.ts) AS ts3 FROM e e3
+               JOIN t2 ON e3.user_id = t2.user_id
+               WHERE e3.event_type = 'purchase' AND e3.ts > t2.ts2
+               GROUP BY e3.user_id)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys FROM t1
+          UNION ALL SELECT 2, 'click', COUNT(*) FROM t2
+          UNION ALL SELECT 3, 'purchase', COUNT(*) FROM t3)""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = time_since_last_match(ds, "user_id", "ts", "event_id",
+                                "event_type", "error").to_pandas()
+    got = got[["event_id", "user_id", "since_micros"]].dropna(
+        subset=["since_micros"])
+    got["since_micros"] = got["since_micros"].astype("int64")
+    exp = con.sql("""
+        SELECT event_id, user_id, since_micros FROM (
+          SELECT event_id, user_id,
+                 CAST(epoch_us(ts) - MAX(CASE WHEN event_type = 'error'
+                        THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS since_micros
+          FROM e) t WHERE since_micros IS NOT NULL""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = cohort_retention(ds, "user_id", "ts", "event_id").to_pandas()
+    exp = con.sql("""
+        WITH d AS (SELECT user_id,
+                     CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                       AS day FROM e WHERE user_id IS NOT NULL),
+        f AS (SELECT user_id, MIN(day) AS cohort_day FROM d
+              GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, day FROM d)
+        SELECT f.cohort_day, CAST(a.day - f.cohort_day AS BIGINT)
+                 AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM a JOIN f USING (user_id) GROUP BY 1, 2""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
