@@ -589,3 +589,57 @@ def test_funnel_timesince_cohort_random(ray_session, seed):
                CAST(COUNT(*) AS BIGINT) AS n_keys
         FROM a JOIN f USING (user_id) GROUP BY 1, 2""").df()
     pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+def _nasty_docs(seed: int) -> pa.Table:
+    """Text with the shapes real corpora throw: empty strings, bare/double
+    spaces, leading/trailing spaces, unicode (CJK/emoji/combining), nulls,
+    and ordinary sentences."""
+    rng = np.random.default_rng(seed)
+    vocab = ["the", "cat", "sat", "on", "mat", "a", "dog", "ran", "héllo",
+             "日本語", "🙂", "éclair"]
+    special = ["", " ", "  ", "a  b", " lead", "trail ", "\tTAB\tsep",
+               "日本語 テスト 🙂 🙂", None]
+    texts = []
+    for i in range(120):
+        if i % 8 == 0:
+            texts.append(special[(i // 8) % len(special)])
+        else:
+            k = int(rng.integers(1, 12))
+            texts.append(" ".join(rng.choice(vocab, k)))
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts)})
+
+
+@pytest.mark.parametrize("seed", [29, 30])
+def test_text_family_nasty_random(ray_session, seed):
+    from raycontract.entry_queries import (bigram_topk_documents_sql,
+                                           quality_counts_documents_sql,
+                                           text_stats_documents_sql,
+                                           word_diversity_documents_sql)
+    from raycontract.pipelines.textpipe import (bigram_topk, quality_scores,
+                                                text_stats, word_diversity)
+
+    t = _nasty_docs(seed)
+    ds = rd.from_arrow(t).repartition(4)
+    con = duckdb.connect()
+    con.register("documents", t)
+
+    got = word_diversity(ds).to_pandas()
+    exp = con.sql(word_diversity_documents_sql()).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = bigram_topk(ds, k=50).to_pandas()
+    exp = con.sql(bigram_topk_documents_sql().replace(
+        "LIMIT 100", "LIMIT 50")).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = text_stats(ds).to_pandas()[["doc_id", "n_tokens", "n_chars_calc"]]
+    exp = con.sql(text_stats_documents_sql()).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = quality_scores(ds).to_pandas()[
+        ["doc_id", "n_chars_calc", "n_tokens", "n_ws_tokens",
+         "n_stop_tokens"]]
+    exp = con.sql(quality_counts_documents_sql()).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
