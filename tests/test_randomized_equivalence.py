@@ -643,3 +643,97 @@ def test_text_family_nasty_random(ray_session, seed):
          "n_stop_tokens"]]
     exp = con.sql(quality_counts_documents_sql()).df()
     pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_relational_aggregates_random(ray_session, seed):
+    """ROLLUP / pivot / histogram / grouped mode / key overlap on random
+    null-bearing inputs."""
+    from raycontract.pipelines.relational import (distinct_key_overlap,
+                                                  fixed_width_histogram,
+                                                  grouped_mode, pivot_counts,
+                                                  rollup_sum)
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    t = pa.table({
+        "f": pa.array([None if rng.random() < 0.06 else
+                       ["A", "N", "R"][rng.integers(0, 3)]
+                       for _ in range(n)]),
+        "s": pa.array([None if rng.random() < 0.06 else
+                       ["O", "F", "P"][rng.integers(0, 3)]
+                       for _ in range(n)]),
+        "qty": pa.array([None if rng.random() < 0.05 else
+                         float(np.round(rng.uniform(1, 50), 1))
+                         for _ in range(n)], pa.float64()),
+        "price": pa.array(np.round(rng.uniform(10, 900, n), 2),
+                          pa.float64()),
+        "k": pa.array([None if rng.random() < 0.05 else
+                       int(rng.integers(0, 25)) for _ in range(n)],
+                      pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    con = duckdb.connect()
+    con.register("e", t)
+
+    got = rollup_sum(ds, ["f", "s"],
+                     {"sum_qty": ("qty", 1.0),
+                      "sum_cents": ("price", 100.0)})
+    got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    exp = con.sql("""
+        SELECT f, s,
+               CAST(SUM(CAST(ROUND(qty) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM e GROUP BY ROLLUP(f, s)""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = pivot_counts(ds, "f", "s", ["O", "F", "P"])
+    got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    exp = con.sql("""
+        SELECT f AS row_key_placeholder,
+               CAST(COUNT(*) FILTER (WHERE s = 'O') AS BIGINT) AS n_O,
+               CAST(COUNT(*) FILTER (WHERE s = 'F') AS BIGINT) AS n_F,
+               CAST(COUNT(*) FILTER (WHERE s = 'P') AS BIGINT) AS n_P,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM e GROUP BY f""").df().rename(
+        columns={"row_key_placeholder": "f"})
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = fixed_width_histogram(ds, "price", 100.0)
+    got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    exp = con.sql("""
+        SELECT CAST(FLOOR(price / 100.0) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY 1""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = grouped_mode(ds, "k", "s")
+    got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    exp = con.sql("""
+        SELECT k, mode_value, n_mode FROM (
+          SELECT k, s AS mode_value, CAST(COUNT(*) AS BIGINT) AS n_mode,
+                 ROW_NUMBER() OVER (PARTITION BY k
+                                    ORDER BY COUNT(*) DESC, s ASC) AS rn
+          FROM e WHERE s IS NOT NULL GROUP BY k, s) t WHERE rn = 1""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = distinct_key_overlap(ds.select_columns(["k"]), "k",
+                               ds.filter(lambda r: (r["k"] or 0) % 2 == 0)
+                               .select_columns(["k"]), "k")
+    got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    exp = con.sql("""
+        WITH l AS (SELECT DISTINCT k FROM e WHERE k IS NOT NULL),
+        r AS (SELECT DISTINCT k FROM e
+              WHERE k IS NOT NULL AND k % 2 = 0),
+        j AS (SELECT COALESCE(l.k, r.k) AS k,
+                     l.k IS NOT NULL AS in_l, r.k IS NOT NULL AS in_r
+              FROM l FULL OUTER JOIN r ON l.k = r.k)
+        SELECT CAST(COUNT(*) FILTER (in_l AND in_r) AS BIGINT) AS n_both,
+               CAST(COUNT(*) FILTER (in_l AND NOT in_r) AS BIGINT)
+                 AS n_left_only,
+               CAST(COUNT(*) FILTER (in_r AND NOT in_l) AS BIGINT)
+                 AS n_right_only
+        FROM j""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
