@@ -737,3 +737,50 @@ def test_relational_aggregates_random(ray_session, seed):
                  AS n_right_only
         FROM j""").df()
     pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [33, 34])
+def test_dedup_family_random(ray_session, seed):
+    """Exact/prefix dedup on random docs with planted duplicates, null and
+    empty texts."""
+    from raycontract.pipelines.dedup import (duplicate_groups,
+                                             exact_dedup_keep_first)
+
+    rng = np.random.default_rng(seed)
+    base = [" ".join(rng.choice(["aa", "bb", "cc", "dd"], 6))
+            for _ in range(60)]
+    texts = []
+    for i in range(200):
+        r = rng.random()
+        if r < 0.05:
+            texts.append(None)
+        elif r < 0.1:
+            texts.append("")
+        else:
+            texts.append(base[rng.integers(0, len(base))])
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(4)
+    con = duckdb.connect()
+    con.register("documents", t)
+
+    got = exact_dedup_keep_first(ds, ["text"], "doc_id").to_pandas()
+    exp = con.sql("SELECT CAST(min(doc_id) AS BIGINT) AS doc_id "
+                  "FROM documents GROUP BY text").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    def add_prefix(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "prefix": _pc.utf8_slice_codeunits(batch["text"], 0, 8),
+        })
+
+    got = duplicate_groups(ds.map_batches(add_prefix,
+                                          batch_format="pyarrow"),
+                           ["prefix"], "doc_id").select_columns(
+        ["first_id", "n_rows"]).to_pandas()
+    exp = con.sql("SELECT CAST(min(doc_id) AS BIGINT) AS first_id, "
+                  "CAST(count(*) AS BIGINT) AS n_rows FROM documents "
+                  "GROUP BY substr(text, 1, 8) HAVING count(*) > 1").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
