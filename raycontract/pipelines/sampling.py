@@ -98,22 +98,35 @@ def stratified_sample(ds, group_col: str, id_col: str, n_per_group: int,
     n × groups × blocks candidate rows. SQL oracle:
     ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY hash, id) <= n``."""
 
+    def _null_safe_gkey(col) -> pa.Array:
+        """String shuffle key: null groups get chr(1), real values an '='
+        prefix (no collision) — Ray's sort-based groupby cannot order null
+        keys, and SQL PARTITION BY keeps them as a group."""
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        tagged = pc.binary_join_element_wise(
+            pa.scalar("="), pc.cast(col, pa.string()), pa.scalar(""))
+        return pc.fill_null(tagged, "\x01")
+
     def partial(batch: pa.Table) -> pa.Table:
         h = hash_u32(batch[id_col], salt)
         ids = np.asarray(batch[id_col])
-        # numpy group-wise bottom-k: sort by (group, h, id), keep first n per run
-        g = batch[group_col].combine_chunks()
+        # numpy group-wise bottom-k: sort by (group, h, id), keep first n
+        # per run; null groups take a sentinel code (SQL keeps them)
+        g = batch[group_col].combine_chunks() if isinstance(
+            batch[group_col], pa.ChunkedArray) else batch[group_col]
         enc = pc.dictionary_encode(g)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
-        gc = np.asarray(enc.indices, dtype=np.int64)
+        gc = np.asarray(pc.fill_null(enc.indices, len(enc.dictionary)),
+                        dtype=np.int64)
         order = np.lexsort((ids, h, gc))
         gs = gc[order]
         run_start = np.r_[0, np.flatnonzero(np.diff(gs)) + 1]
         rank = np.arange(len(gs)) - np.repeat(run_start, np.diff(np.r_[run_start, len(gs)]))
         keep = order[rank < n_per_group]
         out = batch.take(pa.array(keep))
-        return out.append_column("__h", pa.array(h[keep].astype(np.int64)))
+        out = out.append_column("__h", pa.array(h[keep].astype(np.int64)))
+        return out.append_column("__gkey", _null_safe_gkey(out[group_col]))
 
     cand = ds.map_batches(partial, batch_format="pyarrow")
 
@@ -121,9 +134,10 @@ def stratified_sample(ds, group_col: str, id_col: str, n_per_group: int,
         h = np.asarray(group["__h"])
         ids = np.asarray(group[id_col])
         keep = np.lexsort((ids, h))[:n_per_group]
-        return group.take(pa.array(np.sort(keep))).drop_columns(["__h"])
+        return group.take(pa.array(np.sort(keep))).drop_columns(
+            ["__h", "__gkey"])
 
-    return cand.groupby(group_col).map_groups(final, batch_format="pyarrow")
+    return cand.groupby("__gkey").map_groups(final, batch_format="pyarrow")
 
 
 def mixture_sample(ds, group_col: str, id_col: str, weights: dict[str, float],

@@ -784,3 +784,49 @@ def test_dedup_family_random(ray_session, seed):
                   "CAST(count(*) AS BIGINT) AS n_rows FROM documents "
                   "GROUP BY substr(text, 1, 8) HAVING count(*) > 1").df()
     pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [35, 36])
+def test_sampling_family_random(ray_session, seed):
+    """Stratified + weighted deterministic sampling on random inputs with
+    null groups/weights — the engine's salted-hash reproducibility vs the
+    identical SQL expression."""
+    from raycontract.pipelines.sampling import (hash_sql_expr,
+                                                stratified_sample,
+                                                weighted_sample)
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lang": pa.array([None if rng.random() < 0.06 else
+                          ["en", "de", "fr", "ja"][rng.integers(0, 4)]
+                          for _ in range(n)]),
+        "n_chars": pa.array([None if rng.random() < 0.05 else
+                             int(rng.integers(0, 3000))
+                             for _ in range(n)], pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    con = duckdb.connect()
+    con.register("documents", t)
+
+    got = stratified_sample(ds.select_columns(["doc_id", "lang"]),
+                            "lang", "doc_id", 5, salt=1).to_pandas()
+    h = hash_sql_expr("doc_id", salt=1)
+    exp = con.sql(f"""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY {h}, doc_id) AS rn
+          FROM documents) t WHERE rn <= 5""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = weighted_sample(ds.select_columns(["doc_id", "n_chars"]),
+                          "doc_id", "n_chars", scale=2000.0,
+                          salt=7).to_pandas()
+    h = hash_sql_expr("doc_id", salt=7)
+    exp = con.sql(f"""
+        SELECT doc_id, n_chars FROM documents
+        WHERE {h} < CAST(ROUND(4294967296
+              * LEAST(1.0, n_chars / 2000.0)) AS BIGINT)""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
