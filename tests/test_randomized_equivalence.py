@@ -830,3 +830,33 @@ def test_sampling_family_random(ray_session, seed):
         WHERE {h} < CAST(ROUND(4294967296
               * LEAST(1.0, n_chars / 2000.0)) AS BIGINT)""").df()
     pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [37, 38])
+def test_vocab_oov_nasty_random(ray_session, seed):
+    from raycontract.pipelines.textpipe import oov_rate, vocab_topk
+
+    t = _nasty_docs(seed)
+    ds = rd.from_arrow(t).repartition(4)
+    con = duckdb.connect()
+    con.register("documents", t)
+
+    got = vocab_topk(ds, k=20).to_pandas()
+    exp = con.sql("""
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 20""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    got = oov_rate(ds, vocab_k=6).to_pandas()
+    exp = con.sql("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                     FROM documents),
+        vocab AS (SELECT w AS word FROM tok GROUP BY w
+                  ORDER BY CAST(COUNT(*) AS BIGINT) DESC, w ASC LIMIT 6)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (w NOT IN (SELECT word FROM vocab))
+                 AS BIGINT) AS n_oov
+        FROM tok GROUP BY doc_id""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
