@@ -860,3 +860,45 @@ def test_vocab_oov_nasty_random(ray_session, seed):
                  AS BIGINT) AS n_oov
         FROM tok GROUP BY doc_id""").df()
     pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [39, 40])
+def test_hash_split_and_mixture_random(ray_session, seed):
+    from raycontract.pipelines.curation import hash_split
+    from raycontract.pipelines.sampling import (mixture_sample,
+                                                mixture_sample_sql_pred)
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    # sparse, non-contiguous ids (the hash must not depend on density)
+    ids = np.unique(rng.integers(0, 10_000_000, n)).astype(np.int64)
+    t = pa.table({
+        "doc_id": pa.array(ids),
+        "lang": pa.array([None if rng.random() < 0.08 else
+                          ["en", "zh", "de", "xx"][rng.integers(0, 4)]
+                          for _ in range(len(ids))]),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    con = duckdb.connect()
+    con.register("documents", t)
+
+    got = hash_split(ds.select_columns(["doc_id"]), "doc_id",
+                     [0.8, 0.1, 0.1], ["train", "val", "test"]).to_pandas()
+    b1, b2 = int(0.8 * (1 << 32)), int(0.9 * (1 << 32))
+    exp = con.sql(f"""
+        SELECT doc_id,
+               CASE WHEN h < {b1} THEN 'train'
+                    WHEN h < {b2} THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                       AS h
+              FROM documents)""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    w = {"en": 0.5, "zh": 1.0}
+    got = mixture_sample(ds, "lang", "doc_id", w, default=0.25,
+                         salt=7).to_pandas()
+    pred = mixture_sample_sql_pred("lang", "doc_id", w, default=0.25,
+                                   salt=7)
+    exp = con.sql(f"SELECT doc_id, lang FROM documents WHERE {pred}").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
