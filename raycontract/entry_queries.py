@@ -460,9 +460,10 @@ def events_sliding_windows_sql() -> str:
         "SELECT CAST((epoch_us(ts) // 1800000000) * 1800000000 "
         "- o.i * 1800000000 AS BIGINT) AS window_start_us, "
         "CAST(count(*) AS BIGINT) AS n_events, "
-        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+        "CAST(coalesce(sum(CAST(round(value*100) AS BIGINT)), 0) "
+        "AS BIGINT) AS sum_value_cents "
         "FROM events CROSS JOIN (SELECT range AS i FROM range(0,2)) o "
-        "GROUP BY 1"
+        "WHERE ts IS NOT NULL GROUP BY 1"
     )
 
 

@@ -151,6 +151,9 @@ def sliding_window_agg(events_ds, window_s: int = 3600, slide_s: int = 1800,
     k = window_s // slide_s
 
     def partial(batch: pa.Table) -> pa.Table:
+        # null ts rows have no window (an unfiltered NaT would coin a
+        # garbage window start); null values sum as 0 (the oracle coalesces)
+        batch = batch.filter(pc.is_valid(batch[ts_col]))
         n = batch.num_rows
         empty = pa.table({"window_start_us": pa.array([], type=pa.int64()),
                           "n_events": pa.array([], type=pa.int64()),
@@ -159,7 +162,9 @@ def sliding_window_agg(events_ds, window_s: int = 3600, slide_s: int = 1800,
             return empty
         ts_us = np.asarray(pc.cast(batch[ts_col].combine_chunks(),
                                    pa.timestamp("us")).cast(pa.int64()))
-        cents = np.asarray(_cents(batch[value_col]))
+        # null values sum as 0 (SQL SUM ignores them; a bare cast of a
+        # null round() would inject int64-min garbage)
+        cents = np.asarray(pc.fill_null(_cents(batch[value_col]), 0))
         slide_us = np.int64(slide_s) * 1_000_000
         base = (ts_us // slide_us) * slide_us
         # (k, n) window starts per event → flatten, pre-aggregate per window

@@ -547,15 +547,26 @@ def grouped_vector_sum(ds, emb_col: str = "embedding", group_col: str = "label",
             (M * float(scale)).ravel()), round_mode="half_towards_infinity"),
             pa.int64())).reshape(M.shape)
         enc = _pc.dictionary_encode(batch[group_col].combine_chunks())
-        codes = np.asarray(enc.indices, dtype=np.int64)
-        k = len(enc.dictionary)
+        # null labels form their own SQL-style group: sentinel code k
+        # (a bare cast of null indices yields int64-min garbage)
+        codes = np.asarray(_pc.fill_null(enc.indices, len(enc.dictionary)),
+                           dtype=np.int64)
+        k = len(enc.dictionary) + 1
         onehot = np.zeros((k, len(codes)), dtype=np.int64)
         onehot[codes, np.arange(len(codes))] = 1
         sums = onehot @ scaled                    # (k, dim) int64 exact
         counts = onehot.sum(axis=1)               # (k,)
+        # drop the null-group slot when no null labels exist (no zero rows)
+        if counts[-1] == 0:
+            onehot, sums, counts, k = onehot[:-1], sums[:-1], counts[:-1], k - 1
+            gdict = enc.dictionary
+        else:
+            gdict = pa.concat_arrays(
+                [enc.dictionary.cast(batch[group_col].type),
+                 pa.array([None], batch[group_col].type)])
         dim = M.shape[1]
         return pa.table({
-            "g": enc.dictionary.take(pa.array(np.repeat(np.arange(k), dim))),
+            "g": gdict.take(pa.array(np.repeat(np.arange(k), dim))),
             "dim": pa.array(np.tile(np.arange(1, dim + 1), k)),
             "s": pa.array(sums.ravel()),
             "n": pa.array(np.repeat(counts, dim)),

@@ -902,3 +902,50 @@ def test_hash_split_and_mixture_random(ray_session, seed):
                                    salt=7)
     exp = con.sql(f"SELECT doc_id, lang FROM documents WHERE {pred}").df()
     pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_sliding_windows_and_centroids_random(ray_session, seed):
+    from raycontract.pipelines.relational import sliding_window_agg
+    from raycontract.pipelines.similarity import grouped_vector_sum
+
+    t = _events(seed)  # null ts / null values included
+    ds = rd.from_arrow(t).repartition(4)
+    con = duckdb.connect()
+    con.register("e", t)
+
+    got = sliding_window_agg(ds.select_columns(["ts", "value"]),
+                             window_s=3600, slide_s=1800).to_pandas()
+    exp = con.sql("""
+        SELECT CAST((epoch_us(ts) // 1800000000) * 1800000000
+               - o.i * 1800000000 AS BIGINT) AS window_start_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(coalesce(sum(CAST(round(value*100) AS BIGINT)), 0)
+                 AS BIGINT) AS sum_value_cents
+        FROM e CROSS JOIN (SELECT range AS i FROM range(0,2)) o
+        WHERE ts IS NOT NULL GROUP BY 1""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+    rng = np.random.default_rng(seed + 50)
+    dim, n = 16, 150
+    emb = pa.table({
+        "label": pa.array([None if rng.random() < 0.05 else
+                           int(rng.integers(0, 5)) for _ in range(n)],
+                          pa.int32()),
+        "embedding": pa.array(
+            [list(map(float, np.round(rng.normal(0, 1, dim), 4)))
+             for _ in range(n)], pa.list_(pa.float32())),
+    })
+    got = grouped_vector_sum(rd.from_arrow(emb).repartition(3),
+                             "embedding", "label", scale=1000)
+    got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+    con2 = duckdb.connect()
+    con2.register("embeddings", emb)
+    exp = con2.sql(f"""
+        SELECT label, CAST(i AS BIGINT) AS dim,
+               CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000)
+                 AS BIGINT)) AS BIGINT) AS sum_scaled,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings, generate_series(1, {dim}) t(i)
+        GROUP BY label, i""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
