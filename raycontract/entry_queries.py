@@ -495,6 +495,7 @@ def heavy_hitters_users_q(sf_dir: str):
 
 def heavy_hitters_users_sql() -> str:
     return ("SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events "
+            "WHERE user_id IS NOT NULL "  # engine drops null users (identity)
             "GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10")
 
 

@@ -949,3 +949,64 @@ def test_sliding_windows_and_centroids_random(ray_session, seed):
         FROM embeddings, generate_series(1, {dim}) t(i)
         GROUP BY label, i""").df()
     pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [43, 44])
+def test_anti_join_random_nulls(ray_session, seed):
+    """NOT-EXISTS anti-join with null keys on BOTH sides (the NOT-IN trap:
+    null left keys are KEPT, null right keys match nothing) and the forced
+    bucketed-exchange path ≡ the broadcast path."""
+    from raycontract.pipelines.joins import anti_join
+
+    rng = np.random.default_rng(seed)
+    nl = 300
+    left = pa.table({
+        "k": pa.array([None if rng.random() < 0.07 else
+                       int(rng.integers(0, 40)) for _ in range(nl)],
+                      pa.int64()),
+        "payload": pa.array(np.arange(nl, dtype=np.int64)),
+    })
+    right = pa.table({"rk": pa.array(
+        [None if rng.random() < 0.1 else int(rng.integers(0, 25))
+         for _ in range(120)], pa.int64())})
+    lds = rd.from_arrow(left).repartition(4)
+    rds = rd.from_arrow(right).repartition(3)
+    got = anti_join(lds, "k", rds, "rk").to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.sql("""
+        SELECT k, payload FROM l
+        WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.rk = l.k)""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+    # forced bucketed key-exchange path must agree exactly
+    got2 = anti_join(lds, "k", rds, "rk", broadcast_limit=1).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got2), _canon(exp))
+
+
+@pytest.mark.parametrize("seed", [45])
+def test_heavy_hitters_random(ray_session, seed):
+    from raycontract.pipelines.relational import heavy_hitters_users
+
+    rng = np.random.default_rng(seed)
+    n = 500
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.full(n, 1_700_000_000_000_000,
+                               np.int64).astype("datetime64[us]")),
+        "user_id": pa.array([None if rng.random() < 0.05 else
+                             int(rng.integers(0, 30) ** 2 % 17)
+                             for _ in range(n)], pa.int64()),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(np.ones(n), pa.float64()),
+        "props": pa.array(["{}"] * n),
+    })
+    got = heavy_hitters_users(rd.from_arrow(t).repartition(4),
+                              k=5).to_pandas()
+    con = duckdb.connect()
+    con.register("e", t)
+    exp = con.sql("""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM e
+        WHERE user_id IS NOT NULL GROUP BY user_id
+        ORDER BY n_events DESC, user_id ASC LIMIT 5""").df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
